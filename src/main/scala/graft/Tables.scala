@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet test tables (see TESTDATA.md).
+  *
+  * All queries take a scale-factor directory (`/root/testdata/sf0.01` etc.)
+  * and read parquet directly — Catalyst pushes column pruning and predicate
+  * filters into the scan, so loaders stay schema-free and lazy.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(names.contains(name), s"unknown table: $name")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read the nanos as LongType (epoch nanos). Use
+      // eventsWithTs for a proper TimestampType column.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** events with `ts` converted from epoch-nanos long to TimestampType
+    * (microsecond precision — plenty for windowing/watermarks). */
+  def eventsWithTs(spark: SparkSession, d: String): DataFrame = {
+    val ev = load(spark, d, "events")
+    ev.withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS LONG))"))
+  }
+
+  def region(spark: SparkSession, d: String): DataFrame     = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame     = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame   = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame   = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame       = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame     = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame   = load(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame     = load(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+}

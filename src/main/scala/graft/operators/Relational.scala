@@ -1,0 +1,482 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GraftQuery, Tables}
+
+/** Relational operator suite — scans, projections/filters, aggregations,
+  * joins, window functions, sorts/top-k, set ops, sampling (SURVEY.md
+  * §2.1-2.8, §2.10). Everything is declarative DataFrame API so Catalyst
+  * handles pushdown, pruning, partial aggregation and join-strategy choice;
+  * small dimension tables are broadcast explicitly.
+  *
+  * All float outputs are rounded in BOTH the Spark query and the DuckDB
+  * oracle so sum-order differences can't flip the hash compare.
+  */
+object Relational {
+
+  /** Pricing summary: scan + filter + hash agg with partial (map-side)
+    * aggregation. Covers S1/S4 (parquet scan), P5 (predicate), A1/A5.
+    * Mirrors the reference's groupwise count/mean EDA
+    * (reference: app/EDA_proprocess.ipynb cells 7,15). */
+  val q01PricingSummary = GraftQuery(
+    "q01_pricing_summary",
+    "S1,S4,P5,A1,A5",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(avg(l_quantity), 4) AS avg_qty,
+      round(avg(l_discount), 6) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Forecast-revenue filter: tight range predicates all pushed to the
+    * parquet scan; single global agg. Covers P5, predicate pushdown (§4). */
+  val q02FilterRevenue = GraftQuery(
+    "q02_filter_revenue",
+    "P5,P8,A1",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(
+          round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** Multi-way star join: fact (lineitem) ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region with the dimension side broadcast. Covers J3/J5 (lookup joins),
+    * A1. At 100 TB the fact side stays shuffle-free for nation/region
+    * (broadcast); lineitem⋈orders co-partitions on orderkey. */
+  val q03JoinRevenueByNation = GraftQuery(
+    "q03_join_revenue_by_nation",
+    "J3,J5,A1",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** Per-group top-k via window ranking — THE reference pattern (Faiss
+    * returns k best per query, reference: app/vector_search.py:182-184).
+    * Covers T3, T5, §2.10 window surface. */
+  val q04TopkPerGroup = GraftQuery(
+    "q04_topk_per_group",
+    "T3,T5",
+    (s, d) => {
+      val o = Tables.orders(s, d).join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("c_mktsegment"), col("rank"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rank"))
+    },
+    Some("""SELECT c_mktsegment, rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY c_mktsegment
+            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders JOIN customer ON o_custkey = c_custkey) t
+      WHERE rank <= 3 ORDER BY c_mktsegment, rank"""))
+
+  /** Global sort + limit (reference: app/main.py:270,275 sort desc + head).
+    * Covers T1, T2, T4. Range-partitioned sort; limit is pushed into a
+    * TakeOrderedAndProject at the physical level — no full sort at scale. */
+  val q05SortLimit = GraftQuery(
+    "q05_sort_limit",
+    "T1,T2,T4",
+    (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** Null handling: inject nulls (nullif), count them, fill them
+    * (reference: app/preprocess_data.py:37-54 fillna/dropna). Covers
+    * P3, P4, A2. */
+  val q06NullHandling = GraftQuery(
+    "q06_null_handling",
+    "P3,P4,A2",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        // negative balances -> null, then fill with 0.0 ('Unknown' analogue)
+        .withColumn("bal_or_null",
+          when(col("c_acctbal") < 0, lit(null).cast("double")).otherwise(col("c_acctbal")))
+      c.groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("bal_or_null").isNull.cast("long")).as("n_null"),
+          count(col("bal_or_null")).as("n_not_null"),
+          round(sum(coalesce(col("bal_or_null"), lit(0.0))), 2).as("sum_filled"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment,
+      count(*) AS n_rows,
+      CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      count(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) AS n_not_null,
+      round(sum(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END), 2) AS sum_filled
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** String scalar functions over part: lower/upper/trim/regexp_replace/
+    * length/concat (reference: app/preprocess_data.py:78-99, F2-F8). All
+    * codegen'd builtins — no UDF. Systematic key filter keeps output small. */
+  val q07StringFuncs = GraftQuery(
+    "q07_string_funcs",
+    "F2,F3,F5,F6,F7,F8,P1,P2",
+    (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") % 10 === 0)
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lc"),
+          upper(col("p_brand")).as("brand_uc"),
+          trim(regexp_replace(col("p_name"), "\\s+", " ")).as("name_norm"),
+          regexp_replace(col("p_brand"), "#\\d+$", "").as("brand_stripped"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      lower(p_name) AS name_lc,
+      upper(p_brand) AS brand_uc,
+      trim(regexp_replace(p_name, '\s+', ' ', 'g')) AS name_norm,
+      regexp_replace(p_brand, '#\d+$', '') AS brand_stripped,
+      length(p_name) AS name_len,
+      concat_ws('|', p_brand, p_type) AS brand_type
+      FROM part WHERE p_partkey % 10 = 0 ORDER BY p_partkey"""))
+
+  /** Date functions + time-grouped aggregation (reference considered but
+    * commented out datetime conversion — notebook cell 20; F14 to_timestamp).
+    * Covers F14, A1, A3. */
+  val q08DateAgg = GraftQuery(
+    "q08_date_agg",
+    "F14,A1,A3",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"))
+        .orderBy(col("ym")),
+    Some("""SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+      count(*) AS n_orders,
+      round(sum(o_totalprice), 2) AS total,
+      round(avg(o_totalprice), 4) AS avg_price
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** Summary statistics: min/max/avg/stddev + exact interpolated percentiles
+    * (reference: describe()/quantile, notebook cells 7/15; A5, A6). */
+  val q09StatsSummary = GraftQuery(
+    "q09_stats_summary",
+    "A5,A6,A7",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("std_price"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      count(*) AS n,
+      round(min(l_extendedprice), 2) AS min_price,
+      round(max(l_extendedprice), 2) AS max_price,
+      round(avg(l_extendedprice), 4) AS avg_price,
+      round(stddev_samp(l_extendedprice), 4) AS std_price,
+      round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+      round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Distributed histogram binning (reference: app/evaluation.py:222 50-bin
+    * histplot computed at driver; here the binning is a hash agg). A8. */
+  val q10Histogram = GraftQuery(
+    "q10_histogram",
+    "A8",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / 25).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bin")),
+    Some("""SELECT CAST(floor(value / 25) AS INT) AS bin, count(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** value_counts top-N with deterministic tie-break (reference: notebook
+    * cell 13 value_counts().head(20); A3, A7 mode). */
+  val q11ValueCounts = GraftQuery(
+    "q11_value_counts",
+    "A3,A7,T2",
+    (s, d) =>
+      Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p_brand"))
+        .limit(10),
+    Some("""SELECT p_brand, count(*) AS n FROM part
+      GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 10"""))
+
+  /** Exact distinct counts, single pass (reference: describe unique row,
+    * notebook cell 7; A4). approx_count_distinct is exercised in tests (its
+    * HLL estimate is engine-specific, so not oracle-comparable). */
+  val q12DistinctCounts = GraftQuery(
+    "q12_distinct_counts",
+    "A4,A10",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          countDistinct(col("l_orderkey")).as("d_orders"),
+          countDistinct(col("l_partkey")).as("d_parts"),
+          countDistinct(col("l_suppkey")).as("d_supps"),
+          count(lit(1)).as("n_rows")),
+    Some("""SELECT count(DISTINCT l_orderkey) AS d_orders,
+      count(DISTINCT l_partkey) AS d_parts,
+      count(DISTINCT l_suppkey) AS d_supps,
+      count(*) AS n_rows FROM lineitem"""))
+
+  /** Deterministic systematic sample — the oracle-comparable stand-in for
+    * the reference's unseeded random.sample (app/main.py:213-218; X1, X2).
+    * Seeded df.sample(...) is exercised in ScalaTest (engine-specific RNG). */
+  val q13SystematicSample = GraftQuery(
+    "q13_systematic_sample",
+    "X1,X2",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 500 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice"), 2).as("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+      round(l_extendedprice, 2) AS l_extendedprice
+      FROM lineitem WHERE l_orderkey % 500 = 0
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Union + distinct (reference: pd.concat + list(set(a+b)),
+    * app/evaluation.py:208-218, app/fetech_jd.py:85; X4, X5). */
+  val q14UnionDistinct = GraftQuery(
+    "q14_union_distinct",
+    "X4,X5",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_nationkey").as("nationkey")).withColumn("side", lit("customer"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_nationkey").as("nationkey")).withColumn("side", lit("supplier"))
+      c.unionByName(sup).distinct().orderBy(col("nationkey"), col("side"))
+    },
+    Some("""SELECT DISTINCT * FROM (
+        SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier)
+      ORDER BY nationkey, side"""))
+
+  /** Intersect / except set ops (absent in the reference; declared in-scope
+    * per SURVEY §2.8 "free via intersect/except"). */
+  val q15SetOps = GraftQuery(
+    "q15_set_ops",
+    "X5",
+    (s, d) => {
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      val both = cn.intersect(sn).withColumn("which", lit("both"))
+      val custOnly = cn.except(sn).withColumn("which", lit("customer_only"))
+      both.unionByName(custOnly).orderBy(col("which"), col("nationkey"))
+    },
+    Some("""SELECT * FROM (
+        SELECT nationkey, 'both' AS which FROM
+          (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'customer_only' AS which FROM
+          (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier))
+      ORDER BY which, nationkey"""))
+
+  /** Anti join — customers with no orders (dedup D1 ≈ anti-join in spirit,
+    * SURVEY §2.6; NOT EXISTS surface). */
+  val q16AntiJoin = GraftQuery(
+    "q16_anti_join",
+    "J1c-adjacent,D1",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      ORDER BY c_custkey"""))
+
+  /** Semi join — suppliers that ship any high-quantity line (EXISTS). */
+  val q17SemiJoin = GraftQuery(
+    "q17_semi_join",
+    "J1c-adjacent",
+    (s, d) => {
+      val sup = Tables.supplier(s, d)
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+      sup.join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+      ORDER BY s_suppkey"""))
+
+  /** Window analytics: row_number + lag + running sum per partition
+    * (§2.10 window surface beyond T3's ranking). Events ordered by time. */
+  val q18WindowAnalytics = GraftQuery(
+    "q18_window_analytics",
+    "T3,window",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 10)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.select(
+          col("user_id"), col("event_id"), col("event_type"),
+          row_number().over(w).as("rn"),
+          round(sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_value"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .orderBy(col("user_id"), col("rn"))
+    },
+    Some("""SELECT user_id, event_id, event_type,
+      row_number() OVER w AS rn,
+      round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+      lag(event_type, 1) OVER w AS prev_type
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, rn"""))
+
+  /** Rollup over region -> nation customer counts (grouping-set surface,
+    * SURVEY §2.5 "cube/rollup come free"). */
+  val q19Rollup = GraftQuery(
+    "q19_rollup",
+    "A1,rollup",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    Some("""SELECT r_name, n_name, count(*) AS n_customers,
+      round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""))
+
+  /** Pivot: event_type -> columns per user (the reference's wide
+    * qualitative-report pivot, app/evaluation.py:133-171; §3.2 mapping). */
+  val q20Pivot = GraftQuery(
+    "q20_pivot",
+    "report-pivot,A3",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") < 25)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events WHERE user_id < 25 GROUP BY user_id ORDER BY user_id"""))
+
+  /** Self range-join with canonicalized pair output (the reference's
+    * canonical (min,max) pair construction, app/main.py:253-263; D4).
+    * Equi-join prefilter on nationkey keeps the theta predicate cheap —
+    * same shape as the IVF centroid prefilter in Similarity. */
+  val q21PairCanon = GraftQuery(
+    "q21_pair_canon",
+    "D4,J1c",
+    (s, d) => {
+      val a = Tables.customer(s, d).select(
+        col("c_custkey").as("k1"), col("c_nationkey").as("nk1"), col("c_acctbal").as("b1"))
+      val b = Tables.customer(s, d).select(
+        col("c_custkey").as("k2"), col("c_nationkey").as("nk2"), col("c_acctbal").as("b2"))
+      a.join(b, col("nk1") === col("nk2") && col("k1") < col("k2"))
+        .filter(abs(col("b1") - col("b2")) < 1.0)
+        .select(
+          least(col("k1"), col("k2")).as("id1"),
+          greatest(col("k1"), col("k2")).as("id2"),
+          round(abs(col("b1") - col("b2")), 2).as("bal_diff"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""SELECT least(a.c_custkey, b.c_custkey) AS id1,
+      greatest(a.c_custkey, b.c_custkey) AS id2,
+      round(abs(a.c_acctbal - b.c_acctbal), 2) AS bal_diff
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE abs(a.c_acctbal - b.c_acctbal) < 1.0
+      ORDER BY id1, id2"""))
+
+  def queries: Seq[GraftQuery] = Seq(
+    q01PricingSummary, q02FilterRevenue, q03JoinRevenueByNation,
+    q04TopkPerGroup, q05SortLimit, q06NullHandling, q07StringFuncs,
+    q08DateAgg, q09StatsSummary, q10Histogram, q11ValueCounts,
+    q12DistinctCounts, q13SystematicSample, q14UnionDistinct, q15SetOps,
+    q16AntiJoin, q17SemiJoin, q18WindowAnalytics, q19Rollup, q20Pivot,
+    q21PairCanon)
+}

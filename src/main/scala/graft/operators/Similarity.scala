@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GraftQuery, Tables}
+import graft.functions.VectorFunctions._
+
+/** Vector similarity operators — the reference's headline capability
+  * (Faiss k-NN self-search + threshold near-dup pairs,
+  * reference: app/vector_search.py:143-205, app/main.py:201-280).
+  *
+  * Physical strategies (SURVEY §2.6 J1):
+  *  - exact: block-join + window top-k (here); O(Q·N), correct baseline
+  *  - IVF:   KMeans centroid prefilter (graft.operators.Ivf) — the 100 TB
+  *           scale path: prunes the candidate set to nprobe partitions
+  *  - LSH:   random-hyperplane bucketing (graft.operators.Lsh)
+  */
+object Similarity {
+
+  /** Embeddings with a unit-normalized vector column.
+    * Normalizing once up front turns cosine into a plain dot product in the
+    * join — the same trick the reference relies on (MiniLM output is
+    * L2-normalized; app/evaluation.py:24-26 docstring). */
+  def normalized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), l2Normalize(col("embedding")).as("vec"))
+
+  /** Exact k-NN join: every query vector against the full corpus, per-query
+    * top-k by cosine. Query side is a deterministic systematic sample so the
+    * DuckDB oracle can replay it. At cluster scale the corpus side is the
+    * broadcast candidate (or IVF-pruned); queries stream. */
+  def knnExact(s: SparkSession, d: String, k: Int, queryMod: Int): DataFrame = {
+    val base = normalized(s, d)
+    val q = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val c = base.select(col("vec_id").as("nid"), col("vec").as("nvec"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dot(col("qvec"), col("nvec")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** All near-duplicate pairs at cosine >= threshold, canonicalized
+    * (id1 < id2) and deduplicated — the reference's end product
+    * (app/main.py:252-263: threshold 0.90, canonical pair set, sort).
+    * Label equi-prefilter plays the role of the IVF cell: vectors produced
+    * from the same cluster are the only plausible near-dups, so the join is
+    * an equi-join, not a cross join. The unfiltered exact variant is
+    * `entry`'s flagship on sf0.001. */
+  def nearDupPairs(s: SparkSession, d: String, threshold: Double,
+      prefilterLabel: Boolean): DataFrame = {
+    val base = normalized(s, d)
+    val a = base.select(col("vec_id").as("id1"), col("label").as("lab1"), col("vec").as("v1"))
+    val b = base.select(col("vec_id").as("id2"), col("label").as("lab2"), col("vec").as("v2"))
+    val joinCond =
+      if (prefilterLabel) col("id1") < col("id2") && col("lab1") === col("lab2")
+      else col("id1") < col("id2")
+    a.join(b, joinCond)
+      .select(col("id1"), col("id2"), dot(col("v1"), col("v2")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id1"), col("id2"))
+  }
+
+  /** q30: exact k-NN, k=2, sampled queries — mirrors the pipeline's
+    * index.search(k=2) (app/main.py:228). */
+  val q30KnnExact = GraftQuery(
+    "q30_knn_cosine_topk",
+    "J1a,M4,T3,F10",
+    (s, d) => knnExact(s, d, k = 2, queryMod = 10),
+    Some("""WITH base AS (
+        SELECT vec_id, embedding FROM embeddings),
+      q AS (SELECT vec_id AS qid, embedding AS qvec FROM base WHERE vec_id % 10 = 0),
+      scored AS (
+        SELECT qid, vec_id AS nid,
+          list_cosine_similarity(qvec, embedding) AS sim
+        FROM q, base WHERE qid <> vec_id),
+      ranked AS (
+        SELECT qid, nid, sim,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        FROM scored)
+      SELECT qid, rank, nid, round(sim, 4) AS sim
+      FROM ranked WHERE rank <= 2 ORDER BY qid, rank"""))
+
+  /** q31: near-dup pairs at cos >= 0.35 over the full corpus (the synthetic embeddings have no true near-dups; max pairwise cos ~ 0.51) (exact; no
+    * prefilter so the oracle is a faithful replay). */
+  val q31NearDupPairs = GraftQuery(
+    "q31_neardup_pairs",
+    "D5,J1a,P5,P6,D4,T1,F9,F10",
+    (s, d) => nearDupPairs(s, d, threshold = 0.35, prefilterLabel = false),
+    Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+      ORDER BY sim DESC, id1, id2"""))
+
+  /** q32: L2 distance search + faiss-style L2->cosine conversion
+    * (app/evaluation.py:24-27, app/main.py:250; F9). */
+  val q32KnnL2 = GraftQuery(
+    "q32_knn_l2_to_cosine",
+    "J1a,M4,F9,F12",
+    (s, d) => {
+      val base = normalized(s, d)
+      val q = base.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val c = base.select(col("vec_id").as("nid"), col("vec").as("nvec"))
+      val scored = q.join(c, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), l2Dist(col("qvec"), col("nvec")).as("dist"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 2)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("dist"), 4).as("dist"),
+          round(l2ToCosine(col("dist")), 4).as("cos_from_l2"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH norms AS (
+        SELECT vec_id, sqrt(list_inner_product(embedding, embedding)) AS nrm, embedding
+        FROM embeddings),
+      unit AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE) ELSE x / nrm END) AS vec
+        FROM norms),
+      q AS (SELECT vec_id AS qid, vec AS qvec FROM unit WHERE vec_id % 20 = 0),
+      scored AS (
+        SELECT qid, vec_id AS nid, list_distance(qvec, vec) AS dist
+        FROM q, unit WHERE qid <> vec_id),
+      ranked AS (
+        SELECT qid, nid, dist,
+          row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+        FROM scored)
+      SELECT qid, rank, nid, round(dist, 4) AS dist,
+        round(least(1.0, greatest(-1.0, 1.0 - dist * dist / 2)), 4) AS cos_from_l2
+      FROM ranked WHERE rank <= 2 ORDER BY qid, rank"""))
+
+  /** q33: per-label vector statistics — norms and centroid norm (M2/M7
+    * index-metadata surface; validates the normalize step). */
+  val q33VectorStats = GraftQuery(
+    "q33_vector_stats",
+    "M7,F13,A1,A5",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), norm(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("nrm")), 4).as("avg_norm"),
+          round(min(col("nrm")), 4).as("min_norm"),
+          round(max(col("nrm")), 4).as("max_norm"))
+        .orderBy(col("label")),
+    Some("""SELECT label, count(*) AS n,
+        round(avg(nrm), 4) AS avg_norm,
+        round(min(nrm), 4) AS min_norm,
+        round(max(nrm), 4) AS max_norm
+      FROM (SELECT label, sqrt(list_inner_product(embedding, embedding)) AS nrm
+            FROM embeddings)
+      GROUP BY label ORDER BY label"""))
+
+  def queries: Seq[GraftQuery] = Seq(
+    q30KnnExact, q31NearDupPairs, q32KnnL2, q33VectorStats)
+}
