@@ -1,9 +1,155 @@
 package graft.operators
 
-import graft.GraftQuery
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
 
 /** Text analysis suite (north-star: lang-ID, quality scoring, token counts,
-  * fingerprinting). Filled in incrementally. */
+  * fingerprinting) over the `documents` table. Everything is built-in
+  * Column expressions (codegen'd) — no UDFs — and every query has a DuckDB
+  * oracle that replicates the heuristic exactly.
+  *
+  * The reference's text processing is HTML-strip + whitespace-collapse +
+  * lower (app/preprocess_data.py:24-34,95-103); these operators extend that
+  * surface to what a large-scale LLM-training-data pipeline needs. */
 object TextAnalysis {
-  def queries: Seq[GraftQuery] = Seq()
+
+  /** Tokens: lowercase, whitespace-split. */
+  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Marker-word count for a language profile (word-boundary regex). */
+  private def markers(c: Column, words: Seq[String]): Column =
+    words.map(w => regexp_count(lower(c), lit(s"\\b$w\\b"))).reduce(_ + _)
+
+  private val enW = Seq("the", "and", "of", "to")
+  private val esW = Seq("el", "la", "los", "de")
+  private val frW = Seq("le", "les", "des", "et")
+  private val deW = Seq("der", "die", "und", "das")
+
+  /** q40: n-gram/stopword-profile language ID — score each language by
+    * marker-word hits, argmax with fixed precedence (en>es>fr>de>und).
+    * The synthetic corpus is the same word soup for every `lang`, so the
+    * interesting property is determinism + agreement with the oracle, not
+    * accuracy. */
+  val q40LangId = GraftQuery(
+    "q40_lang_id",
+    "north-star lang-id; F5,F6",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+      val scored = doc.select(
+        col("doc_id"), col("lang").as("lang_actual"),
+        markers(col("text"), enW).as("s_en"),
+        markers(col("text"), esW).as("s_es"),
+        markers(col("text"), frW).as("s_fr"),
+        markers(col("text"), deW).as("s_de"))
+      scored.withColumn("lang_pred",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+               col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de") &&
+                col("s_es") > 0, "es")
+          .when(col("s_fr") >= col("s_de") && col("s_fr") > 0, "fr")
+          .when(col("s_de") > 0, "de")
+          .otherwise("und"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang AS lang_actual,
+      len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
+        + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bto\b')) AS s_en,
+      len(regexp_extract_all(lower(text), '\bel\b')) + len(regexp_extract_all(lower(text), '\bla\b'))
+        + len(regexp_extract_all(lower(text), '\blos\b')) + len(regexp_extract_all(lower(text), '\bde\b')) AS s_es,
+      len(regexp_extract_all(lower(text), '\ble\b')) + len(regexp_extract_all(lower(text), '\bles\b'))
+        + len(regexp_extract_all(lower(text), '\bdes\b')) + len(regexp_extract_all(lower(text), '\bet\b')) AS s_fr,
+      len(regexp_extract_all(lower(text), '\bder\b')) + len(regexp_extract_all(lower(text), '\bdie\b'))
+        + len(regexp_extract_all(lower(text), '\bund\b')) + len(regexp_extract_all(lower(text), '\bdas\b')) AS s_de,
+      CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+           WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+           WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+           WHEN s_de > 0 THEN 'de'
+           ELSE 'und' END AS lang_pred
+      FROM documents ORDER BY doc_id"""))
+
+  /** q41: quality scoring — length, token stats, punctuation ratio,
+    * stopword ratio, and a keep/drop flag (the C4/Gopher-style filter
+    * shape). */
+  val q41QualityScore = GraftQuery(
+    "q41_quality_score",
+    "north-star quality scoring; F6,F8,A5",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+      doc.select(
+          col("doc_id"),
+          length(col("text")).as("n_char"),
+          size(toks(col("text"))).as("n_tok"),
+          round(length(col("text")).cast("double") /
+            size(toks(col("text"))), 4).as("chars_per_tok"),
+          regexp_count(col("text"), lit("[\\p{Punct}]")).as("n_punct"),
+          size(filter(toks(col("text")),
+            t => t.isInCollection(stopwords))).as("n_stop"))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") / col("n_tok"), 4))
+        .withColumn("keep",
+          col("n_tok") >= 20 && col("stop_ratio") <= 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      length(text) AS n_char,
+      len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+      round(length(text)::DOUBLE / len(string_split_regex(lower(trim(text)), '\s+')), 4) AS chars_per_tok,
+      len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+      len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          t -> t IN ('the','a','of','and','to','in'))) AS n_stop,
+      round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+        / len(string_split_regex(lower(trim(text)), '\s+')), 4) AS stop_ratio,
+      (len(string_split_regex(lower(trim(text)), '\s+')) >= 20 AND
+       len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+        / len(string_split_regex(lower(trim(text)), '\s+')) <= 0.5) AS keep
+      FROM documents ORDER BY doc_id"""))
+
+  /** q42: token counting — whitespace tokens and a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single punctuation), the
+    * standard pre-tokenization shape. */
+  val q42TokenCount = GraftQuery(
+    "q42_token_count",
+    "north-star token counting; F6,F8",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks(col("text"))).as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("bpe_tokens"),
+          round(size(regexp_extract_all(col("text"),
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
+            greatest(size(toks(col("text"))), lit(1)), 4).as("fertility"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+      len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+      round(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::DOUBLE
+        / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1), 4) AS fertility
+      FROM documents ORDER BY doc_id"""))
+
+  /** q43: document fingerprinting — md5 over the normalized text (lower,
+    * whitespace-collapse, trim), the reference's jobDescClean
+    * normalization (app/preprocess_data.py:95-103) made content-addressable. */
+  val q43Fingerprint = GraftQuery(
+    "q43_fingerprint",
+    "north-star fingerprinting; F5,F6,D1",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+            .cast("binary")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  def queries: Seq[GraftQuery] = Seq(
+    q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint)
 }
