@@ -1,9 +1,296 @@
 package graft.operators
 
-import graft.GraftQuery
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GraftQuery, Tables}
 
-/** Deduplication operator suite (SURVEY §2.3, north-star dedup family):
-  * exact, MinHash+LSH, SimHash, n-gram Jaccard. Filled in incrementally. */
+/** Deduplication operator suite (SURVEY §2.3 D1-D5, north-star dedup
+  * family): exact keyed dedup, MinHash+LSH, SimHash, n-gram Jaccard and
+  * embedding-cosine survivor selection, all over the `documents` /
+  * `embeddings` tables.
+  *
+  * The reference's dedup is exact-match keep-first on the cleaned text
+  * (app/preprocess_data.py:59-71) plus the semantic near-dup pipeline
+  * (app/main.py:201-265); the sketch operators (MinHash/SimHash) are the
+  * standard scale path for the same question — candidate generation is a
+  * bucket equi-join (shuffle on band key), never an all-pairs cross join,
+  * so each stays linear-ish in corpus size on a cluster.
+  *
+  * Hashing is md5-based on both the Spark and DuckDB sides so every stage
+  * of every sketch is oracle-replayable bit-for-bit.
+  */
 object Dedup {
-  def queries: Seq[GraftQuery] = Seq()
+
+  /** Lowercased whitespace tokens. */
+  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Distinct n-word shingles from a token array (1-based element_at). */
+  private def shingles(t: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+
+  /** 32-bit hash of a string: first 8 hex chars of md5, as a long. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------------
+  // q50: exact keyed dedup, keep-first (D1/D3)
+  // ---------------------------------------------------------------------
+
+  /** Keep the first row (lowest doc_id = file order) per (lang, source) —
+    * the reference's `drop_duplicates(keep='first')` made order-stable via
+    * an explicit window (SURVEY §2.3 D1: pandas keeps first-in-file-order;
+    * row_number over an explicit key is the deterministic Spark version).
+    * Also emits the group size so D2/D3-style dup accounting rides along. */
+  val q50ExactDedup = GraftQuery(
+    "q50_exact_dedup",
+    "D1,D2,D3,T3",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang"), col("source"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          row_number().over(w.orderBy(col("doc_id"))).as("rn"),
+          count(lit(1)).over(w).as("group_size"))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("group_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, source, group_size FROM (
+        SELECT doc_id, lang, source,
+          row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn,
+          count(*) OVER (PARTITION BY lang, source) AS group_size
+        FROM documents)
+      WHERE rn = 1 ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // q51: MinHash + LSH candidate pairs (D5 scale path)
+  // ---------------------------------------------------------------------
+
+  private val MinhashFns = 8 // signature length
+  private val BandRows   = 2 // rows per band -> 4 bands
+
+  /** Per-doc MinHash signature over distinct 3-word shingles: for each of
+    * 8 seeded hash functions, the minimum md5("<seed>:<shingle>") hex
+    * string. Signature is banded 4x2; docs sharing any band bucket are
+    * candidate near-dups (the classic shingle->minhash->band->bucket-join
+    * pipeline). The join is an equi-join on (band, key): shuffle-partition
+    * by bucket, no cross join anywhere, which is what makes this the
+    * 100 TB path vs q31's exact quadratic scan. */
+  def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val sh = shingles(t, 3)
+    val sigCols = (0 until MinhashFns).map { h =>
+      array_min(transform(col("sh"), x => md5(concat(lit(s"$h:"), x).cast("binary"))))
+        .as(s"sig$h")
+    }
+    val bands = (0 until MinhashFns / BandRows).map { b =>
+      concat_ws("|", (0 until BandRows).map(r => col(s"sig${b * BandRows + r}")): _*)
+    }
+    val banded = Tables.documents(s, d)
+      .filter(size(t) >= 3)
+      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), posexplode(array(bands: _*)).as(Seq("b", "key")))
+    val a = banded.select(col("doc_id").as("id1"), col("b"), col("key"))
+    val bdf = banded.select(col("doc_id").as("id2"), col("b"), col("key"))
+    a.join(bdf, Seq("b", "key")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_bands"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val q51MinhashLsh = GraftQuery(
+    "q51_minhash_lsh",
+    "D5,J1c,F10; north-star MinHash+LSH dedup",
+    (s, d) => minhashCandidates(s, d),
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM tk WHERE len(toks) >= 3),
+      sig AS (
+        SELECT doc_id,
+          [list_min(list_transform(sh, s -> md5('0:' || s))),
+           list_min(list_transform(sh, s -> md5('1:' || s))),
+           list_min(list_transform(sh, s -> md5('2:' || s))),
+           list_min(list_transform(sh, s -> md5('3:' || s))),
+           list_min(list_transform(sh, s -> md5('4:' || s))),
+           list_min(list_transform(sh, s -> md5('5:' || s))),
+           list_min(list_transform(sh, s -> md5('6:' || s))),
+           list_min(list_transform(sh, s -> md5('7:' || s)))] AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS key
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_bands
+        FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, n_bands FROM pairs ORDER BY id1, id2"""))
+
+  // ---------------------------------------------------------------------
+  // q52: SimHash + banded Hamming near-dup pairs (D5 scale path #2)
+  // ---------------------------------------------------------------------
+
+  /** 64-bit SimHash per doc from distinct tokens (two 32-bit halves so all
+    * arithmetic stays in exact signed-long/double range on both the Spark
+    * and DuckDB sides): bit j of the sketch is the majority vote of bit j
+    * across the token hashes. Computed entirely with higher-order
+    * functions — one pass per row, no explode, no shuffle until the
+    * candidate join. Near-dup candidates share at least one of the eight
+    * 8-bit bands (pigeonhole: any pair with Hamming distance <= 7 must
+    * agree on some byte, so the <= 3 filter below has complete recall);
+    * candidates are then filtered by exact Hamming distance. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val t = array_distinct(toks(col("text")))
+    // bit j accumulator for one 32-bit half: +1 if bit set else -1
+    def bitCnt(hash: Column => Column): Column = aggregate(
+      col("t"), array_repeat(lit(0L), 32),
+      (acc, tok) => {
+        val hv = hash(tok)
+        zip_with(acc, sequence(lit(0), lit(31)),
+          (a, j) => a + when(
+            pmod(floor(hv / pow(lit(2.0), j.cast("double"))).cast("long"), lit(2)) === 1,
+            1L).otherwise(-1L))
+      })
+    def majority(bc: Column): Column = aggregate(
+      zip_with(bc, sequence(lit(0), lit(31)),
+        (c, j) => when(c > 0, pow(lit(2.0), j.cast("double")).cast("long")).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
+    def h32At(pos: Int)(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), pos, 8), 16, 10).cast("long")
+    val sketches = Tables.documents(s, d)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), bitCnt(h32At(1)).as("bc1"), bitCnt(h32At(9)).as("bc2"))
+      .select(col("doc_id"), majority(col("bc1")).as("sh1"), majority(col("bc2")).as("sh2"))
+    val bandKeys = (0 until 8).map { b =>
+      val half = if (b < 4) col("sh1") else col("sh2")
+      shiftright(half, 8 * (b % 4)).bitwiseAND(lit(255L))
+    }
+    val banded = sketches.select(
+      col("doc_id"), col("sh1"), col("sh2"),
+      posexplode(array(bandKeys: _*)).as(Seq("b", "key")))
+    val a = banded.select(col("doc_id").as("id1"), col("sh1").as("a1"), col("sh2").as("a2"), col("b"), col("key"))
+    val bdf = banded.select(col("doc_id").as("id2"), col("sh1").as("b1"), col("sh2").as("b2"), col("b"), col("key"))
+    a.join(bdf, Seq("b", "key")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (expr("bit_count(a1 ^ b1)") + expr("bit_count(a2 ^ b2)")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val q52SimhashPairs = GraftQuery(
+    "q52_simhash_pairs",
+    "D5; north-star SimHash dedup",
+    (s, d) => simhashPairs(s, d),
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS t
+        FROM documents),
+      h AS (SELECT doc_id,
+          ('0x' || substr(md5(t), 1, 8))::BIGINT AS h1,
+          ('0x' || substr(md5(t), 9, 8))::BIGINT AS h2
+        FROM tok),
+      bits AS (
+        SELECT doc_id, j,
+          sum(CASE WHEN (h1 >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+          sum(CASE WHEN (h2 >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s2
+        FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) GROUP BY 1, 2),
+      sk AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN s1 > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh1,
+          CAST(sum(CASE WHEN s2 > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh2
+        FROM bits GROUP BY 1),
+      bands AS (
+        SELECT doc_id, sh1, sh2, b,
+          CASE WHEN b < 4 THEN (sh1 >> (8*b)) & 255 ELSE (sh2 >> (8*(b-4))) & 255 END AS key
+        FROM sk CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(bit_count(xor(a.sh1, b.sh1)) + bit_count(xor(a.sh2, b.sh2)) AS BIGINT) AS hamming
+        FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT id1, id2, hamming FROM cand WHERE hamming <= 3 ORDER BY id1, id2"""))
+
+  // ---------------------------------------------------------------------
+  // q53: exact n-gram Jaccard similarity (D5 verification stage)
+  // ---------------------------------------------------------------------
+
+  /** Exact Jaccard over distinct 5-word shingle sets, computed by the
+    * distributed explode->equi-join->count shape (shuffle on shingle, then
+    * on pair) — the verification stage that an LSH candidate pass feeds at
+    * scale. Emits pairs with J >= 0.05. */
+  def ngramJaccard(s: SparkSession, d: String, n: Int, threshold: Double): DataFrame = {
+    val t = toks(col("text"))
+    val ex = Tables.documents(s, d)
+      .filter(size(t) >= n)
+      .select(col("doc_id"), shingles(t, n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val a = ex.select(col("doc_id").as("id1"), col("n_sh").as("na"), col("s"))
+    val b = ex.select(col("doc_id").as("id2"), col("n_sh").as("nb"), col("s"))
+    a.join(b, Seq("s")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .select(col("id1"), col("id2"), col("inter"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+  }
+
+  val q53NgramJaccard = GraftQuery(
+    "q53_ngram_jaccard",
+    "D5,A9; north-star n-gram Jaccard dedup",
+    (s, d) => ngramJaccard(s, d, n = 5, threshold = 0.05),
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-3),
+          i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])) AS sh
+        FROM tk WHERE len(toks) >= 5),
+      ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+      p AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(count(*) AS BIGINT) AS inter,
+          any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, inter,
+        round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+      FROM p WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.05
+      ORDER BY jaccard DESC, id1, id2"""))
+
+  // ---------------------------------------------------------------------
+  // q54: embedding-cosine near-dup survivor set (D5 + M5)
+  // ---------------------------------------------------------------------
+
+  /** Greedy keep-lowest-id dedup over the embedding near-dup graph: any
+    * vector that is a near-dup (cos >= 0.35) of a lower-id vector is
+    * dropped — left-anti join against the dominated side of the q31 pair
+    * list (the reference's "rebuild the index without the dupes" M5 advice
+    * expressed as a plan). */
+  def neardupSurvivors(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val pairs = Similarity.nearDupPairs(s, d, threshold, prefilterLabel = false)
+    val dropped = pairs.select(col("id2").as("vec_id")).distinct()
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
+  val q54NeardupSurvivors = GraftQuery(
+    "q54_neardup_survivors",
+    "D5,M5,J-anti; embedding-cosine dedup",
+    (s, d) => neardupSurvivors(s, d, threshold = 0.35),
+    Some("""SELECT vec_id, label FROM embeddings
+      WHERE vec_id NOT IN (
+        SELECT b.vec_id FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35)
+      ORDER BY vec_id"""))
+
+  def queries: Seq[GraftQuery] = Seq(
+    q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
+    q54NeardupSurvivors)
 }
