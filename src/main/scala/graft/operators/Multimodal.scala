@@ -1,8 +1,181 @@
 package graft.operators
 
-import graft.GraftQuery
+import java.security.MessageDigest
 
-/** Multimodal binary-column plumbing (north-star). Filled in incrementally. */
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{GraftQuery, Tables}
+
+/** Multimodal binary-column plumbing (north-star): image/audio/video as
+  * opaque `BINARY` payloads with typed metadata, plus the decode /
+  * feature-extract / frame-sample operator shapes a training-data pipeline
+  * needs.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (md5-derived bytes). Everything
+  * around it — the binary column, the metadata struct, the per-partition
+  * batch iteration, the exploded frame/feature schemas, the partitioning —
+  * is real and oracle-verified. The payload itself is the utf-8 encoding
+  * of `documents.text` so DuckDB can replay every byte (`encode(text)`).
+  *
+  * At 100 TB the payload column dominates I/O: every query here projects
+  * only the columns it needs (parquet column pruning keeps un-read
+  * payloads on disk) and computes per-row with no shuffle until the final
+  * order/agg.
+  */
 object Multimodal {
-  def queries: Seq[GraftQuery] = Seq()
+
+  /** The synthetic modality catalog: source -> (mime, kind). */
+  private def mime: Column =
+    when(col("source") === "src0", "image/png")
+      .when(col("source") === "src1", "audio/wav")
+      .otherwise("video/mp4")
+
+  /** documents as a binary-payload table:
+    * (doc_id, payload BINARY, meta STRUCT<mime, n_bytes>). */
+  def binaryTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        mime.as("mime"),
+        length(col("text").cast("binary")).as("n_bytes")).as("meta"))
+
+  // ---------------------------------------------------------------------
+  // q60: binary ingest + typed metadata + content digest
+  // ---------------------------------------------------------------------
+
+  val q60BinaryIngest = GraftQuery(
+    "q60_binary_ingest",
+    "north-star multimodal ingest; S4,F7",
+    (s, d) =>
+      binaryTable(s, d).select(
+        col("doc_id"),
+        col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"),
+        md5(col("payload")).as("digest"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        CASE WHEN source = 'src0' THEN 'image/png'
+             WHEN source = 'src1' THEN 'audio/wav'
+             ELSE 'video/mp4' END AS mime,
+        octet_length(encode(text)) AS n_bytes,
+        md5(text) AS digest
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // q61: frame sampling — K fixed offsets into the payload
+  // ---------------------------------------------------------------------
+
+  private val Frames = 4 // frames sampled per payload
+  private val FrameBytes = 16 // bytes per sampled frame
+
+  /** Sample `Frames` evenly-spaced 16-byte windows from each payload (the
+    * video frame-sample shape: offset arithmetic on an opaque blob, one
+    * output row per frame). Offsets are computed on the hex encoding so
+    * the byte slices are replayable in DuckDB; the per-frame "feature" is
+    * the md5 of the slice. */
+  val q61FrameSample = GraftQuery(
+    "q61_frame_sample",
+    "north-star multimodal frame-sample",
+    (s, d) => {
+      val hexed = binaryTable(s, d).select(
+        col("doc_id"),
+        hex(col("payload")).as("h"),
+        col("meta.n_bytes").as("n_bytes"))
+      // stride in bytes; hex offset = 1 + frame * stride * 2
+      val stride = floor(col("n_bytes") / Frames)
+      hexed
+        .select(col("doc_id"), posexplode(array((0 until Frames).map { i =>
+          md5(col("h").substr(
+            (lit(1) + lit(i) * stride * 2).cast("int"),
+            lit(FrameBytes * 2)).cast("binary"))
+        }: _*)).as(Seq("frame", "feature")))
+        .orderBy(col("doc_id"), col("frame"))
+    },
+    Some("""WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n_bytes
+        FROM documents),
+      fr AS (
+        SELECT doc_id, f AS frame,
+          md5(substr(h, CAST(1 + f * (n_bytes // 4) * 2 AS INT), 32)) AS feature
+        FROM hx CROSS JOIN (SELECT unnest(range(0, 4)) AS f))
+      SELECT doc_id, CAST(frame AS INT) AS frame, feature
+      FROM fr ORDER BY doc_id, frame"""))
+
+  // ---------------------------------------------------------------------
+  // q62: decode + feature-extract STUB behind real batch plumbing
+  // ---------------------------------------------------------------------
+
+  /** Typed row for the decoder boundary. */
+  private case class Decoded(doc_id: Long, j: Int, feat: Double)
+
+  /** STUB DECODER — this is where a real image/audio decoder (JNI codec,
+    * ONNX runtime, …) would plug in; the container ships none, so the
+    * "decoded features" are a deterministic fake: the first 8 bytes of
+    * md5(payload), scaled to [0,1]. The *plumbing* is the real thing: a
+    * per-partition batch iterator over the binary column (one codec
+    * instance per partition, amortized across rows — the Spark-side shape
+    * a native decoder needs), exploded to a typed (doc_id, j, feat)
+    * feature table. */
+  def decodeFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[Decoded]
+    binaryTable(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // one "decoder" per partition (MessageDigest standing in for a codec)
+        val codec = MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, payload) =>
+          codec.reset()
+          val digest = codec.digest(payload)
+          (0 until 8).iterator.map { j =>
+            Decoded(id, j, math.round((digest(j) & 0xff) / 255.0 * 10000) / 10000.0)
+          }
+        }
+      }(enc)
+      .toDF()
+      .orderBy(col("doc_id"), col("j"))
+  }
+
+  val q62DecodeStub = GraftQuery(
+    "q62_decode_features",
+    "north-star multimodal decode/feature-extract (stubbed codec)",
+    (s, d) => decodeFeatures(s, d),
+    Some("""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+      SELECT doc_id, CAST(j AS INT) AS j,
+        round(('0x' || substr(hx, CAST(2*j + 1 AS INT), 2))::INT / 255.0, 4) AS feat
+      FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+      ORDER BY doc_id, j"""))
+
+  // ---------------------------------------------------------------------
+  // q63: modality-level metadata aggregation
+  // ---------------------------------------------------------------------
+
+  val q63ModalityAgg = GraftQuery(
+    "q63_modality_agg",
+    "north-star multimodal metadata agg; A1,A5",
+    (s, d) =>
+      binaryTable(s, d)
+        .groupBy(col("meta.mime").as("mime"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("meta.n_bytes")).as("total_bytes"),
+          round(avg(col("meta.n_bytes")), 2).as("avg_bytes"),
+          max(col("meta.n_bytes")).as("max_bytes"))
+        .orderBy(col("mime")),
+    Some("""SELECT
+        CASE WHEN source = 'src0' THEN 'image/png'
+             WHEN source = 'src1' THEN 'audio/wav'
+             ELSE 'video/mp4' END AS mime,
+        count(*) AS n,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        round(avg(octet_length(encode(text))), 2) AS avg_bytes,
+        max(octet_length(encode(text))) AS max_bytes
+      FROM documents GROUP BY 1 ORDER BY mime"""))
+
+  def queries: Seq[GraftQuery] = Seq(
+    q60BinaryIngest, q61FrameSample, q62DecodeStub, q63ModalityAgg)
 }
