@@ -1,0 +1,216 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native JVM kernels behind the sketch expressions. Static-forwarder
+  * methods so generated code can call them directly
+  * (`graft.functions.SketchKernels.simhash64(arr)`).
+  *
+  * All hashing is md5-over-utf8 with hex-string semantics, chosen because
+  * the DuckDB oracle can replay it exactly (`md5(t)`, `md5('<h>:' || s)`).
+  * Hex strings compare identically to their underlying digest bytes
+  * (both nibble-monotonic), so mins are computed on raw digests and only
+  * rendered to hex at the end.
+  */
+object SketchKernels {
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(b: Array[Byte], n: Int): UTF8String = {
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      out(2 * i) = hexChars((b(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexChars(b(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** unsigned-lexicographic compare of two 16-byte digests. */
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** 64-bit SimHash of a string array as [sh1, sh2] (two 32-bit halves,
+    * mirroring the oracle: h1 = first 8 md5-hex chars as uint32, h2 = next
+    * 8; sketch bit j of each half = majority of bit j over elements). */
+  def simhash64(tokens: ArrayData): ArrayData = {
+    val digest = md.get()
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        digest.reset()
+        val d = digest.digest(tokens.getUTF8String(i).getBytes)
+        val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        var j = 0
+        while (j < 32) {
+          counts(j) += (if (((h1 >> j) & 1L) == 1L) 1 else -1)
+          counts(32 + j) += (if (((h2 >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sh1 = 0L; var sh2 = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) sh1 |= (1L << j)
+      if (counts(32 + j) > 0) sh2 |= (1L << j)
+      j += 1
+    }
+    new GenericArrayData(Array[Any](sh1, sh2))
+  }
+
+  /** MinHash signature: for each seed h in [0, numHashes), the minimum
+    * md5 hex string of "<h>:<element>" over the array (oracle:
+    * list_min(list_transform(sh, s -> md5('<h>:' || s)))). */
+  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val digest = md.get()
+    val mins = new Array[Array[Byte]](numHashes)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val tok = shingles.getUTF8String(i).getBytes
+        var h = 0
+        while (h < numHashes) {
+          val prefix = (h + ":").getBytes("UTF-8")
+          val buf = new Array[Byte](prefix.length + tok.length)
+          System.arraycopy(prefix, 0, buf, 0, prefix.length)
+          System.arraycopy(tok, 0, buf, prefix.length, tok.length)
+          digest.reset()
+          val d = digest.digest(buf)
+          if (mins(h) == null || lessThan(d, mins(h))) mins(h) = d
+          h += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var h = 0
+    while (h < numHashes) {
+      out(h) = if (mins(h) == null) null else toHex(mins(h), 16)
+      h += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Distinct n-word shingle kernel, split out so the object keeps static
+  * forwarders for codegen call sites. */
+object ShingleKernel {
+  /** Distinct n-word shingles (space-joined windows, first-occurrence
+    * order). Oracle mirror: list_distinct(list_transform(range(1,
+    * len(toks)-(n-2)), i -> toks[i] || ' ' || ... )). */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      val sb = new java.lang.StringBuilder()
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        if (!tokens.isNullAt(i + o)) sb.append(tokens.getUTF8String(i + o).toString)
+        o += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
+  }
+}
+
+/** Base for sketch expressions over ARRAY<STRING> input. */
+abstract class SketchExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+}
+
+/** 64-bit SimHash sketch -> ARRAY<LONG>[sh1, sh2]. See [[SketchKernels]]. */
+case class Simhash64(child: Expression) extends SketchExpression {
+  override def prettyName: String = "graft_simhash64"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature -> ARRAY<STRING> of md5-hex minima. */
+case class MinhashSignature(child: Expression, numHashes: Int) extends SketchExpression {
+  override def prettyName: String = "graft_minhash"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.minhashSig($c, $numHashes)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct n-word shingles -> ARRAY<STRING>. Native rather than a
+  * transform/element_at HOF: the interpreted HOF lambda re-evaluates its
+  * argument subtree (e.g. the regex split of the document) once per
+  * element, which turns shingling into O(tokens^2) work per row; here the
+  * child array is evaluated once and the window loop runs in the JVM. */
+case class ShingleArray(child: Expression, n: Int) extends SketchExpression {
+  override def prettyName: String = "graft_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.shingles(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.shingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API wrappers. */
+object SketchFunctions {
+  def simhash64(tokens: Column): Column =
+    GraftColumnBridge.column(Simhash64(GraftColumnBridge.expression(tokens)))
+
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      MinhashSignature(GraftColumnBridge.expression(shingles), numHashes))
+
+  def shingleArray(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleArray(GraftColumnBridge.expression(tokens), n))
+}

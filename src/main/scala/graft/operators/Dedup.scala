@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GraftQuery, Tables}
+import graft.functions.SketchFunctions._
 
 /** Deduplication operator suite (SURVEY §2.3 D1-D5, north-star dedup
   * family): exact keyed dedup, MinHash+LSH, SimHash, n-gram Jaccard and
@@ -25,10 +26,9 @@ object Dedup {
   /** Lowercased whitespace tokens. */
   private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
 
-  /** Distinct n-word shingles from a token array (1-based element_at). */
-  private def shingles(t: Column, n: Int): Column =
-    array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+  /** Distinct n-word shingles from a token array (native kernel — see
+    * [[graft.functions.ShingleArray]] for why this must not be a HOF). */
+  private def shingles(t: Column, n: Int): Column = shingleArray(t, n)
 
   /** 32-bit hash of a string: first 8 hex chars of md5, as a long. */
   private def h32(c: Column): Column =
@@ -78,19 +78,18 @@ object Dedup {
     * by bucket, no cross join anywhere, which is what makes this the
     * 100 TB path vs q31's exact quadratic scan. */
   def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
-    val sh = shingles(t, 3)
-    val sigCols = (0 until MinhashFns).map { h =>
-      array_min(transform(col("sh"), x => md5(concat(lit(s"$h:"), x).cast("binary"))))
-        .as(s"sig$h")
-    }
+    // Materialize the token array BEFORE shingling: inlining the split
+    // expression into the shingle lambda would re-split the whole document
+    // once per element_at (HOFs are interpreted, no subexpression reuse).
     val bands = (0 until MinhashFns / BandRows).map { b =>
-      concat_ws("|", (0 until BandRows).map(r => col(s"sig${b * BandRows + r}")): _*)
+      concat_ws("|", (0 until BandRows).map(r =>
+        element_at(col("sig"), b * BandRows + r + 1)): _*)
     }
     val banded = Tables.documents(s, d)
-      .filter(size(t) >= 3)
-      .select(col("doc_id"), sh.as("sh"))
-      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
+      .select(col("doc_id"), minhashSignature(col("sh"), MinhashFns).as("sig"))
       .select(col("doc_id"), posexplode(array(bands: _*)).as(Seq("b", "key")))
     val a = banded.select(col("doc_id").as("id1"), col("b"), col("key"))
     val bdf = banded.select(col("doc_id").as("id2"), col("b"), col("key"))
@@ -138,36 +137,24 @@ object Dedup {
     * arithmetic stays in exact signed-long/double range on both the Spark
     * and DuckDB sides): bit j of the sketch is the majority vote of bit j
     * across the token hashes. Computed entirely with higher-order
-    * functions — one pass per row, no explode, no shuffle until the
-    * candidate join. Near-dup candidates share at least one of the eight
-    * 8-bit bands (pigeonhole: any pair with Hamming distance <= 7 must
-    * agree on some byte, so the <= 3 filter below has complete recall);
-    * candidates are then filtered by exact Hamming distance. */
+    * kernel ([[graft.functions.Simhash64]]) — one pass per row, no
+    * explode, no shuffle until the candidate join. Near-dup candidates
+    * share at least one of four 16-bit bands (pigeonhole: any pair with
+    * Hamming distance <= 3 must agree on some band, so the filter below
+    * has complete recall); candidates are then filtered by exact Hamming
+    * distance. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val t = array_distinct(toks(col("text")))
-    // bit j accumulator for one 32-bit half: +1 if bit set else -1
-    def bitCnt(hash: Column => Column): Column = aggregate(
-      col("t"), array_repeat(lit(0L), 32),
-      (acc, tok) => {
-        val hv = hash(tok)
-        zip_with(acc, sequence(lit(0), lit(31)),
-          (a, j) => a + when(
-            pmod(floor(hv / pow(lit(2.0), j.cast("double"))).cast("long"), lit(2)) === 1,
-            1L).otherwise(-1L))
-      })
-    def majority(bc: Column): Column = aggregate(
-      zip_with(bc, sequence(lit(0), lit(31)),
-        (c, j) => when(c > 0, pow(lit(2.0), j.cast("double")).cast("long")).otherwise(0L)),
-      lit(0L), (a, x) => a + x)
-    def h32At(pos: Int)(c: Column): Column =
-      conv(substring(md5(c.cast("binary")), pos, 8), 16, 10).cast("long")
     val sketches = Tables.documents(s, d)
-      .select(col("doc_id"), t.as("t"))
-      .select(col("doc_id"), bitCnt(h32At(1)).as("bc1"), bitCnt(h32At(9)).as("bc2"))
-      .select(col("doc_id"), majority(col("bc1")).as("sh1"), majority(col("bc2")).as("sh2"))
-    val bandKeys = (0 until 8).map { b =>
-      val half = if (b < 4) col("sh1") else col("sh2")
-      shiftright(half, 8 * (b % 4)).bitwiseAND(lit(255L))
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("t"))
+      .select(col("doc_id"), simhash64(col("t")).as("sk"))
+      .select(col("doc_id"),
+        element_at(col("sk"), 1).as("sh1"), element_at(col("sk"), 2).as("sh2"))
+    // 4 x 16-bit bands: pigeonhole still covers Hamming <= 3 completely,
+    // and the 65536-value key space keeps bucket skew (and the candidate
+    // pair count) ~7x lower than byte bands on a clustered corpus.
+    val bandKeys = (0 until 4).map { b =>
+      val half = if (b < 2) col("sh1") else col("sh2")
+      shiftright(half, 16 * (b % 2)).bitwiseAND(lit(65535L))
     }
     val banded = sketches.select(
       col("doc_id"), col("sh1"), col("sh2"),
@@ -205,8 +192,8 @@ object Dedup {
         FROM bits GROUP BY 1),
       bands AS (
         SELECT doc_id, sh1, sh2, b,
-          CASE WHEN b < 4 THEN (sh1 >> (8*b)) & 255 ELSE (sh2 >> (8*(b-4))) & 255 END AS key
-        FROM sk CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+          CASE WHEN b < 2 THEN (sh1 >> (16*b)) & 65535 ELSE (sh2 >> (16*(b-2))) & 65535 END AS key
+        FROM sk CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
       cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
           CAST(bit_count(xor(a.sh1, b.sh1)) + bit_count(xor(a.sh2, b.sh2)) AS BIGINT) AS hamming
@@ -222,14 +209,21 @@ object Dedup {
     * on pair) — the verification stage that an LSH candidate pass feeds at
     * scale. Emits pairs with J >= 0.05. */
   def ngramJaccard(s: SparkSession, d: String, n: Int, threshold: Double): DataFrame = {
-    val t = toks(col("text"))
+    // Tokens materialized before shingling (see minhashCandidates), and
+    // the join key is a 60-bit md5 prefix of the shingle, not the shingle
+    // string: 8-byte shuffle keys instead of ~30-char strings. Both sides
+    // (Spark + oracle) hash identically, so results agree even in the
+    // astronomically-unlikely collision case.
     val ex = Tables.documents(s, d)
-      .filter(size(t) >= n)
-      .select(col("doc_id"), shingles(t, n).as("sh"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), shingles(col("t"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val a = ex.select(col("doc_id").as("id1"), col("n_sh").as("na"), col("s"))
-    val b = ex.select(col("doc_id").as("id2"), col("n_sh").as("nb"), col("s"))
-    a.join(b, Seq("s")).filter(col("id1") < col("id2"))
+      .select(col("doc_id"), col("n_sh"),
+        conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10).cast("long").as("k"))
+    val a = ex.select(col("doc_id").as("id1"), col("n_sh").as("na"), col("k"))
+    val b = ex.select(col("doc_id").as("id2"), col("n_sh").as("nb"), col("k"))
+    a.join(b, Seq("k")).filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
       .select(col("id1"), col("id2"), col("inter"),
@@ -250,12 +244,13 @@ object Dedup {
         SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-3),
           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])) AS sh
         FROM tk WHERE len(toks) >= 5),
-      ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+      ex AS (SELECT doc_id, len(sh) AS n_sh,
+          ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS k FROM sh),
       p AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2,
           CAST(count(*) AS BIGINT) AS inter,
           any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM ex a JOIN ex b ON a.k = b.k AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT id1, id2, inter,
         round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard

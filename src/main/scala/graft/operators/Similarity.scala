@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GraftQuery, Tables}
 import graft.functions.VectorFunctions._
+import graft.functions.VectorKernels._
 
 /** Vector similarity operators — the reference's headline capability
   * (Faiss k-NN self-search + threshold near-dup pairs,
@@ -31,12 +32,15 @@ object Similarity {
     * DuckDB oracle can replay it. At cluster scale the corpus side is the
     * broadcast candidate (or IVF-pruned); queries stream. */
   def knnExact(s: SparkSession, d: String, k: Int, queryMod: Int): DataFrame = {
-    val base = normalized(s, d)
+    // Raw float arrays + the codegen'd cosine kernel: cosine(raw) ==
+    // dot(normalized) but skips the per-row normalize pass and stays in
+    // whole-stage codegen for the O(Q·N) inner loop.
+    val base = Tables.embeddings(s, d)
     val q = base.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
-    val c = base.select(col("vec_id").as("nid"), col("vec").as("nvec"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = base.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
     val scored = q.join(c, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), dot(col("qvec"), col("nvec")).as("sim"))
+      .select(col("qid"), col("nid"), cosineFast(col("qvec"), col("nvec")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -53,14 +57,14 @@ object Similarity {
     * `entry`'s flagship on sf0.001. */
   def nearDupPairs(s: SparkSession, d: String, threshold: Double,
       prefilterLabel: Boolean): DataFrame = {
-    val base = normalized(s, d)
-    val a = base.select(col("vec_id").as("id1"), col("label").as("lab1"), col("vec").as("v1"))
-    val b = base.select(col("vec_id").as("id2"), col("label").as("lab2"), col("vec").as("v2"))
+    val base = Tables.embeddings(s, d)
+    val a = base.select(col("vec_id").as("id1"), col("label").as("lab1"), col("embedding").as("v1"))
+    val b = base.select(col("vec_id").as("id2"), col("label").as("lab2"), col("embedding").as("v2"))
     val joinCond =
       if (prefilterLabel) col("id1") < col("id2") && col("lab1") === col("lab2")
       else col("id1") < col("id2")
     a.join(b, joinCond)
-      .select(col("id1"), col("id2"), dot(col("v1"), col("v2")).as("sim"))
+      .select(col("id1"), col("id2"), cosineFast(col("v1"), col("v2")).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 4).as("sim"))
       .orderBy(col("sim").desc, col("id1"), col("id2"))
@@ -109,7 +113,7 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("vec").as("qvec"))
       val c = base.select(col("vec_id").as("nid"), col("vec").as("nvec"))
       val scored = q.join(c, col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"), l2Dist(col("qvec"), col("nvec")).as("dist"))
+        .select(col("qid"), col("nid"), l2DistFast(col("qvec"), col("nvec")).as("dist"))
       val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 2)

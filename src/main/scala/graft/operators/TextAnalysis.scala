@@ -77,16 +77,19 @@ object TextAnalysis {
     "q41_quality_score",
     "north-star quality scoring; F6,F8,A5",
     (s, d) => {
-      val doc = Tables.documents(s, d)
-      doc.select(
+      // token array materialized once; downstream size/filter read it
+      Tables.documents(s, d)
+        .select(
           col("doc_id"),
           length(col("text")).as("n_char"),
-          size(toks(col("text"))).as("n_tok"),
-          round(length(col("text")).cast("double") /
-            size(toks(col("text"))), 4).as("chars_per_tok"),
           regexp_count(col("text"), lit("[\\p{Punct}]")).as("n_punct"),
-          size(filter(toks(col("text")),
-            t => t.isInCollection(stopwords))).as("n_stop"))
+          toks(col("text")).as("t"))
+        .select(
+          col("doc_id"), col("n_char"),
+          size(col("t")).as("n_tok"),
+          round(col("n_char").cast("double") / size(col("t")), 4).as("chars_per_tok"),
+          col("n_punct"),
+          size(filter(col("t"), t => t.isInCollection(stopwords))).as("n_stop"))
         .withColumn("stop_ratio",
           round(col("n_stop").cast("double") / col("n_tok"), 4))
         .withColumn("keep",
@@ -121,10 +124,11 @@ object TextAnalysis {
           col("doc_id"),
           size(toks(col("text"))).as("ws_tokens"),
           size(regexp_extract_all(col("text"),
-            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("bpe_tokens"),
-          round(size(regexp_extract_all(col("text"),
-            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
-            greatest(size(toks(col("text"))), lit(1)), 4).as("fertility"))
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("bpe_tokens"))
+        .select(
+          col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+          round(col("bpe_tokens").cast("double") /
+            greatest(col("ws_tokens"), lit(1)), 4).as("fertility"))
         .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
       len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
