@@ -23,6 +23,7 @@ object Registry {
   def all: Seq[GraftQuery] =
     operators.Relational.queries ++
       operators.Similarity.queries ++
+      operators.Ann.queries ++
       operators.Dedup.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Dedup, Similarity}
+
+/** Operator-level invariants on the tiny fixture (sf0.001). */
+class OperatorSpec extends SparkSpec {
+
+  test("knnExact: exactly k rows per query, ranks 1..k, non-increasing sim") {
+    val df = Similarity.knnExact(spark, sfTiny, k = 3, queryMod = 10).collect()
+    val byQ = df.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 3, s"query $q")
+      assert(rows.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 3)))
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("nearDupPairs: canonical (id1 < id2), no dups, all >= threshold") {
+    val rows = Similarity.nearDupPairs(spark, sfTiny, 0.3, prefilterLabel = false).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+    assert(rows.forall(_.getDouble(2) >= 0.3))
+  }
+
+  test("minhash LSH candidates: canonical pairs, band count in [1,4]") {
+    val rows = Dedup.minhashCandidates(spark, sfTiny).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 4))
+  }
+
+  test("simhash pairs: hamming within threshold, canonical, no dups") {
+    val rows = Dedup.simhashPairs(spark, sfTiny).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getLong(2) <= 3))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
+  test("ngram jaccard: similarity in (0,1], symmetric-canonical") {
+    val rows = Dedup.ngramJaccard(spark, sfTiny, n = 5, threshold = 0.01).collect()
+    assert(rows.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("neardup survivors: survivors + dominated = all; no survivor dominated") {
+    val total = Tables.embeddings(spark, sfTiny).count()
+    val pairs = Similarity.nearDupPairs(spark, sfTiny, 0.35, prefilterLabel = false)
+    val dominated = pairs.select(col("id2")).distinct().count()
+    val survivors = Dedup.neardupSurvivors(spark, sfTiny, 0.35).count()
+    assert(survivors == total - dominated)
+  }
+
+  test("IVF knn recall >= 0.9 vs exact (tiny)") {
+    val exact = Similarity.knnExact(spark, sfTiny, k = 2, queryMod = 10)
+      .select(col("qid"), col("nid"))
+    val ann = Ann.ivfKnn(spark, sfTiny, k = 2, nprobe = 6, queryMod = 10)
+      .select(col("qid"), col("nid"))
+    val total = exact.count()
+    val found = exact.join(ann, Seq("qid", "nid")).count()
+    assert(found.toDouble / total >= 0.9, s"recall ${found.toDouble / total}")
+  }
+
+  test("LSH near-dup recall >= 0.9 vs exact (tiny)") {
+    val exact = Similarity.nearDupPairs(spark, sfTiny, 0.35, prefilterLabel = false)
+      .select(col("id1"), col("id2"))
+    val ann = Ann.lshNearDup(spark, sfTiny, 0.35).select(col("id1"), col("id2"))
+    val total = exact.count()
+    val found = exact.join(ann, Seq("id1", "id2")).count()
+    assert(found.toDouble / total >= 0.9, s"recall ${found.toDouble / total}")
+  }
+
+  test("every registered query runs on sf0.001 and the registry is consistent") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.length == names.length, "duplicate query names")
+    Registry.all.foreach { q =>
+      val n = q.run(spark, sfTiny).count()
+      assert(n >= 0, q.name) // must at least execute; oracle checks cover values
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.SketchFunctions._
+
+/** Sketch kernels vs naive reimplementations written independently here. */
+class SketchKernelSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  // seeded generator standing in for scalacheck (bridge artifact not in
+  // the offline cache)
+  private val vocab = Seq("the", "a", "table", "scan", "join", "agg", "row", "x1", "y2")
+  private def tokCases(n: Int): Seq[List[String]] = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map(_ => List.fill(rnd.nextInt(31))(vocab(rnd.nextInt(vocab.size)))).toSeq
+  }
+
+  private def runShingles(toks: Seq[String], n: Int): Seq[String] = {
+    val schema = StructType(Seq(StructField("t", ArrayType(StringType))))
+    spark.createDataFrame(java.util.List.of(Row(toks)), schema)
+      .select(shingleArray(col("t"), n).as("sh"))
+      .head().getSeq[String](0)
+  }
+
+  test("shingleArray = sliding windows, distinct, first-occurrence order") {
+    val rnd = new scala.util.Random(11)
+    tokCases(40).foreach { toks =>
+      val n = 1 + rnd.nextInt(5)
+      val expected = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toList.distinct
+      assert(runShingles(toks, n) == expected)
+    }
+  }
+
+  test("simhash64 matches a naive bit-majority reimplementation") {
+    tokCases(20).foreach { toks0 =>
+      val toks = toks0.distinct
+      val schema = StructType(Seq(StructField("t", ArrayType(StringType))))
+      val got = spark.createDataFrame(java.util.List.of(Row(toks)), schema)
+        .select(simhash64(col("t")).as("sk")).head().getSeq[Long](0)
+      // naive: h1 = first 8 md5-hex chars as uint32, h2 = next 8
+      val counts = Array.fill(64)(0)
+      toks.foreach { t =>
+        val hx = md5hex(t)
+        val h1 = java.lang.Long.parseLong(hx.substring(0, 8), 16)
+        val h2 = java.lang.Long.parseLong(hx.substring(8, 16), 16)
+        for (j <- 0 until 32) {
+          counts(j) += (if (((h1 >> j) & 1) == 1) 1 else -1)
+          counts(32 + j) += (if (((h2 >> j) & 1) == 1) 1 else -1)
+        }
+      }
+      var sh1 = 0L; var sh2 = 0L
+      for (j <- 0 until 32) {
+        if (counts(j) > 0) sh1 |= (1L << j)
+        if (counts(32 + j) > 0) sh2 |= (1L << j)
+      }
+      assert(got == Seq(sh1, sh2))
+    }
+  }
+
+  test("minhashSignature = per-seed minimum md5 hex, order-invariant") {
+    tokCases(20).foreach { toks0 =>
+      val toks = toks0.distinct
+      if (toks.nonEmpty) {
+        val schema = StructType(Seq(StructField("t", ArrayType(StringType))))
+        def sig(ts: Seq[String]): Seq[String] =
+          spark.createDataFrame(java.util.List.of(Row(ts)), schema)
+            .select(minhashSignature(col("t"), 8).as("sig")).head().getSeq[String](0)
+        val got = sig(toks)
+        val expected = (0 until 8).map(h => toks.map(t => md5hex(s"$h:$t")).min)
+        assert(got == expected)
+        assert(sig(scala.util.Random.shuffle(toks)) == expected, "order-invariant")
+      }
+    }
+  }
+}
