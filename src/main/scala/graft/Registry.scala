@@ -24,9 +24,11 @@ object Registry {
     operators.Relational.queries ++
       operators.Similarity.queries ++
       operators.Ann.queries ++
+      operators.Embedding.queries ++
       operators.Dedup.queries ++
       operators.TextAnalysis.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Events.queries
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

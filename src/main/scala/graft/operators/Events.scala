@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** Event-time operators over the `events` table — the "continuously
+  * arriving postings" extension (SURVEY §2.10: streaming absent from the
+  * reference; these are the batch-equivalent plans, and
+  * graft.streaming.StreamingJobs runs the same logic as a Structured
+  * Streaming query with watermarks — equivalence is asserted by
+  * StreamingSpec).
+  *
+  * `ts` arrives as parquet TIMESTAMP(NANOS); Tables.eventsWithTs converts
+  * to TimestampType (micros). Window starts group cleanly at scale: the
+  * tumbling-window agg is a single hash aggregate on (bucket, type) —
+  * partial map-side combine, no row explosion. */
+object Events {
+
+  /** q70: tumbling 1-hour event-time window aggregation (the Structured
+    * Streaming windowed-agg shape, run as batch). */
+  val q70EventWindow = GraftQuery(
+    "q70_event_window",
+    "streaming ext: tumbling window agg; A1,A3,F14",
+    (s, d) =>
+      Tables.eventsWithTs(s, d)
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("win_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("win_start"), col("event_type")),
+    Some("""SELECT date_trunc('hour', ts) AS win_start, event_type,
+        count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** q71: sessionization — gaps-and-islands with a 24-hour idle gap per
+    * user (the synthetic per-user event cadence is ~11h, so a sub-hour gap
+    * would make every event its own session) (lag + cumulative-sum window functions; the batch equivalent of
+    * session_window / flatMapGroupsWithState custom state). */
+  val q71Sessionize = GraftQuery(
+    "q71_sessionize",
+    "streaming ext: sessionization; T3 windows",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val ev = Tables.eventsWithTs(s, d)
+        .select(col("user_id"), col("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 86400, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .as("duration_s"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("session_id")).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          round(avg(col("duration_s")), 2).as("avg_session_s"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH marked AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 86400
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked),
+      per AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+          CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        FROM sess GROUP BY 1, 2)
+      SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        CAST(sum(n_events) AS BIGINT) AS n_events,
+        round(avg(duration_s), 2) AS avg_session_s
+      FROM per GROUP BY 1 ORDER BY 1"""))
+
+  /** q72: streaming-style exact dedup — first event per (user_id,
+    * event_type) in event-time order (the dropDuplicates-with-watermark
+    * semantic, run as batch with an explicit window). */
+  val q72StreamDedup = GraftQuery(
+    "q72_stream_dedup",
+    "streaming ext: dropDuplicates semantics; D1",
+    (s, d) =>
+      Tables.eventsWithTs(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("event_type"))
+            .orderBy(col("ts"), col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type")),
+    Some("""SELECT user_id, event_type, event_id FROM (
+        SELECT user_id, event_type, event_id,
+          row_number() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS rn
+        FROM events)
+      WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  def queries: Seq[GraftQuery] = Seq(q70EventWindow, q71Sessionize, q72StreamDedup)
+}

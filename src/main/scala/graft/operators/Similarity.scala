@@ -164,6 +164,52 @@ object Similarity {
             FROM embeddings)
       GROUP BY label ORDER BY label"""))
 
+  /** q38: the reference's qualitative-neighbors report (SURVEY §3.2,
+    * app/evaluation.py:103-180): top-5 neighbors per sampled query, label
+    * looked up via a broadcast-able left join (J3, missing -> "N/A"),
+    * pivoted wide to n{r}_id / n{r}_lab / n{r}_sim columns. */
+  val q38QualReport = GraftQuery(
+    "q38_qualitative_report",
+    "J1a,J3,J5,T5,pivot; §3.2 qualitative report",
+    (s, d) => {
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val ranked = knnExact(s, d, k = 5, queryMod = 20)
+        .join(labels.select(col("vec_id").as("nid"),
+          col("label").as("nlab")), Seq("nid"), "left")
+        .select(col("qid"), col("rank"), col("nid"),
+          coalesce(col("nlab").cast("string"), lit("N/A")).as("nlab"), col("sim"))
+      ranked.groupBy(col("qid"))
+        .pivot("rank", Seq(1, 2, 3, 4, 5))
+        .agg(first(col("nid")).as("id"), first(col("nlab")).as("lab"),
+          first(col("sim")).as("sim"))
+        .select(col("qid") +: (1 to 5).flatMap(r => Seq(
+          col(s"${r}_id").as(s"n${r}_id"),
+          col(s"${r}_lab").as(s"n${r}_lab"),
+          col(s"${r}_sim").as(s"n${r}_sim"))): _*)
+        .orderBy(col("qid"))
+    },
+    Some {
+      val cols = (1 to 5).map(r =>
+        s"""max(CASE WHEN rank = $r THEN nid END) AS n${r}_id,
+           max(CASE WHEN rank = $r THEN nlab END) AS n${r}_lab,
+           max(CASE WHEN rank = $r THEN sim END) AS n${r}_sim""").mkString(",\n")
+      s"""WITH base AS (SELECT vec_id, embedding, label FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qvec FROM base WHERE vec_id % 20 = 0),
+        scored AS (
+          SELECT qid, vec_id AS nid, list_cosine_similarity(qvec, embedding) AS sim
+          FROM q, base WHERE qid <> vec_id),
+        ranked AS (
+          SELECT qid, nid, round(sim, 4) AS sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          FROM scored),
+        labeled AS (
+          SELECT r.qid, r.rank, r.nid,
+            coalesce(CAST(b.label AS VARCHAR), 'N/A') AS nlab, r.sim
+          FROM ranked r LEFT JOIN base b ON r.nid = b.vec_id
+          WHERE r.rank <= 5)
+        SELECT qid, $cols FROM labeled GROUP BY qid ORDER BY qid"""
+    })
+
   def queries: Seq[GraftQuery] = Seq(
-    q30KnnExact, q31NearDupPairs, q32KnnL2, q33VectorStats)
+    q30KnnExact, q31NearDupPairs, q32KnnL2, q33VectorStats, q38QualReport)
 }

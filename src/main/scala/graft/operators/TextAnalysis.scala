@@ -154,6 +154,69 @@ object TextAnalysis {
       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
       FROM documents ORDER BY doc_id"""))
 
+  /** q44: the reference's full Stage-1 preprocessing chain as one
+    * declarative plan (app/preprocess_data.py:122-130: html-strip ->
+    * null-fill -> exact dedup keep-first -> string cleaning -> projection).
+    * The testdata has no raw HTML, so the scan wraps text in markup first
+    * — the strip (F1, the regexp approach documented in SURVEY §2.4) then
+    * has real work to do. Title-case is upper-head+lower-tail (documented
+    * delta vs Python str.title, SURVEY §7.3). Dedup is order-stable
+    * keep-first on the normalized-text fingerprint (D1 + q43). */
+  val q44PreprocessPipeline = GraftQuery(
+    "q44_preprocess_pipeline",
+    "F1,F2,F3,F4,F5,F6,F7,P1,P2,P3,P4,D1; §3.1 Stage 1 composite",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val raw = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+          .as("html"),
+        concat(col("lang"), lit(" ,")).as("lang_dirty"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("source")).as("source_maybe"))
+      val cleaned = raw
+        .withColumn("stripped",
+          trim(regexp_replace(regexp_replace(col("html"), "<[^>]*>", " "), "\\s+", " ")))
+        .withColumn("clean_text", lower(col("stripped")))
+        .withColumn("lang_clean",
+          regexp_replace(col("lang_dirty"), "\\s*,\\s*$", ""))
+        .withColumn("source_filled", coalesce(col("source_maybe"), lit("Unknown")))
+        .withColumn("source_title",
+          concat(upper(substring(col("source_filled"), 1, 1)),
+            lower(substring(col("source_filled"), 2, 1000000))))
+        .withColumn("fp", md5(col("clean_text").cast("binary")))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      cleaned
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), length(col("clean_text")).as("clean_len"),
+          col("lang_clean"), col("source_title"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH raw AS (
+        SELECT doc_id,
+          '<html><body><p>' || text || '</p></body></html>' AS html,
+          lang || ' ,' AS lang_dirty,
+          CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source_maybe
+        FROM documents),
+      cleaned AS (
+        SELECT doc_id,
+          lower(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS clean_text,
+          regexp_replace(lang_dirty, '\s*,\s*$', '') AS lang_clean,
+          coalesce(source_maybe, 'Unknown') AS source_filled
+        FROM raw),
+      titled AS (
+        SELECT doc_id, clean_text, lang_clean,
+          upper(substr(source_filled, 1, 1)) || lower(substr(source_filled, 2)) AS source_title,
+          md5(clean_text) AS fp
+        FROM cleaned),
+      deduped AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM titled)
+      SELECT doc_id, length(clean_text) AS clean_len, lang_clean, source_title, fp
+      FROM deduped WHERE rn = 1 ORDER BY doc_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
-    q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint)
+    q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
+    q44PreprocessPipeline)
 }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming surface (north-star extension; the reference is
+  * batch-only with file-existence stage caching, app/main.py:110-177).
+  *
+  * The transforms are written against a plain DataFrame so the SAME logic
+  * runs as a batch plan (operators.Events.q70) and as an incremental
+  * streaming plan — the Spark unification the engine's pipeline-runner
+  * relies on. StreamingSpec asserts batch/stream result equivalence on the
+  * test events.
+  *
+  * At scale: the windowed agg carries a 1-hour watermark so state for
+  * closed windows is dropped; dedup state is similarly watermark-bounded.
+  * availableNow processes a backlog in bounded batches and terminates —
+  * the "catch up the last day of postings" mode.
+  */
+object StreamingJobs {
+
+  /** Shared transform: tumbling 1-hour window count/sum per event type. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Events as an unbounded stream from a parquet directory (one file =
+    * one micro-batch here; on a cluster this is the landing zone dir).
+    * ts arrives as TIMESTAMP(NANOS) -> read as epoch-nano long, converted
+    * exactly like the batch path (Tables.eventsWithTs). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS LONG))"))
+  }
+
+  /** Run the windowed agg over the directory's backlog with a 1-hour
+    * watermark, availableNow trigger, memory sink; returns the finished
+    * query (results in table `sinkName`). */
+  def runWindowedAgg(spark: SparkSession, dir: String, sinkName: String): StreamingQuery = {
+    val q = windowedAgg(eventStream(spark, dir).withWatermark("ts", "1 hour"))
+      .writeStream
+      .queryName(sinkName)
+      .format("memory")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Streaming exact dedup: first event per (user_id, event_type), state
+    * bounded by a 1-day watermark — dropDuplicates-with-watermark, the
+    * streaming form of the batch keep-first window (q72). */
+  def runStreamingDedup(spark: SparkSession, dir: String, sinkName: String): StreamingQuery = {
+    val q = eventStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .queryName(sinkName)
+      .format("memory")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

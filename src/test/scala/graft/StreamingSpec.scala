@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingJobs
+
+/** The streaming plans produce the same answers as their batch
+  * equivalents on the same events (SURVEY §2.10 / build-plan step 8). */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft_events_stream")
+    Files.copy(
+      Paths.get(s"$sfTiny/events.parquet"),
+      dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming windowed agg (watermark + availableNow) == batch q70") {
+    StreamingJobs.runWindowedAgg(spark, streamDir, "win_agg_test")
+    val streamed = spark.table("win_agg_test")
+      .orderBy(col("win_start"), col("event_type")).collect()
+    val batch = operators.Events.q70EventWindow.run(spark, sfTiny).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (a, b) =>
+      assert(a.getTimestamp(0) == b.getTimestamp(0))
+      assert(a.getString(1) == b.getString(1))
+      assert(a.getLong(2) == b.getLong(2))
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("streaming dedup (dropDuplicates + watermark) == batch keep-first key set") {
+    StreamingJobs.runStreamingDedup(spark, streamDir, "dedup_test")
+    val streamedKeys = spark.table("dedup_test")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchKeys = operators.Events.q72StreamDedup.run(spark, sfTiny)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamedKeys == batchKeys)
+  }
+}
