@@ -28,7 +28,8 @@ object Registry {
       operators.Dedup.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
-      operators.Events.queries
+      operators.Events.queries ++
+      sources.Sources.queries
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, DotProduct, L2DistanceSq, MinhashSignature, ShingleArray, Simhash64}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * Catalyst kernels as SQL functions, so `spark.sql("SELECT
+  * graft_cosine(a.embedding, b.embedding) ...")` plans the same codegen'd
+  * expressions the DataFrame API wrappers (VectorKernels/SketchFunctions)
+  * use. Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * [[GraftExtensions.register]] on a live session.
+  *
+  * This is the (c)-tier extension point from the build plan (custom
+  * Expression registered via SparkSessionExtensions); no custom Rule or
+  * SparkStrategy is needed — every operator is expressible as a
+  * composition Catalyst already plans well (SURVEY §4 verdict). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.inject(ext)
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "dot product of two numeric arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "cosine similarity of two numeric arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("graft_l2sq"),
+      info("graft_l2sq", "squared L2 distance of two numeric arrays"),
+      (args: Seq[Expression]) => L2DistanceSq(args(0), args(1))),
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "64-bit simhash of a string array as [lo32, hi32]"),
+      (args: Seq[Expression]) => Simhash64(args(0))),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "minhash signature (md5) of a string array; arg2 = #hashes"),
+      (args: Seq[Expression]) => MinhashSignature(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "distinct n-word shingles of a string array; arg2 = n"),
+      (args: Seq[Expression]) => ShingleArray(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
+
+  private def inject(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+
+  /** Register on an already-built session (test/REPL convenience). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "scala_udf")
+    }
+}

@@ -1,0 +1,40 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Idempotent stage runner — the reference's file-existence stage cache
+  * (S10: app/main.py:110-123 preprocess, :130-141 embeddings, :177-198
+  * index) as a first-class engine component: each stage materializes to
+  * parquet once and is skipped (read back) on re-run, so a multi-stage
+  * pipeline (clean -> embed -> index -> search) restarts from the last
+  * completed stage after a failure.
+  *
+  * A stage writes to `<root>/<name>/_DONE`-guarded parquet; the done
+  * marker (not bare directory existence) is the commit point, so a
+  * half-written stage from a crashed run is transparently recomputed.
+  * At 100 TB each stage boundary is also the natural place to repartition
+  * or bucket for the next stage's join keys. */
+final class Pipeline(spark: SparkSession, root: String) {
+
+  private def dir(name: String) = s"$root/$name"
+  private def doneMarker(name: String) = Paths.get(s"${dir(name)}/_DONE")
+
+  /** True if the stage has committed output. */
+  def isDone(name: String): Boolean = Files.exists(doneMarker(name))
+
+  /** Run (or skip) a stage: returns the materialized stage output. */
+  def stage(name: String)(compute: => DataFrame): DataFrame = {
+    if (!isDone(name)) {
+      compute.write.mode(SaveMode.Overwrite).parquet(dir(name))
+      Files.createFile(doneMarker(name))
+    }
+    spark.read.parquet(dir(name))
+  }
+
+  /** Drop a stage's materialization (the M5 "rebuild the index" path). */
+  def invalidate(name: String): Unit = {
+    if (Files.exists(doneMarker(name))) Files.delete(doneMarker(name))
+  }
+}

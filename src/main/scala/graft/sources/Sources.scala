@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.{GraftQuery, Tables}
+
+/** Source/sink surface beyond the parquet test tables (SURVEY §2.1).
+  *
+  * The reference is CSV-in/CSV-out with npy sidecars (S1-S7); here CSV is
+  * one more format on the same DataFrame plans. Schemas are always
+  * explicit on read (S1's inferSchema is a correctness trap the reference
+  * hit with all-object dtypes — SURVEY §1.3) and written headers make the
+  * round trip self-describing. At 100 TB CSV is an ingest/egress format
+  * only — plans land in parquet/bucketed tables immediately (S10). */
+object Sources {
+
+  /** S7 + S1: write a DataFrame as headered CSV, read it back with the
+    * explicit schema. Timestamps round-trip via ISO format. */
+  def csvRoundTrip(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    spark.read.option("header", "true").schema(df.schema).csv(path)
+  }
+
+  /** q80: documents through a CSV round trip, then the q40-style per-lang
+    * profile. The oracle computes the same profile straight from parquet —
+    * hash equality proves the CSV path is lossless for this schema. */
+  val q80CsvRoundTrip = GraftQuery(
+    "q80_csv_roundtrip",
+    "S1,S2,S7; CSV scan + sink, explicit schema",
+    (s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val back = csvRoundTrip(s, docs, tmp)
+      back.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** S3: header-only schema peek — limit(0) keeps the scan metadata-only
+    * (parquet footer; no row groups read). Returned as a relation of
+    * (col_name, col_type) so it is a queryable operator, not an API call. */
+  val q81SchemaPeek = GraftQuery(
+    "q81_schema_peek",
+    "S3; schema-only scan",
+    (s, d) => {
+      val fields = Tables.lineitem(s, d).limit(0).schema.fields.toSeq
+      s.createDataFrame(fields.map(f => (f.name, f.dataType.simpleString)))
+        .toDF("col_name", "col_type")
+        .orderBy(col("col_name"))
+    },
+    None)
+
+  def queries: Seq[GraftQuery] = Seq(q80CsvRoundTrip, q81SchemaPeek)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.plans.{GraftExtensions, Pipeline}
+import graft.sources.ReportSink
+
+/** Stage-cache runner (S10), report sink (S8), SQL function registration. */
+class PipelineSpec extends SparkSpec {
+
+  test("pipeline stages materialize once, skip on re-run, recompute after invalidate") {
+    val root = Files.createTempDirectory("graft_pipe").toString
+    val pipe = new Pipeline(spark, root)
+    var computes = 0
+    def run() = pipe.stage("clean") {
+      computes += 1
+      Tables.documents(spark, sfTiny).select(col("doc_id"), col("lang"))
+    }
+    val first = run().count()
+    val second = run().count()
+    assert(computes == 1, "second run must be served from the stage cache")
+    assert(first == second)
+    assert(pipe.isDone("clean"))
+    pipe.invalidate("clean")
+    run()
+    assert(computes == 2, "invalidate must force recompute")
+  }
+
+  test("half-written stage (no _DONE marker) is recomputed, not trusted") {
+    val root = Files.createTempDirectory("graft_pipe2").toString
+    val pipe = new Pipeline(spark, root)
+    // simulate a crashed run: data directory exists, no commit marker
+    Tables.documents(spark, sfTiny).limit(1).write.parquet(s"$root/stage1")
+    assert(!pipe.isDone("stage1"))
+    val n = pipe.stage("stage1") {
+      Tables.documents(spark, sfTiny).select(col("doc_id"))
+    }.count()
+    assert(n == Tables.documents(spark, sfTiny).count())
+  }
+
+  test("markdown report sink renders header, separator, and escaped cells") {
+    val df = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("lang")).orderBy(col("doc_id")).limit(3)
+    val md = ReportSink.toMarkdown(df)
+    val lines = md.split("\n")
+    assert(lines(0) == "| doc_id | lang |")
+    assert(lines(1) == "| --- | --- |")
+    assert(lines.length == 5)
+  }
+
+  test("native kernels are callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT round(graft_cosine(array(1.0, 0.0), array(1.0, 0.0)), 4) AS c,
+                graft_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d,
+                graft_shingles(array('a', 'b', 'c'), 2) AS sh""").head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+  }
+}
