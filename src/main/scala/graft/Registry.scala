@@ -29,7 +29,8 @@ object Registry {
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
       operators.Events.queries ++
-      sources.Sources.queries
+      sources.Sources.queries ++
+      plans.Scale.queries
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

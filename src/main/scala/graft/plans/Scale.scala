@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** Scale-out building blocks: skew salting and bucketed co-located joins.
+  *
+  * These exist because the two failure modes that kill 100 TB jobs are
+  * (1) one hot key pinning a single reducer and (2) re-shuffling a big
+  * table for every join against it. Neither appears at sf0.1, so each is
+  * expressed as a verifiable transformation: the salted aggregation must
+  * produce bit-identical results to the direct aggregation (oracle
+  * checked), and the bucketed join must plan with zero Exchange operators
+  * (asserted by BucketingSpec on the physical plan).
+  */
+object Scale {
+
+  /** Two-phase salted aggregation: groupBy(key, salt) partial -> final
+    * re-aggregate by key. sum/count compose exactly; avg is derived
+    * sum/count at the end. `salts` bounds the fan-out of phase 1. */
+  def saltedAgg(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame = {
+    val salted = df
+      .select(key.as("k"), value.as("v"),
+        (abs(hash(monotonically_increasing_id())) % salts).as("salt"))
+      .groupBy(col("k"), col("salt"))
+      .agg(count(lit(1)).as("pc"), sum(col("v")).as("ps"))
+    salted.groupBy(col("k"))
+      .agg(
+        sum(col("pc")).as("n"),
+        round(sum(col("ps")), 2).as("total"),
+        round(sum(col("ps")) / sum(col("pc")), 4).as("mean"))
+  }
+
+  /** q82: salted aggregation over lineitem's 3-value l_returnflag (a
+    * genuinely hot key: ~200k rows per flag at sf0.1 land on 3 reducers
+    * without salting). The oracle is the plain single-phase aggregate —
+    * hash equality proves the two-phase rewrite is exact. */
+  val q82SaltedAgg = GraftQuery(
+    "q82_salted_agg",
+    "scale: skew-salted two-phase agg (== plain agg)",
+    (s, d) =>
+      saltedAgg(Tables.lineitem(s, d), col("l_returnflag"), col("l_quantity"), salts = 16)
+        .withColumnRenamed("k", "l_returnflag")
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(*) AS n,
+        round(sum(l_quantity), 2) AS total,
+        round(sum(l_quantity) / count(*), 4) AS mean
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** Write both sides bucketed by the join key into the session catalog's
+    * warehouse; a subsequent equi-join on that key plans without any
+    * Exchange (shuffle) — the pre-partitioned co-located join that a
+    * 100 TB pipeline does once at ingest instead of per query. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  def queries: Seq[GraftQuery] = Seq(q82SaltedAgg)
+}

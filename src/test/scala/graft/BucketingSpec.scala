@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.Scale
+
+/** Bucketed co-located join: pre-bucketing both sides on the join key must
+  * eliminate every Exchange from the join plan — the "shuffle once at
+  * ingest, never per query" contract the engine relies on at scale. */
+class BucketingSpec extends SparkSpec {
+
+  test("join of two tables bucketed on the key plans with zero Exchange") {
+    spark.sql("DROP TABLE IF EXISTS emb_bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS emb_bucketed_b")
+    val emb = Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("label"))
+    Scale.writeBucketed(emb, "emb_bucketed_a", "vec_id", buckets = 4)
+    Scale.writeBucketed(emb.withColumn("label2", col("label") + 1)
+      .select(col("vec_id"), col("label2")), "emb_bucketed_b", "vec_id", buckets = 4)
+
+    // disable broadcast so the planner must pick the shuffle-free
+    // sort-merge-on-buckets path (at real scale neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("emb_bucketed_a")
+        .join(spark.table("emb_bucketed_b"), Seq("vec_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+
+      // and it is still correct
+      assert(joined.count() == emb.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val direct = Tables.lineitem(spark, sfTiny)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Scale.saltedAgg(
+        Tables.lineitem(spark, sfTiny), col("l_returnflag"), col("l_quantity"), salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+  }
+}
