@@ -210,6 +210,55 @@ object Similarity {
         SELECT qid, $cols FROM labeled GROUP BY qid ORDER BY qid"""
     })
 
+  /** q83: the threshold-justification evidence (SURVEY §3.2 / §5 item 2,
+    * app/evaluation.py:182-232): nearest-neighbor similarities vs a
+    * baseline-pair population, 50-bin histogram by type — the data behind
+    * similarity_distribution.png. The baseline pairing is systematic
+    * (i <-> i + N/2) instead of the reference's unseeded random.sample
+    * (SURVEY §7.3 non-determinism risk), so the oracle can replay it. */
+  val q83SimHistogram = GraftQuery(
+    "q83_similarity_histogram",
+    "A8,X3,X4; §3.2 distribution evidence",
+    (s, d) => {
+      val base = Tables.embeddings(s, d)
+      val n = base.count()
+      val half = n / 2
+      val nn = knnExact(s, d, k = 1, queryMod = 1)
+        .select(col("sim"), lit("nn").as("type"))
+      val rand = base.select(col("vec_id").as("a"), col("embedding").as("va"))
+        .join(base.select(col("vec_id").as("b"), col("embedding").as("vb")),
+          col("b") === (col("a") + half) % n)
+        .select(round(cosineFast(col("va"), col("vb")), 4).as("sim"),
+          lit("baseline").as("type"))
+      nn.unionByName(rand)
+        .select(col("type"),
+          least(floor((col("sim") + 1.0) * 25.0), lit(49.0)).cast("long").as("bin"))
+        .groupBy(col("type"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("type"), col("bin"))
+    },
+    Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      n AS (SELECT count(*) AS n FROM base),
+      nn AS (
+        SELECT round(sim, 4) AS sim, 'nn' AS type FROM (
+          SELECT qid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS nid,
+              list_cosine_similarity(a.embedding, b.embedding) AS sim
+            FROM base a JOIN base b ON a.vec_id <> b.vec_id))
+        WHERE rank = 1),
+      rand AS (
+        SELECT round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim,
+          'baseline' AS type
+        FROM base a JOIN base b
+          ON b.vec_id = (a.vec_id + (SELECT n // 2 FROM n)) % (SELECT n FROM n)),
+      u AS (SELECT * FROM nn UNION ALL SELECT * FROM rand)
+      SELECT type, CAST(least(floor((sim + 1.0) * 25.0), 49.0) AS BIGINT) AS bin,
+        count(*) AS cnt
+      FROM u GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def queries: Seq[GraftQuery] = Seq(
-    q30KnnExact, q31NearDupPairs, q32KnnL2, q33VectorStats, q38QualReport)
+    q30KnnExact, q31NearDupPairs, q32KnnL2, q33VectorStats, q38QualReport,
+    q83SimHistogram)
 }

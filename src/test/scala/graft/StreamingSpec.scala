@@ -32,6 +32,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState sessionizer == batch q71 per-user sessions") {
+    graft.streaming.Sessionizer.run(spark, streamDir, "sess_test")
+    // one row per update; counts are monotonic, so max = final state
+    val streamed = spark.table("sess_test")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("ns"), max(col("n_events")).as("ne"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = operators.Events.q71Sessionize.run(spark, sfTiny)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming dedup (dropDuplicates + watermark) == batch keep-first key set") {
     StreamingJobs.runStreamingDedup(spark, streamDir, "dedup_test")
     val streamedKeys = spark.table("dedup_test")
