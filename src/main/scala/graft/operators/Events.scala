@@ -108,5 +108,49 @@ object Events {
         FROM events)
       WHERE rn = 1 ORDER BY user_id, event_type"""))
 
-  def queries: Seq[GraftQuery] = Seq(q70EventWindow, q71Sessionize, q72StreamDedup)
+  /** q73: nested-JSON column parsing (F15 made real — the reference only
+    * ever *dropped* its stringified-list columns;
+    * app/preprocess_data.py:108-117): events.props is a JSON object;
+    * parse with an explicit schema, extract, aggregate. */
+  val q73JsonProps = GraftQuery(
+    "q73_json_props",
+    "F15,from_json; nested column parse + agg",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"),
+          countDistinct(col("k")).as("distinct_k"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+        CAST(count(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT) AS distinct_k
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** q74: multi-dimensional aggregate lattice — CUBE over (event_type,
+    * hour-of-day) (SURVEY §2.5 note: cube/rollup declared in scope; q19
+    * covers rollup, this covers the full lattice incl. cross-slices). */
+  val q74Cube = GraftQuery(
+    "q74_cube",
+    "A-lattice: cube/grouping sets",
+    (s, d) =>
+      Tables.eventsWithTs(s, d)
+        .select(col("event_type"), hour(col("ts")).as("hr"), col("value"))
+        .cube(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("event_type").asc_nulls_first, col("hr").asc_nulls_first),
+    Some("""SELECT event_type, hr, count(*) AS n, round(sum(value), 2) AS total
+      FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hr, value FROM events)
+      GROUP BY CUBE (event_type, hr)
+      ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST"""))
+
+  def queries: Seq[GraftQuery] = Seq(
+    q70EventWindow, q71Sessionize, q72StreamDedup, q73JsonProps, q74Cube)
 }
