@@ -127,7 +127,14 @@ object Ann {
     * via MLlib BRP-LSH, L2 threshold sqrt(2-2t) on normalized vectors
     * (the F9 L2<->cos bridge), then exact cosine filter on the candidate
     * set. */
-  def lshNearDup(s: SparkSession, d: String, threshold: Double): DataFrame = {
+  def lshNearDup(s: SparkSession, d: String, threshold: Double): DataFrame =
+    lshNearDupTuned(s, d, threshold, bucketLength = 0.5)
+
+  /** bucketLength-parameterized variant (dev sweep: tools.LshTune —
+    * 0.5 keeps recall at 0.993 on sf0.1 while cutting candidate volume
+    * ~15% vs 1.0; 0.25 trades to 0.983, 0.1 collapses to 0.80). */
+  def lshNearDupTuned(s: SparkSession, d: String, threshold: Double,
+      bucketLength: Double): DataFrame = {
     val data = Tables.embeddings(s, d)
       .select(col("vec_id"),
         array_to_vector(
@@ -139,7 +146,7 @@ object Ann {
       .transform(data)
       .select(col("vec_id"), col("nvec"), col("embedding"))
     val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(1.0).setNumHashTables(5).setSeed(Seed)
+      .setBucketLength(bucketLength).setNumHashTables(5).setSeed(Seed)
       .setInputCol("nvec").setOutputCol("hashes")
     val model = lsh.fit(normed)
     val l2Thr = math.sqrt(2.0 - 2.0 * threshold)

@@ -216,7 +216,29 @@ object TextAnalysis {
       SELECT doc_id, length(clean_text) AS clean_len, lang_clean, source_title, fp
       FROM deduped WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** q45: corpus vocabulary profile — term frequencies + document
+    * frequencies via explode, the Zipf-curve / stopword-discovery stats a
+    * training-data pipeline derives before setting df-cuts (see SCALE.md
+    * sketch-dedup section). Shuffle volume is bounded by vocabulary size
+    * after the partial aggregate, not token count. */
+  val q45TopTerms = GraftQuery(
+    "q45_top_terms",
+    "A3,A4; vocabulary/Zipf profile, explode + two-level agg",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      tok.groupBy(col("term"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("term"))
+        .limit(25)
+    },
+    Some("""SELECT term, CAST(count(*) AS BIGINT) AS tf,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents)
+      GROUP BY term ORDER BY tf DESC, term LIMIT 25"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
-    q44PreprocessPipeline)
+    q44PreprocessPipeline, q45TopTerms)
 }
