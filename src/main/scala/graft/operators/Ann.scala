@@ -34,7 +34,6 @@ import graft.functions.VectorKernels._
   */
 object Ann {
 
-  private val Dim = 64
   private val NumCells = 12 // IVF cell count (~= natural cluster count here; config at scale)
   private val Seed = 42L
 
