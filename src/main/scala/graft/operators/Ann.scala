@@ -42,6 +42,9 @@ object Ann {
   // materializes it at scale). One fit per (session, sfDir) per JVM.
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), (DataFrame, DataFrame)]
+  private val lshCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel, DataFrame)]
 
   /** Embeddings as (vec_id, label, fvec ml.Vector) — MLlib interop. */
   private def vectorized(s: SparkSession, d: String): DataFrame =
@@ -144,20 +147,25 @@ object Ann {
     * ~15% vs 1.0; 0.25 trades to 0.983, 0.1 collapses to 0.80). */
   def lshNearDupTuned(s: SparkSession, d: String, threshold: Double,
       bucketLength: Double): DataFrame = {
-    val data = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        array_to_vector(
-          org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double"))
-        ).as("fvec"),
-        col("embedding"))
-    val normed = new org.apache.spark.ml.feature.Normalizer()
-      .setInputCol("fvec").setOutputCol("nvec").setP(2.0)
-      .transform(data)
-      .select(col("vec_id"), col("nvec"), col("embedding"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(bucketLength).setNumHashTables(5).setSeed(Seed)
-      .setInputCol("nvec").setOutputCol("hashes")
-    val model = lsh.fit(normed)
+    // fit-once-query-many, same policy as the IVF quantizer
+    val (model, normed) = lshCache.getOrElseUpdate(
+      (System.identityHashCode(s).toString, s"$d@$bucketLength"), {
+        val data = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            array_to_vector(
+              org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double"))
+            ).as("fvec"),
+            col("embedding"))
+        val normedDf = new org.apache.spark.ml.feature.Normalizer()
+          .setInputCol("fvec").setOutputCol("nvec").setP(2.0)
+          .transform(data)
+          .select(col("vec_id"), col("nvec"), col("embedding"))
+          .persist()
+        val lsh = new BucketedRandomProjectionLSH()
+          .setBucketLength(bucketLength).setNumHashTables(5).setSeed(Seed)
+          .setInputCol("nvec").setOutputCol("hashes")
+        (lsh.fit(normedDf), normedDf)
+      })
     val l2Thr = math.sqrt(2.0 - 2.0 * threshold)
     model.approxSimilarityJoin(normed, normed, l2Thr, "l2")
       .select(
