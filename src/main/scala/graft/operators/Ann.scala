@@ -145,10 +145,10 @@ object Ann {
   /** bucketLength-parameterized variant (dev sweep: tools.LshTune —
     * 0.5 keeps recall at 0.993 on sf0.1 while cutting candidate volume
     * ~15% vs 1.0; 0.25 trades to 0.983, 0.1 collapses to 0.80). */
-  def lshNearDupTuned(s: SparkSession, d: String, threshold: Double,
-      bucketLength: Double): DataFrame = {
-    // fit-once-query-many, same policy as the IVF quantizer
-    val (model, normed) = lshCache.getOrElseUpdate(
+  /** Cached fitted LSH index for a dataset: (model, hashed corpus). */
+  def lshIndex(s: SparkSession, d: String, bucketLength: Double = 0.5)
+      : (org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel, DataFrame) =
+    lshCache.getOrElseUpdate(
       (System.identityHashCode(s).toString, s"$d@$bucketLength"), {
         val data = Tables.embeddings(s, d)
           .select(col("vec_id"),
@@ -166,6 +166,26 @@ object Ann {
           .setInputCol("nvec").setOutputCol("hashes")
         (lsh.fit(normedDf), normedDf)
       })
+
+  /** Normalize + hash a (vec_id, embedding) frame with the cached model,
+    * one output row per (hash table, bucket) — works on batch or
+    * streaming DataFrames (all per-row ops). */
+  def lshHashBuckets(s: SparkSession, d: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val (model, _) = lshIndex(s, d)
+    val data = df.select(col("vec_id"), col("embedding"),
+      array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("fvec"))
+    val normed = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("fvec").setOutputCol("nvec").setP(2.0).transform(data)
+    model.transform(normed)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(transform(col("hashes"), h => vector_to_array(h).getItem(0)))
+          .as(Seq("ht", "bucket")))
+  }
+
+  def lshNearDupTuned(s: SparkSession, d: String, threshold: Double,
+      bucketLength: Double): DataFrame = {
+    val (model, normed) = lshIndex(s, d, bucketLength)
     val l2Thr = math.sqrt(2.0 - 2.0 * threshold)
     model.approxSimilarityJoin(normed, normed, l2Thr, "l2")
       .select(

@@ -57,6 +57,46 @@ object StreamingJobs {
     q
   }
 
+  /** Streaming near-dup detection: embeddings arriving as a stream are
+    * hashed with the *already-fitted* LSH model and stream-static joined
+    * against the hashed corpus on (hash-table, bucket) — the reference's
+    * batch question ("which existing postings does this new posting
+    * duplicate?", app/main.py:201-265) answered continuously per
+    * micro-batch. Candidates are verified with the exact cosine kernel.
+    *
+    * At scale the static side is the bucketed index table (Scale
+    * .writeBucketed on the bucket key) so each micro-batch joins without
+    * re-shuffling the corpus; dedup state on the output would be
+    * watermark-bounded in production (unbounded here: availableNow demo).
+    */
+  def runStreamingNearDup(spark: SparkSession, streamDir: String, corpusDir: String,
+      threshold: Double, sinkName: String): StreamingQuery = {
+    import graft.functions.VectorKernels.cosineFast
+    def hashed(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Ann.lshHashBuckets(spark, corpusDir, df)
+    val corpus = hashed(spark.read.parquet(s"$corpusDir/embeddings.parquet"))
+      .withColumnRenamed("vec_id", "cid").withColumnRenamed("embedding", "cvec")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = hashed(stream)
+      .join(corpus, Seq("ht", "bucket"))
+      .filter(col("vec_id") =!= col("cid"))
+      .select(col("vec_id"), col("cid"),
+        round(cosineFast(col("embedding"), col("cvec")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("vec_id", "cid")
+      .writeStream
+      .queryName(sinkName)
+      .format("memory")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming exact dedup: first event per (user_id, event_type), state
     * bounded by a 1-day watermark — dropDuplicates-with-watermark, the
     * streaming form of the batch keep-first window (q72). */

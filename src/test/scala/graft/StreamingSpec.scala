@@ -45,6 +45,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming near-dup vs static corpus: recall >= 0.9 of exact pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.streaming.StreamingJobs.runStreamingNearDup(
+      spark, dir.toString, sfTiny, threshold = 0.35, "neardup_stream_test")
+    // streamed pairs are directional (new vs corpus); canonicalize
+    val streamed = spark.table("neardup_stream_test")
+      .select(least(col("vec_id"), col("cid")).as("id1"),
+        greatest(col("vec_id"), col("cid")).as("id2"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = operators.Similarity.nearDupPairs(spark, sfTiny, 0.35, prefilterLabel = false)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(streamed.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"streaming near-dup recall $recall")
+    // and no false positives below threshold
+    assert(spark.table("neardup_stream_test")
+      .filter(col("sim") < 0.35).count() == 0)
+  }
+
   test("streaming dedup (dropDuplicates + watermark) == batch keep-first key set") {
     StreamingJobs.runStreamingDedup(spark, streamDir, "dedup_test")
     val streamedKeys = spark.table("dedup_test")
