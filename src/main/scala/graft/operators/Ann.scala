@@ -185,15 +185,26 @@ object Ann {
 
   def lshNearDupTuned(s: SparkSession, d: String, threshold: Double,
       bucketLength: Double): DataFrame = {
-    val (model, normed) = lshIndex(s, d, bucketLength)
-    val l2Thr = math.sqrt(2.0 - 2.0 * threshold)
-    model.approxSimilarityJoin(normed, normed, l2Thr, "l2")
-      .select(
-        col("datasetA.vec_id").as("id1"),
-        col("datasetB.vec_id").as("id2"),
-        cosineFast(col("datasetA.embedding"), col("datasetB.embedding")).as("sim"))
-      .filter(col("id1") < col("id2") && col("sim") >= threshold)
-      .select(col("id1"), col("id2"), round(col("sim"), 4).as("sim"))
+    // Same candidate semantics as MLlib's approxSimilarityJoin (pairs
+    // sharing >= 1 bucket in any hash table) but planned as a plain
+    // bucket equi-join + distinct + codegen'd cosine verify — MLlib's
+    // join verifies with a non-codegen UDF over Vector UDTs, which is the
+    // slow half of the query at scale.
+    val hashed = lshHashBuckets(s, d,
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+    val a = hashed.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+      col("ht"), col("bucket"))
+    val b = hashed.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+      col("ht"), col("bucket"))
+    // verify BEFORE dedup: the kernel is ~100ns/pair, so re-verifying a
+    // pair that collides in several tables is far cheaper than shuffling
+    // two 64-float vectors per candidate through a dropDuplicates exchange
+    a.join(b, Seq("ht", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosineFast(col("v1"), col("v2")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("id1", "id2")
       .orderBy(col("sim").desc, col("id1"), col("id2"))
   }
 

@@ -223,8 +223,17 @@ object Similarity {
       val base = Tables.embeddings(s, d)
       val n = base.count()
       val half = n / 2
-      val nn = knnExact(s, d, k = 1, queryMod = 1)
-        .select(col("sim"), lit("nn").as("type"))
+      // top-1 as a hash aggregate (max of (sim, -nid) struct) instead of a
+      // row_number window: partial agg collapses the O(N^2) scored pairs
+      // map-side, so nothing sorts 25M rows just to keep one per query
+      val q = base.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = base.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      val nn = q.join(c, col("qid") =!= col("nid"))
+        .select(col("qid"),
+          struct(cosineFast(col("qvec"), col("nvec")).as("sim"),
+            (-col("nid")).as("negnid")).as("sn"))
+        .groupBy(col("qid")).agg(max(col("sn")).as("best"))
+        .select(round(col("best.sim"), 4).as("sim"), lit("nn").as("type"))
       val rand = base.select(col("vec_id").as("a"), col("embedding").as("va"))
         .join(base.select(col("vec_id").as("b"), col("embedding").as("vb")),
           col("b") === (col("a") + half) % n)
