@@ -39,6 +39,22 @@ object Embedding {
       .select(col("doc_id"), vector_to_array(col("emb")).as("embedding"))
   }
 
+  /** Alternative M1 backend: Word2Vec (dense learned vectors, the other
+    * public-knowledge stand-in SURVEY §7.1 step 5 names). Seeded and
+    * single-partitioned for determinism; dimension matches the main
+    * pipeline so downstream similarity operators are backend-agnostic. */
+  def embedWord2Vec(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val model = new org.apache.spark.ml.feature.Word2Vec()
+      .setInputCol("toks").setOutputCol("emb")
+      .setVectorSize(Dim).setMinCount(1).setSeed(42L)
+      .setMaxIter(1).setNumPartitions(1)
+      .fit(docs)
+    model.transform(docs)
+      .select(col("doc_id"), vector_to_array(col("emb")).as("embedding"))
+  }
+
   /** q39: embedding-stage output profile — per-doc norm and sparsity.
     * (rows-only check; EmbeddingSpec holds the real assertions). */
   val q39EmbedPipeline = GraftQuery(

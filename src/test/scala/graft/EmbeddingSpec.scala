@@ -23,6 +23,29 @@ class EmbeddingSpec extends SparkSpec {
     }
   }
 
+  test("word2vec backend: fixed dim, deterministic under a seed") {
+    val a = Embedding.embedWord2Vec(spark, sfTiny).collect().sortBy(_.getLong(0))
+    assert(a.nonEmpty && a.forall(_.getSeq[Double](1).length == Embedding.Dim))
+    val b = Embedding.embedWord2Vec(spark, sfTiny).collect().sortBy(_.getLong(0))
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getSeq[Double](1) == y.getSeq[Double](1))
+    }
+  }
+
+  test("approx aggregates track exact within tolerance (at-scale A4/A6 path)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sfTiny)
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact_d"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_d"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_med"))
+      .head()
+    val (ed, ad) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(ad - ed) / ed < 0.05, s"HLL off: $ad vs $ed")
+    assert(math.abs(r.getDouble(3) - r.getDouble(2)) / r.getDouble(2) < 0.01)
+  }
+
   test("a document embeds closer to itself-with-noise than to others") {
     // near-dup pair: doc text vs doc text + one extra token, via a self
     // union — their embeddings must be more similar than the corpus mean
