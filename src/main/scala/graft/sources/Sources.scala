@@ -29,7 +29,9 @@ object Sources {
     "q80_csv_roundtrip",
     "S1,S2,S7; CSV scan + sink, explicit schema",
     (s, d) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+      // session-unique path: concurrent Verify/Bench JVMs must not race
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_" +
+        java.lang.Integer.toHexString(System.identityHashCode(s))
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       val back = csvRoundTrip(s, docs, tmp)
