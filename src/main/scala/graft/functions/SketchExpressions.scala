@@ -11,7 +11,11 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native JVM kernels behind the sketch expressions. Static-forwarder
+/** Native JVM kernels behind the sketch expressions — the scale
+  * generalization of the reference's exact text dedup
+  * (reference: app/preprocess_data.py:59-71 drop_duplicates on the cleaned
+  * text; these sketches answer the same question when exact matching is
+  * too narrow and O(N^2) comparison too expensive). Static-forwarder
   * methods so generated code can call them directly
   * (`graft.functions.SketchKernels.simhash64(arr)`).
   *

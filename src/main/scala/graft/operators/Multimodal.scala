@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{GraftQuery, Tables}
 
-/** Multimodal binary-column plumbing (north-star): image/audio/video as
+/** Multimodal binary-column plumbing (north-star extension; the
+  * reference's only binary artifacts are its .npy/.pkl sidecars,
+  * app/generate_embeddings.py:52-68 — no image/audio surface exists
+  * there): image/audio/video as
   * opaque `BINARY` payloads with typed metadata, plus the decode /
   * feature-extract / frame-sample operator shapes a training-data pipeline
   * needs.

@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CosineSimilarity, DotProduct, L2DistanceSq, MinhashSignature, ShingleArray, Simhash64}
 
-/** SparkSessionExtensions entry point: registers the engine's native
+/** SparkSessionExtensions entry point (SURVEY §4 verdict: no custom
+  * Rule/SparkStrategy needed — injectFunction is the one extension the
+  * engine uses): registers the engine's native
   * Catalyst kernels as SQL functions, so `spark.sql("SELECT
   * graft_cosine(a.embedding, b.embedding) ...")` plans the same codegen'd
   * expressions the DataFrame API wrappers (VectorKernels/SketchFunctions)

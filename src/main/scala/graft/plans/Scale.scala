@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 
-/** Scale-out building blocks: skew salting and bucketed co-located joins.
+/** Scale-out building blocks: skew salting and bucketed co-located joins
+  * (the reference's only scale lever is a 10k-row batch loop,
+  * app/main.py:85-91; these are the cluster-grade equivalents).
   *
   * These exist because the two failure modes that kill 100 TB jobs are
   * (1) one hot key pinning a single reducer and (2) re-shuffling a big

@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-/** Custom streaming state via flatMapGroupsWithState: per-user
+/** Custom streaming state via flatMapGroupsWithState (north-star
+  * extension — the reference is batch-only, file-existence stage caching
+  * at app/main.py:110-177): per-user
   * sessionization with a 24h idle gap — the stateful-processing shape the
   * batch plan q71 expresses with window functions
   * (operators.Events.q71Sessionize). StreamingSpec asserts the two agree
