@@ -27,8 +27,11 @@ object Embedding {
   val Dim = 64
 
   /** Fit + apply the embedding pipeline; returns (doc_id, embedding). */
-  def embed(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+  def embed(s: SparkSession, d: String): DataFrame =
+    embedDocs(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** Same, over any (doc_id, text) frame (the composed-pipeline entry). */
+  def embedDocs(docs: DataFrame): DataFrame = {
     val pipe = new Pipeline().setStages(Array(
       new RegexTokenizer().setInputCol("text").setOutputCol("toks")
         .setPattern("\\s+").setToLowercase(true),

@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end composed pipeline (the reference's main.py equivalent). */
+class JobPipelineSpec extends SparkSpec {
+
+  test("full pipeline runs, produces canonical thresholded pairs + sinks, resumes from cache") {
+    val work = Files.createTempDirectory("graft_jobpipe_spec").toString
+    val t0 = System.nanoTime()
+    val pairs = JobPipeline.run(spark, sfTiny, work, threshold = 0.5).collect()
+    val coldS = (System.nanoTime() - t0) / 1e9
+
+    // pair relation contract
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+
+    // sinks exist
+    assert(new java.io.File(s"$work/similarity_results_csv").exists())
+    assert(new java.io.File(s"$work/sample_pairs.md").exists())
+
+    // all four stages committed
+    Seq("s1_preprocess", "s2_embed", "s3_index", "s4_pairs").foreach { st =>
+      assert(Files.exists(java.nio.file.Paths.get(s"$work/$st/_DONE")), st)
+    }
+
+    // second run resumes from the committed stages and agrees exactly
+    val again = JobPipeline.run(spark, sfTiny, work, threshold = 0.5).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+
+    // dedup stage actually deduplicates: staged doc count <= input count
+    val staged = spark.read.parquet(s"$work/s1_preprocess").count()
+    assert(staged <= Tables.documents(spark, sfTiny).count())
+    assert(coldS > 0) // smoke for the timer itself
+  }
+}
