@@ -91,10 +91,20 @@ object SketchKernels {
 
   /** MinHash signature: for each seed h in [0, numHashes), the minimum
     * md5 hex string of "<h>:<element>" over the array (oracle:
-    * list_min(list_transform(sh, s -> md5('<h>:' || s)))). */
+    * list_min(list_transform(sh, s -> md5('<h>:' || s)))).
+    *
+    * Hot loop is allocation-free: the per-seed "<h>:" prefixes are hoisted
+    * out of the shingle loop, the prefix+token concat is replaced by two
+    * MessageDigest.update calls, and the digest lands in a reused scratch
+    * buffer that is only retained (swapped, not copied) when it is a new
+    * minimum. */
   def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
     val digest = md.get()
+    val prefixes = new Array[Array[Byte]](numHashes)
+    var p = 0
+    while (p < numHashes) { prefixes(p) = (p + ":").getBytes("UTF-8"); p += 1 }
     val mins = new Array[Array[Byte]](numHashes)
+    var scratch = new Array[Byte](16)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
@@ -102,13 +112,15 @@ object SketchKernels {
         val tok = shingles.getUTF8String(i).getBytes
         var h = 0
         while (h < numHashes) {
-          val prefix = (h + ":").getBytes("UTF-8")
-          val buf = new Array[Byte](prefix.length + tok.length)
-          System.arraycopy(prefix, 0, buf, 0, prefix.length)
-          System.arraycopy(tok, 0, buf, prefix.length, tok.length)
           digest.reset()
-          val d = digest.digest(buf)
-          if (mins(h) == null || lessThan(d, mins(h))) mins(h) = d
+          digest.update(prefixes(h))
+          digest.update(tok)
+          digest.digest(scratch, 0, 16)
+          if (mins(h) == null || lessThan(scratch, mins(h))) {
+            val evicted = if (mins(h) == null) new Array[Byte](16) else mins(h)
+            mins(h) = scratch
+            scratch = evicted
+          }
           h += 1
         }
       }
