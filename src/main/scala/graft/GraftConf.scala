@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
   * read EMBEDDING_DIM / FAISS_INDEX_TYPE / SIMILARITY_THRESHOLD etc. from
   * the environment). Every knob is a SparkConf entry so it can be set per
   * session (`spark.conf.set(...)`), per job submit (`--conf`), or left at
-  * the SURVEY default. Reads are dynamic (no caching) so a conf change
-  * takes effect on the next operator call.
+  * the SURVEY default. Reads are dynamic and every fit-time knob is part
+  * of the model-cache key (operators.Ann), so a conf change takes effect
+  * on the next operator call instead of silently reusing a stale model.
+  * GraftConfSpec asserts each knob observably changes its operator.
   */
 object GraftConf {
 
@@ -29,15 +31,17 @@ object GraftConf {
   def ivfNprobe(s: SparkSession): Int =
     s.conf.get("spark.graft.ivf.nprobe", "6").toInt
 
-  /** BRP-LSH bucket length (dev sweep in tools.LshTune: 0.5 keeps recall
-    * 0.993 on sf0.1 while cutting candidate volume ~15% vs 1.0). */
+  /** BRP-LSH bucket length (tools.LshTune r3 sweep, threshold 0.35:
+    * 0.25 matches 0.5/1.0 recall at every table count while trimming the
+    * candidate set; 0.1 collapses recall to 0.81-0.93). */
   def lshBucketLength(s: SparkSession): Double =
-    s.conf.get("spark.graft.lsh.bucketLength", "0.5").toDouble
+    s.conf.get("spark.graft.lsh.bucketLength", "0.25").toDouble
 
   /** BRP-LSH hash-table count (more tables = higher recall, more
-    * candidates). */
+    * candidates; r3 sweep at the adversarially-low 0.35 threshold:
+    * 5 tables -> 0.98, 8 -> 0.996, 12 -> 1.00 pair recall). */
   def lshNumTables(s: SparkSession): Int =
-    s.conf.get("spark.graft.lsh.numHashTables", "5").toInt
+    s.conf.get("spark.graft.lsh.numHashTables", "8").toInt
 
   /** Directory for persisted ANN index models (S6 parity with the
     * reference's faiss.write_index/read_index round-trip,

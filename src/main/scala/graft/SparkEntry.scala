@@ -10,10 +10,12 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's end product: all near-duplicate embedding pairs above
     * a cosine threshold, canonicalized and sorted
-    * (reference: app/main.py:201-280). */
+    * (reference: app/main.py:201-280). Routed through the scale-aware
+    * search: exact below GraftConf.exactPairCutoff, LSH candidates above
+    * it (so the same entry point survives a 100 TB corpus). */
   def entry(spark: SparkSession): DataFrame =
-    operators.Similarity.nearDupPairs(
-      spark, "/root/testdata/sf0.001", threshold = 0.35, prefilterLabel = false)
+    operators.Similarity.nearDupPairsAuto(
+      spark, "/root/testdata/sf0.001", threshold = 0.35)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

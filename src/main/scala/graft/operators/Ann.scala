@@ -1,12 +1,12 @@
 package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel, Normalizer}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{GraftQuery, Tables}
+import graft.{GraftConf, GraftQuery, Tables}
 import graft.functions.VectorKernels._
 
 /** Approximate-nearest-neighbor operators — the 100 TB scale path for the
@@ -26,6 +26,12 @@ import graft.functions.VectorKernels._
   *  - LSH: MLlib BucketedRandomProjectionLSH (random-hyperplane family);
   *    approxSimilarityJoin is the banded bucket-join.
   *
+  * All fit-time knobs come from [[graft.GraftConf]] (the Spark-native
+  * equivalent of the reference's env-driven EMBEDDING_DIM /
+  * FAISS_INDEX_TYPE configuration, /root/reference/.env:4-11), and every
+  * knob participates in the model-cache key so a conf change takes effect
+  * on the next operator call instead of silently returning a stale fit.
+  *
   * KMeans/LSH models are seeded but not DuckDB-replayable, so these
   * queries carry no SQL oracle (driver records rows-only); instead each
   * strategy ships a *recall query* that joins its answer against the
@@ -34,17 +40,32 @@ import graft.functions.VectorKernels._
   */
 object Ann {
 
-  private val NumCells = 12 // IVF cell count (~= natural cluster count here; config at scale)
   private val Seed = 42L
 
   // fit-once-query-many: the trained quantizer is an index artifact, not
   // part of any single query (the reference persists it, S6/M2; Pipeline
-  // materializes it at scale). One fit per (session, sfDir) per JVM.
+  // materializes it at scale). One fit per (session, dataset, fit-params)
+  // per JVM. Sessions have no stable public id, so the key uses identity
+  // hash — correct for "same live session", never across JVMs (that is
+  // what GraftConf.indexDir persistence is for).
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), (DataFrame, DataFrame)]
   private val lshCache =
     scala.collection.concurrent.TrieMap.empty[(String, String),
-      (org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel, DataFrame)]
+      (BucketedRandomProjectionLSHModel, DataFrame)]
+
+  private def sessionKey(s: SparkSession): String =
+    System.identityHashCode(s).toString
+
+  /** Drop every cached fitted model and unpersist the backing frames —
+    * the M5 "rebuild the index" hook, also used by specs to force a
+    * re-fit after a conf change in the same session. */
+  def clearCaches(): Unit = {
+    ivfCache.values.foreach { case (assigned, _) => assigned.unpersist() }
+    ivfCache.clear()
+    lshCache.values.foreach { case (_, normed) => normed.unpersist() }
+    lshCache.clear()
+  }
 
   /** Embeddings as (vec_id, label, fvec ml.Vector) — MLlib interop. */
   private def vectorized(s: SparkSession, d: String): DataFrame =
@@ -54,14 +75,18 @@ object Ann {
 
   /** M2 "train" + M3 "add": fit the coarse quantizer and assign every
     * vector its cell. Returns (assigned, centroids) where centroids is
-    * (centroid_id, cvec ARRAY<DOUBLE>) — small enough to broadcast. */
-  def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    ivfCache.getOrElseUpdate((System.identityHashCode(s).toString, d), fitIvfIndex(s, d))
+    * (centroid_id, cvec ARRAY<DOUBLE>) — small enough to broadcast.
+    * Cell count from GraftConf.ivfCells. */
+  def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val cells = GraftConf.ivfCells(s)
+    ivfCache.getOrElseUpdate((sessionKey(s), s"$d@cells=$cells"),
+      fitIvfIndex(s, d, cells))
+  }
 
-  private def fitIvfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def fitIvfIndex(s: SparkSession, d: String, cells: Int): (DataFrame, DataFrame) = {
     val data = vectorized(s, d)
     val model = new KMeans()
-      .setK(NumCells).setSeed(Seed).setMaxIter(20)
+      .setK(cells).setSeed(Seed).setMaxIter(20)
       .setFeaturesCol("fvec").setPredictionCol("centroid_id")
       .fit(data)
     val assigned = model.transform(data)
@@ -118,11 +143,12 @@ object Ann {
       round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 2).as("recall"))
   }
 
-  /** q34: IVF k-NN, same query shape as exact q30 (k=2, vec_id%10). */
+  /** q34: IVF k-NN, same query shape as exact q30 (k=2, vec_id%10);
+    * nprobe from GraftConf. */
   val q34IvfKnn = GraftQuery(
     "q34_ivf_knn",
     "M2,M3,M4,J1c; IVF cell-pruned k-NN (no SQL oracle: KMeans)",
-    (s, d) => ivfKnn(s, d, k = 2, nprobe = 6, queryMod = 10),
+    (s, d) => ivfKnn(s, d, k = 2, nprobe = GraftConf.ivfNprobe(s), queryMod = 10),
     None)
 
   /** q35: IVF recall@2 vs the exact join (target >= 0.9 at nprobe=6,
@@ -131,70 +157,54 @@ object Ann {
     "q35_ivf_recall",
     "M4 quality gate; J1a vs J1c",
     (s, d) => recallVsExact(
-      ivfKnn(s, d, k = 2, nprobe = 6, queryMod = 10),
+      ivfKnn(s, d, k = 2, nprobe = GraftConf.ivfNprobe(s), queryMod = 10),
       Similarity.knnExact(s, d, k = 2, queryMod = 10)),
     None)
 
-  /** LSH near-dup pairs at cos >= threshold: random-hyperplane bucketing
-    * via MLlib BRP-LSH, L2 threshold sqrt(2-2t) on normalized vectors
-    * (the F9 L2<->cos bridge), then exact cosine filter on the candidate
-    * set. */
-  def lshNearDup(s: SparkSession, d: String, threshold: Double): DataFrame =
-    lshNearDupTuned(s, d, threshold, bucketLength = 0.5)
+  // ---------------------------------------------------------------------
+  // LSH — frame-generic primitives + cached per-dataset index
+  // ---------------------------------------------------------------------
 
-  /** bucketLength-parameterized variant (dev sweep: tools.LshTune —
-    * 0.5 keeps recall at 0.993 on sf0.1 while cutting candidate volume
-    * ~15% vs 1.0; 0.25 trades to 0.983, 0.1 collapses to 0.80). */
-  /** Cached fitted LSH index for a dataset: (model, hashed corpus). */
-  def lshIndex(s: SparkSession, d: String, bucketLength: Double = 0.5)
-      : (org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel, DataFrame) =
-    lshCache.getOrElseUpdate(
-      (System.identityHashCode(s).toString, s"$d@$bucketLength"), {
-        val data = Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            array_to_vector(
-              org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double"))
-            ).as("fvec"),
-            col("embedding"))
-        val normedDf = new org.apache.spark.ml.feature.Normalizer()
-          .setInputCol("fvec").setOutputCol("nvec").setP(2.0)
-          .transform(data)
-          .select(col("vec_id"), col("nvec"), col("embedding"))
-          .persist()
-        val lsh = new BucketedRandomProjectionLSH()
-          .setBucketLength(bucketLength).setNumHashTables(5).setSeed(Seed)
-          .setInputCol("nvec").setOutputCol("hashes")
-        (lsh.fit(normedDf), normedDf)
-      })
-
-  /** Normalize + hash a (vec_id, embedding) frame with the cached model,
-    * one output row per (hash table, bucket) — works on batch or
-    * streaming DataFrames (all per-row ops). */
-  def lshHashBuckets(s: SparkSession, d: String, df: DataFrame): DataFrame = {
-    import org.apache.spark.ml.functions.vector_to_array
-    val (model, _) = lshIndex(s, d)
-    val data = df.select(col("vec_id"), col("embedding"),
-      array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("fvec"))
-    val normed = new org.apache.spark.ml.feature.Normalizer()
-      .setInputCol("fvec").setOutputCol("nvec").setP(2.0).transform(data)
-    model.transform(normed)
-      .select(col("vec_id"), col("embedding"),
-        posexplode(transform(col("hashes"), h => vector_to_array(h).getItem(0)))
-          .as(Seq("ht", "bucket")))
+  /** Unit-normalize an (id, embedding) frame into (…, nvec ml.Vector) —
+    * the F9 L2<->cos bridge: on unit vectors the BRP L2 buckets order by
+    * cosine. */
+  private def normalizeFrame(df: DataFrame, embCol: String): DataFrame = {
+    val data = df.withColumn("fvec",
+      array_to_vector(transform(col(embCol), x => x.cast("double"))))
+    new Normalizer().setInputCol("fvec").setOutputCol("nvec").setP(2.0)
+      .transform(data)
+      .drop("fvec")
   }
 
-  def lshNearDupTuned(s: SparkSession, d: String, threshold: Double,
-      bucketLength: Double): DataFrame = {
-    // Same candidate semantics as MLlib's approxSimilarityJoin (pairs
-    // sharing >= 1 bucket in any hash table) but planned as a plain
-    // bucket equi-join + distinct + codegen'd cosine verify — MLlib's
-    // join verifies with a non-codegen UDF over Vector UDTs, which is the
-    // slow half of the query at scale.
-    val hashed = lshHashBuckets(s, d,
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
-    val a = hashed.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+  /** Fit a BRP-LSH model on any normalized frame. */
+  private def fitLsh(normed: DataFrame, bucketLength: Double, numTables: Int)
+      : BucketedRandomProjectionLSHModel =
+    new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(Seed)
+      .setInputCol("nvec").setOutputCol("hashes")
+      .fit(normed)
+
+  /** Hash a frame with a fitted model: one output row per
+    * (id, hash table, bucket) — works on batch or streaming DataFrames
+    * (all per-row ops). */
+  private def hashWith(model: BucketedRandomProjectionLSHModel, normed: DataFrame,
+      keep: Seq[String]): DataFrame =
+    model.transform(normed)
+      .select(keep.map(col) :+
+        posexplode(transform(col("hashes"), h => vector_to_array(h).getItem(0)))
+          .as(Seq("ht", "bucket")): _*)
+
+  /** Candidate bucket join + exact cosine verify over hashed rows
+    * (id, embedding, ht, bucket). Same candidate semantics as MLlib's
+    * approxSimilarityJoin (pairs sharing >= 1 bucket in any hash table)
+    * but planned as a plain bucket equi-join + codegen'd cosine verify —
+    * MLlib's join verifies with a non-codegen UDF over Vector UDTs, which
+    * is the slow half of the query at scale. */
+  private def nearDupFromBuckets(hashed: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val a = hashed.select(col(idCol).as("id1"), col(embCol).as("v1"),
       col("ht"), col("bucket"))
-    val b = hashed.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+    val b = hashed.select(col(idCol).as("id2"), col(embCol).as("v2"),
       col("ht"), col("bucket"))
     // verify BEFORE dedup: the kernel is ~100ns/pair, so re-verifying a
     // pair that collides in several tables is far cheaper than shuffling
@@ -206,6 +216,69 @@ object Ann {
       .filter(col("sim") >= threshold)
       .dropDuplicates("id1", "id2")
       .orderBy(col("sim").desc, col("id1"), col("id2"))
+  }
+
+  /** LSH near-dup pairs over ANY (id, embedding) frame — fit, hash, bucket
+    * join, verify. The composed-pipeline entry point (JobPipeline stage 4
+    * above GraftConf.exactPairCutoff): no dependency on the `embeddings`
+    * table or the per-dataset cache. */
+  def lshNearDupFrame(vecs: DataFrame, idCol: String, embCol: String,
+      threshold: Double, bucketLength: Double, numTables: Int): DataFrame = {
+    val normed = normalizeFrame(vecs.select(col(idCol), col(embCol)), embCol)
+    val model = fitLsh(normed, bucketLength, numTables)
+    val hashed = hashWith(model, normed, keep = Seq(idCol, embCol))
+    nearDupFromBuckets(hashed, idCol, embCol, threshold)
+  }
+
+  /** Cached fitted LSH index for a dataset: (model, normalized corpus).
+    * All fit params are part of the cache key — a conf change triggers a
+    * re-fit instead of silently reusing the old model. */
+  def lshIndex(s: SparkSession, d: String, bucketLength: Double, numTables: Int)
+      : (BucketedRandomProjectionLSHModel, DataFrame) =
+    lshCache.getOrElseUpdate(
+      (sessionKey(s), s"$d@bl=$bucketLength,nt=$numTables"), {
+        val normed = normalizeFrame(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
+          .persist()
+        (fitLsh(normed, bucketLength, numTables), normed)
+      })
+
+  /** Conf-default variant (spark.graft.lsh.*). */
+  def lshIndex(s: SparkSession, d: String)
+      : (BucketedRandomProjectionLSHModel, DataFrame) =
+    lshIndex(s, d, GraftConf.lshBucketLength(s), GraftConf.lshNumTables(s))
+
+  /** Normalize + hash a (vec_id, embedding) frame with the cached
+    * per-dataset model (batch or streaming input). bucketLength/numTables
+    * select which cached model hashes the rows — they are forwarded into
+    * lshIndex, not silently dropped. */
+  def lshHashBuckets(s: SparkSession, d: String, df: DataFrame,
+      bucketLength: Double, numTables: Int): DataFrame = {
+    val (model, _) = lshIndex(s, d, bucketLength, numTables)
+    hashWith(model, normalizeFrame(df, "embedding"),
+      keep = Seq("vec_id", "embedding"))
+  }
+
+  /** Conf-default variant (spark.graft.lsh.*). */
+  def lshHashBuckets(s: SparkSession, d: String, df: DataFrame): DataFrame =
+    lshHashBuckets(s, d, df, GraftConf.lshBucketLength(s), GraftConf.lshNumTables(s))
+
+  /** LSH near-dup pairs at cos >= threshold over the embeddings table,
+    * with conf-driven bucketLength / numHashTables. */
+  def lshNearDup(s: SparkSession, d: String, threshold: Double): DataFrame =
+    lshNearDupTuned(s, d, threshold,
+      GraftConf.lshBucketLength(s), GraftConf.lshNumTables(s))
+
+  /** Explicitly-tuned variant (dev sweep: tools.LshTune — at threshold
+    * 0.35 the corpus has no true near-dups, so recall is table-count
+    * bound: nt=5 -> 0.98, nt=8 -> 0.996, nt=12 -> 1.00, and bucketLength
+    * only bites below ~0.25). */
+  def lshNearDupTuned(s: SparkSession, d: String, threshold: Double,
+      bucketLength: Double, numTables: Int = 8): DataFrame = {
+    val hashed = lshHashBuckets(s, d,
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      bucketLength, numTables)
+    nearDupFromBuckets(hashed, "vec_id", "embedding", threshold)
   }
 
   /** q36: LSH-accelerated near-dup pairs (ANN counterpart of exact q31). */

@@ -5,15 +5,16 @@ import org.apache.spark.ml.feature.{HashingTF, IDF, Normalizer, RegexTokenizer}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{GraftQuery, Tables}
+import graft.{GraftConf, GraftQuery, Tables}
 
 /** M1 — text -> embedding. The reference encodes with a sentence
   * transformer (app/generate_embeddings.py:25-50, all-MiniLM-L6-v2,
   * 384-d L2-normalized float32); a transformer needs an external model
   * server, so the engine's public-knowledge stand-in is the classic
   * sparse-projection pipeline: RegexTokenizer -> HashingTF -> IDF ->
-  * Normalizer(p=2), dimension configurable (64 here to match the test
-  * embeddings table). The contract the rest of the engine relies on is
+  * Normalizer(p=2), dimension from GraftConf.embeddingDim (reference
+  * default 384; specs pin 64 to match the synthetic embeddings table).
+  * The contract the rest of the engine relies on is
   * identical: a deterministic, L2-normalized fixed-dim vector per
   * document, co-located with its key (no positional id_map — the
   * reference's fragile parallel-array design, app/vector_search.py:289-292,
@@ -24,7 +25,8 @@ import graft.{GraftQuery, Tables}
   * pairs embed closer than random pairs. */
 object Embedding {
 
-  val Dim = 64
+  /** Configured output dimension (spark.graft.embedding.dim). */
+  def dim(s: SparkSession): Int = GraftConf.embeddingDim(s)
 
   /** Fit + apply the embedding pipeline; returns (doc_id, embedding). */
   def embed(s: SparkSession, d: String): DataFrame =
@@ -32,10 +34,11 @@ object Embedding {
 
   /** Same, over any (doc_id, text) frame (the composed-pipeline entry). */
   def embedDocs(docs: DataFrame): DataFrame = {
+    val d = GraftConf.embeddingDim(docs.sparkSession)
     val pipe = new Pipeline().setStages(Array(
       new RegexTokenizer().setInputCol("text").setOutputCol("toks")
         .setPattern("\\s+").setToLowercase(true),
-      new HashingTF().setInputCol("toks").setOutputCol("tf").setNumFeatures(Dim),
+      new HashingTF().setInputCol("toks").setOutputCol("tf").setNumFeatures(d),
       new IDF().setInputCol("tf").setOutputCol("tfidf"),
       new Normalizer().setInputCol("tfidf").setOutputCol("emb").setP(2.0)))
     pipe.fit(docs).transform(docs)
@@ -51,7 +54,7 @@ object Embedding {
       split(lower(trim(col("text"))), "\\s+").as("toks"))
     val model = new org.apache.spark.ml.feature.Word2Vec()
       .setInputCol("toks").setOutputCol("emb")
-      .setVectorSize(Dim).setMinCount(1).setSeed(42L)
+      .setVectorSize(GraftConf.embeddingDim(s)).setMinCount(1).setSeed(42L)
       .setMaxIter(1).setNumPartitions(1)
       .fit(docs)
     model.transform(docs)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{GraftQuery, Tables}
+import graft.{GraftConf, GraftQuery, Tables}
 import graft.functions.VectorFunctions._
 import graft.functions.VectorKernels._
 
@@ -68,6 +68,19 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 4).as("sim"))
       .orderBy(col("sim").desc, col("id1"), col("id2"))
+  }
+
+  /** Scale-aware near-dup pair search: exact all-pairs below
+    * GraftConf.exactPairCutoff, LSH bucket-join candidates + exact verify
+    * above it — the same trade the reference makes choosing an ANN index
+    * over brute force (app/main.py:201-280; .env:7 `IVF100,Flat`). The
+    * corpus count is parquet-footer metadata, not a scan. */
+  def nearDupPairsAuto(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    if (n <= GraftConf.exactPairCutoff(s))
+      nearDupPairs(s, d, threshold, prefilterLabel = false)
+    else
+      Ann.lshNearDup(s, d, threshold)
   }
 
   /** q30: exact k-NN, k=2, sampled queries — mirrors the pipeline's

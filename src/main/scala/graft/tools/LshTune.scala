@@ -15,13 +15,16 @@ object LshTune {
       .nearDupPairs(spark, sfDir, 0.35, prefilterLabel = false)
       .select(col("id1"), col("id2")).cache()
     val total = exact.count()
-    for (bl <- Seq(2.0, 1.0, 0.5, 0.25, 0.1)) {
+    for (nt <- Seq(5, 8, 12); bl <- Seq(1.0, 0.5, 0.25, 0.1)) {
       val t0 = System.nanoTime()
-      val ann = graft.operators.Ann.lshNearDupTuned(spark, sfDir, 0.35, bl)
+      val ann = graft.operators.Ann.lshNearDupTuned(spark, sfDir, 0.35, bl, nt)
         .select(col("id1"), col("id2"))
       val found = exact.join(ann, Seq("id1", "id2")).count()
+      val cand = graft.operators.Ann
+        .lshNearDupTuned(spark, sfDir, -1.0, bl, nt).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[lshtune] bucketLength=$bl%.2f recall=${found.toDouble / total}%.3f time=$dt%.1fs")
+      println(f"[lshtune] numTables=$nt%2d bucketLength=$bl%.2f " +
+        f"recall=${found.toDouble / total}%.3f candidates=$cand%d time=$dt%.1fs")
     }
     spark.stop()
   }

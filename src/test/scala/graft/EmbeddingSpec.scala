@@ -13,7 +13,7 @@ class EmbeddingSpec extends SparkSpec {
     assert(e1.nonEmpty)
     e1.foreach { r =>
       val v = r.getSeq[Double](1)
-      assert(v.length == Embedding.Dim)
+      assert(v.length == GraftConf.embeddingDim(spark))
       val norm = math.sqrt(v.map(x => x * x).sum)
       assert(math.abs(norm - 1.0) < 1e-6 || norm == 0.0, s"doc ${r.getLong(0)}")
     }
@@ -25,7 +25,7 @@ class EmbeddingSpec extends SparkSpec {
 
   test("word2vec backend: fixed dim, deterministic under a seed") {
     val a = Embedding.embedWord2Vec(spark, sfTiny).collect().sortBy(_.getLong(0))
-    assert(a.nonEmpty && a.forall(_.getSeq[Double](1).length == Embedding.Dim))
+    assert(a.nonEmpty && a.forall(_.getSeq[Double](1).length == GraftConf.embeddingDim(spark)))
     val b = Embedding.embedWord2Vec(spark, sfTiny).collect().sortBy(_.getLong(0))
     a.zip(b).foreach { case (x, y) =>
       assert(x.getSeq[Double](1) == y.getSeq[Double](1))

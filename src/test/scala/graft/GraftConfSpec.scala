@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Embedding}
+
+/** GraftConf is live configuration, not documentation: every knob must
+  * observably change the operator it claims to drive (the reference's
+  * env-driven knobs, /root/reference/.env:4-11, app/main.py:31-58). */
+class GraftConfSpec extends SparkSpec {
+
+  /** Run `body` with a spark.graft.* conf temporarily set, restoring the
+    * previous value (or unsetting) afterwards so the shared session stays
+    * clean for other suites. */
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      Ann.clearCaches()
+    }
+  }
+
+  test("spark.graft.embedding.dim drives the embedding width") {
+    withConf("spark.graft.embedding.dim", "32") {
+      val e = Embedding.embed(spark, sfTiny).limit(5).collect()
+      assert(e.nonEmpty && e.forall(_.getSeq[Double](1).length == 32))
+    }
+    // default (no conf) is the reference's 384 (SURVEY: all-MiniLM-L6-v2)
+    assert(GraftConf.embeddingDim(spark) == 384)
+  }
+
+  test("spark.graft.ivf.cells drives the KMeans quantizer (fresh fit per conf)") {
+    withConf("spark.graft.ivf.cells", "5") {
+      Ann.clearCaches()
+      val (assigned, centroids) = Ann.ivfIndex(spark, sfTiny)
+      assert(centroids.count() == 5)
+      assert(assigned.select(col("centroid_id")).distinct().count() <= 5)
+    }
+  }
+
+  test("lsh bucketLength is threaded to the fit: sweep changes candidate volume") {
+    // threshold -1 turns the verify filter off, so the pair count IS the
+    // candidate count — the quantity the bucketLength knob exists to tune.
+    // Before the r3 plumbing fix, every setting produced identical counts
+    // (lshHashBuckets dropped the parameter on the floor).
+    def candidates(bl: Double): Long = {
+      Ann.clearCaches()
+      Ann.lshNearDupTuned(spark, sfTiny, threshold = -1.0, bucketLength = bl).count()
+    }
+    val wide = candidates(10.0) // giant buckets: everything collides
+    val narrow = candidates(0.05) // tiny buckets: few collisions
+    Ann.clearCaches()
+    assert(wide > narrow,
+      s"bucketLength had no effect: wide=$wide narrow=$narrow")
+  }
+
+  test("spark.graft.lsh.numHashTables drives the banding") {
+    withConf("spark.graft.lsh.numHashTables", "2") {
+      Ann.clearCaches()
+      val perId = Ann.lshHashBuckets(spark, sfTiny,
+          Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding")))
+        .groupBy(col("vec_id")).count().select(max(col("count"))).head().getLong(0)
+      assert(perId == 2, s"expected 2 bucket rows per id, got $perId")
+    }
+  }
+
+  test("exactPairCutoff routes the auto pair search") {
+    // tiny corpus, cutoff 0 -> LSH path; huge cutoff -> exact path.
+    // Both must agree on the pair set at this scale (recall gate).
+    val exact = withConf("spark.graft.pairs.exactCutoff", Long.MaxValue.toString) {
+      operators.Similarity.nearDupPairsAuto(spark, sfTiny, 0.35)
+        .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val lsh = withConf("spark.graft.pairs.exactCutoff", "0") {
+      operators.Similarity.nearDupPairsAuto(spark, sfTiny, 0.35)
+        .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(exact.nonEmpty)
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.99, s"LSH path recall $recall vs exact (${exact.size} pairs)")
+  }
+}
