@@ -13,10 +13,12 @@ import graft.sources.ReportSink
   * reference's file-existence guards (S10). Each stage is idempotent:
   * a re-run resumes from the last committed stage.
   *
-  * Stage 4 here is the exact kernel join (the reference's own Faiss search
-  * is exhaustive within each probed cell at its 90k scale); at 100 TB the
-  * swap-in is operators.Ann.lshNearDupTuned / ivfKnn over the staged
-  * embedding table — same contract, pruned candidates (see SCALE.md).
+  * Stage 4 picks its physical strategy by corpus size
+  * (GraftConf.exactPairCutoff): the exact kernel join below the cutoff
+  * (the reference's own Faiss search is exhaustive within each probed
+  * cell at its 90k scale), the LSH bucket-join candidate path + exact
+  * verify above it — the same ANN-over-brute-force trade the reference
+  * makes with its `IVF100,Flat` default (app/main.py:201-280, .env:7).
   */
 object JobPipeline {
 
@@ -57,15 +59,23 @@ object JobPipeline {
       embedded.select(col("doc_id"), col("embedding"))
     }
 
-    // Stage 4 — search + reduce: all pairs at cos >= threshold,
-    // canonical, deduped, sorted (app/main.py:201-280)
+    // Stage 4 — search + reduce: pairs at cos >= threshold, canonical,
+    // deduped, sorted (app/main.py:201-280). Exact all-pairs only below
+    // the conf cutoff; above it, LSH candidate generation keeps the join
+    // bucketed (the count() is parquet-footer metadata on the staged
+    // table, not a scan).
     val pairs = pipe.stage("s4_pairs") {
-      val a = indexed.select(col("doc_id").as("id1"), col("embedding").as("v1"))
-      val b = indexed.select(col("doc_id").as("id2"), col("embedding").as("v2"))
-      a.join(b, col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          round(cosineFast(col("v1"), col("v2")), 4).as("sim"))
-        .filter(col("sim") >= threshold)
+      if (indexed.count() <= GraftConf.exactPairCutoff(spark)) {
+        val a = indexed.select(col("doc_id").as("id1"), col("embedding").as("v1"))
+        val b = indexed.select(col("doc_id").as("id2"), col("embedding").as("v2"))
+        a.join(b, col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            round(cosineFast(col("v1"), col("v2")), 4).as("sim"))
+          .filter(col("sim") >= threshold)
+      } else {
+        operators.Ann.lshNearDupFrame(indexed, "doc_id", "embedding",
+          threshold, GraftConf.lshBucketLength(spark), GraftConf.lshNumTables(spark))
+      }
     }
 
     val sorted = pairs.orderBy(col("sim").desc, col("id1"), col("id2"))

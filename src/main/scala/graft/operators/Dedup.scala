@@ -285,7 +285,32 @@ object Dedup {
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35)
       ORDER BY vec_id"""))
 
+  // ---------------------------------------------------------------------
+  // q55: LSH-candidate survivor set (q54 semantics, 100 TB path)
+  // ---------------------------------------------------------------------
+
+  /** Same survivor semantics as q54 but the dominated side comes from the
+    * LSH bucket-join candidates + exact cosine verify (Ann.lshNearDup)
+    * instead of the exact quadratic pair list — candidate generation
+    * stays a bucket equi-join, so the whole dedup is shuffle-bounded, not
+    * O(N^2). q54 stays as the oracle-checked exact baseline; OperatorSpec
+    * gates this one's survivor agreement against it. */
+  def lshSurvivors(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val dropped = Ann.lshNearDup(s, d, threshold)
+      .select(col("id2").as("vec_id")).distinct()
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
+  val q55LshSurvivors = GraftQuery(
+    "q55_lsh_survivors",
+    "D5,M5,J1b; LSH-candidate dedup survivors (no SQL oracle: random projections)",
+    (s, d) => lshSurvivors(s, d, threshold = 0.35),
+    None)
+
   def queries: Seq[GraftQuery] = Seq(
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
-    q54NeardupSurvivors)
+    q54NeardupSurvivors, q55LshSurvivors)
 }

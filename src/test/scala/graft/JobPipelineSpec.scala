@@ -36,4 +36,23 @@ class JobPipelineSpec extends SparkSpec {
     assert(staged <= Tables.documents(spark, sfTiny).count())
     assert(coldS > 0) // smoke for the timer itself
   }
+
+  test("stage 4 routes through LSH above exactPairCutoff with pair recall >= 0.99") {
+    val exactWork = Files.createTempDirectory("graft_jobpipe_exact").toString
+    val lshWork = Files.createTempDirectory("graft_jobpipe_lsh").toString
+    def pairSet(work: String): Set[(Long, Long)] =
+      JobPipeline.run(spark, sfTiny, work, threshold = 0.5)
+        .select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // corpus (500) is far below the default cutoff -> exact branch
+    val exact = pairSet(exactWork)
+    assert(exact.nonEmpty)
+    // cutoff 0 -> every corpus takes the LSH candidate branch
+    spark.conf.set("spark.graft.pairs.exactCutoff", "0")
+    val lsh = try pairSet(lshWork)
+    finally spark.conf.unset("spark.graft.pairs.exactCutoff")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.99, s"LSH-path pair recall $recall vs exact (${exact.size})")
+    assert((lsh -- exact).isEmpty, "LSH verify stage must not invent pairs")
+  }
 }

@@ -53,6 +53,21 @@ class OperatorSpec extends SparkSpec {
     assert(survivors == total - dominated)
   }
 
+  test("q55 LSH survivors agree with exact q54 survivors (recall >= 0.99)") {
+    val exact = Dedup.neardupSurvivors(spark, sfTiny, 0.35)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val lsh = Dedup.lshSurvivors(spark, sfTiny, 0.35)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty)
+    // an LSH candidate miss can only make a dominated vector survive, so
+    // exact-survivor recall is the right one-sided gate
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.99, s"survivor recall $recall (${exact.size} exact)")
+    // and the miss overhead itself must be tiny
+    assert((lsh -- exact).size <= math.max(1, exact.size / 100),
+      s"${(lsh -- exact).size} spurious survivors")
+  }
+
   test("IVF knn recall >= 0.9 vs exact (tiny)") {
     val exact = Similarity.knnExact(spark, sfTiny, k = 2, queryMod = 10)
       .select(col("qid"), col("nid"))
