@@ -226,20 +226,25 @@ object Similarity {
   /** q83: the threshold-justification evidence (SURVEY §3.2 / §5 item 2,
     * app/evaluation.py:182-232): nearest-neighbor similarities vs a
     * baseline-pair population, 50-bin histogram by type — the data behind
-    * similarity_distribution.png. The baseline pairing is systematic
-    * (i <-> i + N/2) instead of the reference's unseeded random.sample
-    * (SURVEY §7.3 non-determinism risk), so the oracle can replay it. */
+    * similarity_distribution.png. Both populations are *sampled*, like the
+    * reference's (50 NN queries, 5,000 random baseline pairs,
+    * app/evaluation.py:117,245-247), but systematically (query side:
+    * vec_id % 10; baseline side: fixed-offset partner vec_id + 137)
+    * instead of unseeded random.sample (SURVEY §7.3 non-determinism risk),
+    * so the oracle can replay it bit-for-bit. No driver-side action at
+    * plan build (the old variant counted the corpus eagerly and scored all
+    * N^2 pairs — 100x data meant 10,000x work; this is O(N^2/10) scoring
+    * on the sampled query side only, and the offset join is linear). */
   val q83SimHistogram = GraftQuery(
     "q83_similarity_histogram",
     "A8,X3,X4; §3.2 distribution evidence",
     (s, d) => {
       val base = Tables.embeddings(s, d)
-      val n = base.count()
-      val half = n / 2
       // top-1 as a hash aggregate (max of (sim, -nid) struct) instead of a
-      // row_number window: partial agg collapses the O(N^2) scored pairs
-      // map-side, so nothing sorts 25M rows just to keep one per query
-      val q = base.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // row_number window: partial agg collapses the scored pairs
+      // map-side, so nothing sorts the candidate rows just to keep one
+      val q = base.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val c = base.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
       val nn = q.join(c, col("qid") =!= col("nid"))
         .select(col("qid"),
@@ -249,7 +254,7 @@ object Similarity {
         .select(round(col("best.sim"), 4).as("sim"), lit("nn").as("type"))
       val rand = base.select(col("vec_id").as("a"), col("embedding").as("va"))
         .join(base.select(col("vec_id").as("b"), col("embedding").as("vb")),
-          col("b") === (col("a") + half) % n)
+          col("b") === col("a") + 137)
         .select(round(cosineFast(col("va"), col("vb")), 4).as("sim"),
           lit("baseline").as("type"))
       nn.unionByName(rand)
@@ -260,7 +265,6 @@ object Similarity {
         .orderBy(col("type"), col("bin"))
     },
     Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings),
-      n AS (SELECT count(*) AS n FROM base),
       nn AS (
         SELECT round(sim, 4) AS sim, 'nn' AS type FROM (
           SELECT qid, sim,
@@ -268,13 +272,13 @@ object Similarity {
           FROM (
             SELECT a.vec_id AS qid, b.vec_id AS nid,
               list_cosine_similarity(a.embedding, b.embedding) AS sim
-            FROM base a JOIN base b ON a.vec_id <> b.vec_id))
+            FROM base a JOIN base b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % 10 = 0))
         WHERE rank = 1),
       rand AS (
         SELECT round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim,
           'baseline' AS type
-        FROM base a JOIN base b
-          ON b.vec_id = (a.vec_id + (SELECT n // 2 FROM n)) % (SELECT n FROM n)),
+        FROM base a JOIN base b ON b.vec_id = a.vec_id + 137),
       u AS (SELECT * FROM nn UNION ALL SELECT * FROM rand)
       SELECT type, CAST(least(floor((sim + 1.0) * 25.0), 49.0) AS BIGINT) AS bin,
         count(*) AS cnt
