@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
+import org.apache.hadoop.fs.Path
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel, Normalizer}
+import org.apache.spark.ml.util.MLWritable
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -67,6 +69,41 @@ object Ann {
     lshCache.clear()
   }
 
+  // -------------------------------------------------------------------
+  // S6 index persistence — the reference's faiss.write_index/read_index
+  // round-trip (app/vector_search.py:207-239 save, :241-294 load),
+  // Spark-native: MLlib models are MLWritable, so with
+  // spark.graft.index.dir set, a fit is saved once and every later JVM
+  // loads the artifact instead of refitting. Paths go through the
+  // configured FileSystem (local, HDFS, S3A all work).
+  // -------------------------------------------------------------------
+
+  /** Artifact path for a (kind, dataset, fit-params) triple, if
+    * persistence is configured. */
+  private[graft] def indexArtifactPath(s: SparkSession, kind: String, d: String,
+      params: String): Option[String] =
+    GraftConf.indexDir(s).map { root =>
+      val ds = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      s"$root/$kind/$ds/$params"
+    }
+
+  /** True if a saved MLlib model artifact is present (MLWriter commits
+    * metadata last, so its presence is the commit marker). */
+  private def artifactExists(s: SparkSession, p: String): Boolean = {
+    val path = new Path(p, "metadata")
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** Load the model at `path` if persistence is on and the artifact
+    * exists; otherwise fit, and save when persistence is on. */
+  private def loadOrFit[M <: MLWritable](s: SparkSession, path: Option[String],
+      load: String => M)(fit: => M): M =
+    path match {
+      case Some(p) if artifactExists(s, p) => load(p)
+      case Some(p) => val m = fit; m.write.overwrite().save(p); m
+      case None => fit
+    }
+
   /** Embeddings as (vec_id, label, fvec ml.Vector) — MLlib interop. */
   private def vectorized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -85,10 +122,14 @@ object Ann {
 
   private def fitIvfIndex(s: SparkSession, d: String, cells: Int): (DataFrame, DataFrame) = {
     val data = vectorized(s, d)
-    val model = new KMeans()
-      .setK(cells).setSeed(Seed).setMaxIter(20)
-      .setFeaturesCol("fvec").setPredictionCol("centroid_id")
-      .fit(data)
+    val model = loadOrFit(s,
+      indexArtifactPath(s, "ivf_kmeans", d, s"cells=$cells"),
+      KMeansModel.load) {
+      new KMeans()
+        .setK(cells).setSeed(Seed).setMaxIter(20)
+        .setFeaturesCol("fvec").setPredictionCol("centroid_id")
+        .fit(data)
+    }
     val assigned = model.transform(data)
       .select(col("vec_id"), col("label"), col("centroid_id"),
         vector_to_array(col("fvec")).as("vec"))
@@ -240,7 +281,12 @@ object Ann {
         val normed = normalizeFrame(
           Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
           .persist()
-        (fitLsh(normed, bucketLength, numTables), normed)
+        val model = loadOrFit(s,
+          indexArtifactPath(s, "brp_lsh", d, s"bl=$bucketLength,nt=$numTables"),
+          BucketedRandomProjectionLSHModel.load) {
+          fitLsh(normed, bucketLength, numTables)
+        }
+        (model, normed)
       })
 
   /** Conf-default variant (spark.graft.lsh.*). */

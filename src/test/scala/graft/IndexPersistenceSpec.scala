@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+/** S6 parity: with spark.graft.index.dir set, fitted ANN models
+  * round-trip through MLWritable save/load (the reference's
+  * faiss.write_index/read_index, app/vector_search.py:207-294) — a new
+  * JVM (simulated here by clearing the in-memory model cache) must LOAD
+  * the artifact, not refit. Load-not-refit is proven by tampering: we
+  * overwrite the saved artifact with a model fit under different
+  * hyper-parameters; if the next call refit from data it would come back
+  * with the configured parameters, so observing the tampered parameters
+  * proves the artifact was read. */
+class IndexPersistenceSpec extends SparkSpec {
+
+  private def withIndexDir[A](body: String => A): A = {
+    val dir = Files.createTempDirectory("graft_index").toString
+    spark.conf.set("spark.graft.index.dir", dir)
+    Ann.clearCaches()
+    try body(dir)
+    finally {
+      spark.conf.unset("spark.graft.index.dir")
+      Ann.clearCaches()
+    }
+  }
+
+  test("IVF KMeans model persists and is loaded, not refit") {
+    withIndexDir { dir =>
+      val cells = GraftConf.ivfCells(spark)
+      val (_, centroids) = Ann.ivfIndex(spark, sfTiny)
+      assert(centroids.count() == cells)
+      val path = Ann.indexArtifactPath(spark, "ivf_kmeans", sfTiny, s"cells=$cells").get
+      assert(new java.io.File(path, "metadata").exists(), s"artifact missing at $path")
+
+      // tamper: a 3-cell model fit on a 6-point toy frame, saved over the slot
+      val toy = spark.createDataFrame(
+        (1 to 6).map(i => (i.toLong, Array.fill(64)(i.toDouble)))).toDF("id", "arr")
+        .select(array_to_vector(col("arr")).as("fvec"))
+      new KMeans().setK(3).setSeed(1L).setFeaturesCol("fvec")
+        .setPredictionCol("centroid_id").fit(toy)
+        .write.overwrite().save(path)
+
+      Ann.clearCaches() // "new JVM"
+      val (assigned2, centroids2) = Ann.ivfIndex(spark, sfTiny)
+      assert(centroids2.count() == 3,
+        "expected the tampered 3-cell artifact to be loaded — a refit would have produced the configured cell count")
+      assert(assigned2.select(col("centroid_id")).distinct().count() <= 3)
+    }
+  }
+
+  test("BRP-LSH model persists and is loaded, not refit") {
+    withIndexDir { dir =>
+      val (bl, nt) = (GraftConf.lshBucketLength(spark), GraftConf.lshNumTables(spark))
+      val (model, _) = Ann.lshIndex(spark, sfTiny)
+      assert(model.getNumHashTables == nt)
+      val path = Ann.indexArtifactPath(spark, "brp_lsh", sfTiny, s"bl=$bl,nt=$nt").get
+      assert(new java.io.File(path, "metadata").exists(), s"artifact missing at $path")
+
+      // tamper: a 2-table model saved over the nt-table slot
+      val toy = spark.createDataFrame(
+        (1 to 4).map(i => (i.toLong, Array.fill(64)(i.toDouble)))).toDF("id", "arr")
+        .select(array_to_vector(col("arr")).as("nvec"))
+      new BucketedRandomProjectionLSH().setBucketLength(bl).setNumHashTables(2)
+        .setSeed(1L).setInputCol("nvec").setOutputCol("hashes").fit(toy)
+        .write.overwrite().save(path)
+
+      Ann.clearCaches() // "new JVM"
+      val (model2, _) = Ann.lshIndex(spark, sfTiny)
+      assert(model2.getNumHashTables == 2,
+        "expected the tampered 2-table artifact to be loaded — a refit would have produced the configured table count")
+    }
+  }
+
+  test("without index.dir, nothing is written and queries still pass (in-memory fit)") {
+    Ann.clearCaches()
+    assert(GraftConf.indexDir(spark).isEmpty)
+    val (_, centroids) = Ann.ivfIndex(spark, sfTiny)
+    assert(centroids.count() == GraftConf.ivfCells(spark))
+    Ann.clearCaches()
+  }
+}
