@@ -79,10 +79,13 @@ object JobPipeline {
     }
 
     val sorted = pairs.orderBy(col("sim").desc, col("id1"), col("id2"))
-    // reference sinks: sorted CSV of pairs + a human sample report
+    // reference sinks: sorted CSV of pairs + a human sample report + the
+    // fetech_jd first/last-pair detail docs with joined cleaned text
     sorted.write.mode("overwrite").option("header", "true")
       .csv(s"$workDir/similarity_results_csv")
     ReportSink.write(sorted, s"$workDir/sample_pairs.md", maxRows = 20)
+    ReportSink.writePairDetails(sorted, clean,
+      s"$workDir/top_pair_detail.md", s"$workDir/bottom_pair_detail.md")
     sorted
   }
 

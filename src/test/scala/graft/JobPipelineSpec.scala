@@ -21,6 +21,18 @@ class JobPipelineSpec extends SparkSpec {
     assert(new java.io.File(s"$work/similarity_results_csv").exists())
     assert(new java.io.File(s"$work/sample_pairs.md").exists())
 
+    // fetech_jd-style detail docs: the strongest pair's ids appear with
+    // their joined (cleaned) document text
+    val top = pairs.maxBy(_.getDouble(2))
+    val detail = Files.readString(java.nio.file.Paths.get(s"$work/top_pair_detail.md"))
+    assert(detail.contains(s"**Pair:** ${top.getLong(0)} <-> ${top.getLong(1)}"))
+    val cleanedText = spark.read.parquet(s"$work/s1_preprocess")
+      .filter(col("doc_id") === top.getLong(0))
+      .select(col("text")).head().getString(0)
+    assert(detail.contains(cleanedText.take(80)),
+      "detail doc must embed the joined cleaned description")
+    assert(new java.io.File(s"$work/bottom_pair_detail.md").exists())
+
     // all four stages committed
     Seq("s1_preprocess", "s2_embed", "s3_index", "s4_pairs").foreach { st =>
       assert(Files.exists(java.nio.file.Paths.get(s"$work/$st/_DONE")), st)
