@@ -1,7 +1,6 @@
 package graft.plans
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Idempotent stage runner — the reference's file-existence stage cache
@@ -14,27 +13,39 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * A stage writes to `<root>/<name>/_DONE`-guarded parquet; the done
   * marker (not bare directory existence) is the commit point, so a
   * half-written stage from a crashed run is transparently recomputed.
+  * Markers go through the workDir's Hadoop FileSystem — the same
+  * filesystem the stage data is written to — so resume works identically
+  * on local disk, HDFS, or S3A (java.nio would silently break anything
+  * but local paths).
   * At 100 TB each stage boundary is also the natural place to repartition
   * or bucket for the next stage's join keys. */
 final class Pipeline(spark: SparkSession, root: String) {
 
   private def dir(name: String) = s"$root/$name"
-  private def doneMarker(name: String) = Paths.get(s"${dir(name)}/_DONE")
+  private def doneMarker(name: String) = new Path(s"${dir(name)}/_DONE")
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** True if the stage has committed output. */
-  def isDone(name: String): Boolean = Files.exists(doneMarker(name))
+  def isDone(name: String): Boolean = {
+    val m = doneMarker(name)
+    fs(m).exists(m)
+  }
 
   /** Run (or skip) a stage: returns the materialized stage output. */
   def stage(name: String)(compute: => DataFrame): DataFrame = {
     if (!isDone(name)) {
       compute.write.mode(SaveMode.Overwrite).parquet(dir(name))
-      Files.createFile(doneMarker(name))
+      val m = doneMarker(name)
+      fs(m).create(m, true).close()
     }
     spark.read.parquet(dir(name))
   }
 
   /** Drop a stage's materialization (the M5 "rebuild the index" path). */
   def invalidate(name: String): Unit = {
-    if (Files.exists(doneMarker(name))) Files.delete(doneMarker(name))
+    val m = doneMarker(name)
+    val f = fs(m)
+    if (f.exists(m)) f.delete(m, false)
   }
 }

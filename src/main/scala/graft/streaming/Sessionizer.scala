@@ -23,10 +23,27 @@ object Sessionizer {
   case class SessState(lastTs: Long, nSessions: Int, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Int, n_events: Long)
 
-  private val GapUs: Long = 86400L * 1000000L // 24h in microseconds
+  private val GapS: Long = 86400L // 24h idle gap, in whole seconds
+
+  /** Gap test in *truncated seconds*, exactly like the batch plan: q71
+    * compares `unix_timestamp(ts) - unix_timestamp(prev) > 86400`, and
+    * unix_timestamp truncates each side to seconds BEFORE subtracting —
+    * comparing raw microsecond deltas here would disagree with the batch
+    * answer whenever a gap's fractional parts straddle the 24h boundary
+    * (e.g. a true 86400.9 s gap whose truncated diff is 86400). */
+  private def newSession(prevUs: Long, tsUs: Long): Boolean =
+    Math.floorDiv(tsUs, 1000000L) - Math.floorDiv(prevUs, 1000000L) > GapS
 
   /** The state-update function: fold this batch's (sorted) events into the
-    * running per-user session state. */
+    * running per-user session state.
+    *
+    * Events may arrive out of order ACROSS micro-batches (one parquet
+    * file per trigger, no global order). lastTs is clamped to
+    * max(lastTs, ts): a late event can never rewind the session clock,
+    * which would otherwise make the next on-time event see an inflated
+    * gap and open a spurious session. (A late event that truly belonged
+    * before the last boundary is counted into the current session —
+    * the bounded-state trade every watermark-based sessionizer makes.) */
   def update(userId: Long, events: Iterator[Ev],
       state: GroupState[SessState]): Iterator[UserSessions] = {
     val sorted = events.toSeq.sortBy(_.ts_us)
@@ -35,8 +52,9 @@ object Sessionizer {
     } else {
       var s = state.getOption.getOrElse(SessState(Long.MinValue, 0, 0L))
       sorted.foreach { e =>
-        val newSession = s.lastTs == Long.MinValue || e.ts_us - s.lastTs > GapUs
-        s = SessState(e.ts_us, s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+        val isNew = s.lastTs == Long.MinValue || newSession(s.lastTs, e.ts_us)
+        s = SessState(math.max(s.lastTs, e.ts_us),
+          s.nSessions + (if (isNew) 1 else 0), s.nEvents + 1)
       }
       state.update(s)
       Iterator.single(UserSessions(userId, s.nSessions, s.nEvents))

@@ -68,6 +68,45 @@ class StreamingSpec extends SparkSpec {
       .filter(col("sim") < 0.35).count() == 0)
   }
 
+  test("sessionizer boundary semantics: truncated-second gap + out-of-order clamp") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft_sess_boundary")
+    val base = 1700000000L // whole-second epoch
+    def writeOne(rows: Seq[(Long, Long)], name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_sess_part")
+      rows.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dest = new java.io.File(dir.toFile, name)
+      Files.move(part.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+      assert(dest.setLastModified(mtime))
+    }
+    val sec = 1000000000L // ns per second
+    // user 1: true gap 86400.9 s but TRUNCATED-second diff is exactly
+    // 86400 -> batch q71 (unix_timestamp diff) says SAME session; the
+    // old raw-microsecond compare wrongly opened a new one.
+    // user 2: file B delivers a LATE event (base+50s) after file A already
+    // advanced the clock to base+100000s; without the clamp the rewound
+    // lastTs makes the next event (base+100010s) open a spurious session.
+    writeOne(Seq(
+      (1L, base * sec),
+      (1L, (base + 86400L) * sec + 900000000L),
+      (2L, base * sec),
+      (2L, (base + 100000L) * sec)), "a.parquet", System.currentTimeMillis() - 60000)
+    writeOne(Seq(
+      (2L, (base + 50L) * sec),
+      (2L, (base + 100010L) * sec)), "b.parquet", System.currentTimeMillis())
+    graft.streaming.Sessionizer.run(spark, dir.toString, "sess_boundary_test")
+    val res = spark.table("sess_boundary_test")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("ns"), max(col("n_events")).as("ne"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(res(1L) == ((1, 2)), s"user 1 boundary gap: ${res(1L)}")
+    assert(res(2L) == ((2, 4)), s"user 2 out-of-order clamp: ${res(2L)}")
+  }
+
   test("streaming dedup (dropDuplicates + watermark) == batch keep-first key set") {
     StreamingJobs.runStreamingDedup(spark, streamDir, "dedup_test")
     val streamedKeys = spark.table("dedup_test")
