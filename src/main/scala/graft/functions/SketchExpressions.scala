@@ -89,20 +89,30 @@ object SketchKernels {
     new GenericArrayData(Array[Any](sh1, sh2))
   }
 
+  // per-seed "<h>:" prefix bytes, shared across rows (identical for every
+  // row at a given signature length; one tiny array per numHashes ever
+  // seen — in practice a single entry)
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+
+  private def seedPrefixes(numHashes: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(numHashes, n =>
+      Array.tabulate(n)(p => (p + ":").getBytes("UTF-8")))
+
   /** MinHash signature: for each seed h in [0, numHashes), the minimum
     * md5 hex string of "<h>:<element>" over the array (oracle:
     * list_min(list_transform(sh, s -> md5('<h>:' || s)))).
     *
-    * Hot loop is allocation-free: the per-seed "<h>:" prefixes are hoisted
-    * out of the shingle loop, the prefix+token concat is replaced by two
+    * Hot loop: the per-seed "<h>:" prefixes come from a per-JVM cache
+    * (identical across rows), the prefix+token concat is replaced by two
     * MessageDigest.update calls, and the digest lands in a reused scratch
     * buffer that is only retained (swapped, not copied) when it is a new
-    * minimum. */
+    * minimum. getBytes on the shingle may still copy when the UTF8String
+    * is an offheap/composite slice — unavoidable at the MessageDigest
+    * API boundary. */
   def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
     val digest = md.get()
-    val prefixes = new Array[Array[Byte]](numHashes)
-    var p = 0
-    while (p < numHashes) { prefixes(p) = (p + ":").getBytes("UTF-8"); p += 1 }
+    val prefixes = seedPrefixes(numHashes)
     val mins = new Array[Array[Byte]](numHashes)
     var scratch = new Array[Byte](16)
     val n = shingles.numElements()

@@ -235,22 +235,42 @@ object Ann {
         posexplode(transform(col("hashes"), h => vector_to_array(h).getItem(0)))
           .as(Seq("ht", "bucket")): _*)
 
+  /** Salt fan-out for the intra-bucket self-join: a popular bucket's
+    * pair generation is split across this many tasks instead of one. */
+  private val BucketSalts = 16
+
   /** Candidate bucket join + exact cosine verify over hashed rows
     * (id, embedding, ht, bucket). Same candidate semantics as MLlib's
     * approxSimilarityJoin (pairs sharing >= 1 bucket in any hash table)
     * but planned as a plain bucket equi-join + codegen'd cosine verify —
     * MLlib's join verifies with a non-codegen UDF over Vector UDTs, which
-    * is the slow half of the query at scale. */
+    * is the slow half of the query at scale.
+    *
+    * The join key is salted: LSH buckets are power-law sized (and
+    * degenerate to near-everything when the threshold sits below the
+    * corpus's similarity floor), so the raw (ht, bucket) key space hands
+    * a whole mega-bucket's O(|bucket|^2) pair generation to ONE task.
+    * Side 1 keys each row by id1 % BucketSalts; side 2 replicates each
+    * row to all salts — every in-bucket pair is still produced exactly
+    * once per (ht, bucket), but the work lands on BucketSalts tasks.
+    * (AQE skew-join can't help here: the skew is in join *output*
+    * cardinality, not input partition bytes.) Same technique as the
+    * salted aggregation in plans.Scale (q82). */
   private def nearDupFromBuckets(hashed: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
     val a = hashed.select(col(idCol).as("id1"), col(embCol).as("v1"),
-      col("ht"), col("bucket"))
+      col("ht"), col("bucket"),
+      (col(idCol) % BucketSalts).cast("int").as("salt"))
     val b = hashed.select(col(idCol).as("id2"), col(embCol).as("v2"),
       col("ht"), col("bucket"))
+      .withColumn("salt", explode(array((0 until BucketSalts).map(lit): _*)))
     // verify BEFORE dedup: the kernel is ~100ns/pair, so re-verifying a
     // pair that collides in several tables is far cheaper than shuffling
     // two 64-float vectors per candidate through a dropDuplicates exchange
-    a.join(b, Seq("ht", "bucket"))
+    val parts = hashed.sparkSession.sessionState.conf.numShufflePartitions
+    a.repartition(parts, col("ht"), col("bucket"), col("salt"))
+      .join(b.repartition(parts, col("ht"), col("bucket"), col("salt")),
+        Seq("ht", "bucket", "salt"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         round(cosineFast(col("v1"), col("v2")), 4).as("sim"))
