@@ -31,6 +31,21 @@ object GraftConf {
   def ivfNprobe(s: SparkSession): Int =
     s.conf.get("spark.graft.ivf.nprobe", "6").toInt
 
+  /** KMeans iteration cap for the IVF quantizer fit. Each iteration is a
+    * Spark job; 10 converges on clustered corpora (q35 recall unchanged
+    * vs 20 on the test tables) at half the fit latency. */
+  def ivfMaxIter(s: SparkSession): Int =
+    s.conf.get("spark.graft.ivf.maxIter", "10").toInt
+
+  /** KMeans init for the IVF quantizer: "k-means||" (default — several
+    * rounds of init jobs but well-seeded cells) or "random" (one init
+    * job). Measured on the test tables: random init cuts fit latency
+    * ~30% but drops q35 recall 0.94 -> 0.84 at nprobe=6 — badly seeded
+    * cells split true clusters, and no Lloyd iteration count repairs
+    * that within the 0.9 recall gate. Quality default wins. */
+  def ivfInitMode(s: SparkSession): String =
+    s.conf.get("spark.graft.ivf.initMode", "k-means||")
+
   /** BRP-LSH bucket length (tools.LshTune r3 sweep, threshold 0.35:
     * 0.25 matches 0.5/1.0 recall at every table count while trimming the
     * candidate set; 0.1 collapses recall to 0.81-0.93). */

@@ -116,17 +116,21 @@ object Ann {
     * Cell count from GraftConf.ivfCells. */
   def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val cells = GraftConf.ivfCells(s)
-    ivfCache.getOrElseUpdate((sessionKey(s), s"$d@cells=$cells"),
-      fitIvfIndex(s, d, cells))
+    val maxIter = GraftConf.ivfMaxIter(s)
+    val init = GraftConf.ivfInitMode(s)
+    ivfCache.getOrElseUpdate(
+      (sessionKey(s), s"$d@cells=$cells,it=$maxIter,init=$init"),
+      fitIvfIndex(s, d, cells, maxIter, init))
   }
 
-  private def fitIvfIndex(s: SparkSession, d: String, cells: Int): (DataFrame, DataFrame) = {
+  private def fitIvfIndex(s: SparkSession, d: String, cells: Int,
+      maxIter: Int, init: String): (DataFrame, DataFrame) = {
     val data = vectorized(s, d)
     val model = loadOrFit(s,
-      indexArtifactPath(s, "ivf_kmeans", d, s"cells=$cells"),
+      indexArtifactPath(s, "ivf_kmeans", d, s"cells=$cells,it=$maxIter,init=$init"),
       KMeansModel.load) {
       new KMeans()
-        .setK(cells).setSeed(Seed).setMaxIter(20)
+        .setK(cells).setSeed(Seed).setMaxIter(maxIter).setInitMode(init)
         .setFeaturesCol("fvec").setPredictionCol("centroid_id")
         .fit(data)
     }

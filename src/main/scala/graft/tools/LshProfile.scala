@@ -29,6 +29,18 @@ object LshProfile {
     t("full lshNearDup #2 (model cached)") {
       println("  pairs=" + graft.operators.Ann.lshNearDup(spark, sfDir, 0.35).count())
     }
+    t("ivfIndex fit+assign") {
+      val (assigned, _) = graft.operators.Ann.ivfIndex(spark, sfDir)
+      println("  assigned=" + assigned.count())
+    }
+    t("ivfKnn #1 (index cached)") {
+      println("  rows=" + graft.operators.Ann.ivfKnn(spark, sfDir,
+        k = 2, nprobe = 6, queryMod = 10).count())
+    }
+    t("ivfKnn #2") {
+      println("  rows=" + graft.operators.Ann.ivfKnn(spark, sfDir,
+        k = 2, nprobe = 6, queryMod = 10).count())
+    }
     spark.stop()
   }
 }

@@ -35,7 +35,8 @@ class IndexPersistenceSpec extends SparkSpec {
       val cells = GraftConf.ivfCells(spark)
       val (_, centroids) = Ann.ivfIndex(spark, sfTiny)
       assert(centroids.count() == cells)
-      val path = Ann.indexArtifactPath(spark, "ivf_kmeans", sfTiny, s"cells=$cells").get
+      val path = Ann.indexArtifactPath(spark, "ivf_kmeans", sfTiny,
+        s"cells=$cells,it=${GraftConf.ivfMaxIter(spark)},init=${GraftConf.ivfInitMode(spark)}").get
       assert(new java.io.File(path, "metadata").exists(), s"artifact missing at $path")
 
       // tamper: a 3-cell model fit on a 6-point toy frame, saved over the slot
