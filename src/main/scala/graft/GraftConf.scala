@@ -58,6 +58,14 @@ object GraftConf {
   def lshNumTables(s: SparkSession): Int =
     s.conf.get("spark.graft.lsh.numHashTables", "8").toInt
 
+  /** Intra-bucket salt fan-out for the LSH candidate self-join: a
+    * mega-bucket's O(|bucket|^2) pair generation is split across this
+    * many tasks (join *output* skew is invisible to AQE, which splits by
+    * input partition bytes). Cost: the probe side is replicated this many
+    * times — keep well below the corpus row count. */
+  def lshBucketSalts(s: SparkSession): Int =
+    s.conf.get("spark.graft.lsh.bucketSalts", "16").toInt
+
   /** Directory for persisted ANN index models (S6 parity with the
     * reference's faiss.write_index/read_index round-trip,
     * app/vector_search.py:207-294). Unset = in-memory only (fit per JVM). */

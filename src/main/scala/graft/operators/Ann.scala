@@ -239,10 +239,6 @@ object Ann {
         posexplode(transform(col("hashes"), h => vector_to_array(h).getItem(0)))
           .as(Seq("ht", "bucket")): _*)
 
-  /** Salt fan-out for the intra-bucket self-join: a popular bucket's
-    * pair generation is split across this many tasks instead of one. */
-  private val BucketSalts = 16
-
   /** Candidate bucket join + exact cosine verify over hashed rows
     * (id, embedding, ht, bucket). Same candidate semantics as MLlib's
     * approxSimilarityJoin (pairs sharing >= 1 bucket in any hash table)
@@ -262,12 +258,13 @@ object Ann {
     * salted aggregation in plans.Scale (q82). */
   private def nearDupFromBuckets(hashed: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
+    val salts = GraftConf.lshBucketSalts(hashed.sparkSession)
     val a = hashed.select(col(idCol).as("id1"), col(embCol).as("v1"),
       col("ht"), col("bucket"),
-      (col(idCol) % BucketSalts).cast("int").as("salt"))
+      (col(idCol) % salts).cast("int").as("salt"))
     val b = hashed.select(col(idCol).as("id2"), col(embCol).as("v2"),
       col("ht"), col("bucket"))
-      .withColumn("salt", explode(array((0 until BucketSalts).map(lit): _*)))
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
     // verify BEFORE dedup: the kernel is ~100ns/pair, so re-verifying a
     // pair that collides in several tables is far cheaper than shuffling
     // two 64-float vectors per candidate through a dropDuplicates exchange

@@ -74,14 +74,24 @@ object StreamingJobs {
     import graft.functions.VectorKernels.cosineFast
     def hashed(df: org.apache.spark.sql.DataFrame) =
       graft.operators.Ann.lshHashBuckets(spark, corpusDir, df)
+    // Salt the bucket key: an LSH mega-bucket would otherwise hand one
+    // task the whole bucket's candidate generation every micro-batch
+    // (same join-output skew as the batch path, Ann.nearDupFromBuckets).
+    // The *static* side carries the salt (cid % salts) so it is never
+    // replicated; the small per-trigger stream side explodes to all
+    // salts — every (stream row, corpus row) bucket pair still meets
+    // exactly once.
+    val salts = graft.GraftConf.lshBucketSalts(spark)
     val corpus = hashed(spark.read.parquet(s"$corpusDir/embeddings.parquet"))
       .withColumnRenamed("vec_id", "cid").withColumnRenamed("embedding", "cvec")
+      .withColumn("salt", (col("cid") % salts).cast("int"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(streamDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir)
     val q = hashed(stream)
-      .join(corpus, Seq("ht", "bucket"))
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+      .join(corpus, Seq("ht", "bucket", "salt"))
       .filter(col("vec_id") =!= col("cid"))
       .select(col("vec_id"), col("cid"),
         round(cosineFast(col("embedding"), col("cvec")), 4).as("sim"))

@@ -31,6 +31,24 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("LSH candidate join keeps its explicit salted fan-out (AQE must not re-serialize it)") {
+    // regression guard for the r3 finding: the bucket join's shuffle
+    // INPUT is tiny, so AQE coalesced it to 1-2 partitions and the huge
+    // join OUTPUT (all in-bucket pairs) was generated serially. The plan
+    // must keep the user repartition on the salted key (REPARTITION_BY_NUM
+    // is the marker Catalyst gives an explicit-numPartitions repartition,
+    // which AQE is contractually not allowed to coalesce).
+    val df = operators.Ann.lshNearDup(spark, sfTiny, 0.35)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // an explicit-numPartitions RepartitionByExpression on the salted key;
+    // AQE is contractually not allowed to coalesce user repartitions that
+    // pin a partition count
+    assert(plan.contains(s"RepartitionByExpression") && plan.contains(s", $parts"),
+      s"explicit $parts-way repartition missing from LSH join plan:\n$plan")
+    assert(plan.contains("salt"), s"salt column missing from LSH join plan:\n$plan")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val direct = Tables.lineitem(spark, sfTiny)
       .groupBy(col("l_returnflag"))
