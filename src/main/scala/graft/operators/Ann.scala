@@ -348,6 +348,30 @@ object Ann {
     nearDupFromBuckets(hashed, "vec_id", "embedding", threshold)
   }
 
+  /** IVF-candidate near-dup pairs — the pair-search form of the
+    * reference's shipped `IVF100,Flat` default (.env:7): every vector is
+    * assigned its `nprobe` nearest cells (multi-probe assignment: two
+    * vectors can only pair if they share a probed cell), candidates are
+    * the within-cell pairs, verified by the exact cosine kernel. Reuses
+    * the salted bucket join — a KMeans cell is just a coarser, learned
+    * LSH bucket (ht=0, bucket=cell). */
+  def ivfNearDup(s: SparkSession, d: String, threshold: Double,
+      nprobe: Int): DataFrame = {
+    val (assigned, centroids) = ivfIndex(s, d)
+    val probed = assigned.select(col("vec_id"), col("vec"))
+      .join(broadcast(centroids.select(col("centroid_id").as("cell"), col("cvec"))),
+        lit(true))
+      .select(col("vec_id"), col("vec"), col("cell"),
+        l2DistSqFast(col("vec"), col("cvec")).as("cdist"))
+      .withColumn("crank",
+        row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("cdist"), col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("vec_id"), col("vec").as("embedding"),
+        lit(0).as("ht"), col("cell").as("bucket"))
+    nearDupFromBuckets(probed, "vec_id", "embedding", threshold)
+  }
+
   /** q36: LSH-accelerated near-dup pairs (ANN counterpart of exact q31). */
   val q36LshNearDup = GraftQuery(
     "q36_lsh_neardup",
@@ -368,5 +392,15 @@ object Ann {
     },
     None)
 
-  def queries: Seq[GraftQuery] = Seq(q34IvfKnn, q35IvfRecall, q36LshNearDup, q37LshRecall)
+  /** q56: IVF-candidate near-dup pairs (pair-search form of the shipped
+    * IVF default; nprobe=4 from the dev sweep — recall 0.993 at sf0.01,
+    * 0.97 at nprobe=3, 0.78 at nprobe=2). */
+  val q56IvfNearDup = GraftQuery(
+    "q56_ivf_neardup",
+    "J1c,M4,D5; IVF near-dup pairs (no SQL oracle: KMeans)",
+    (s, d) => ivfNearDup(s, d, threshold = 0.35, nprobe = 4),
+    None)
+
+  def queries: Seq[GraftQuery] = Seq(
+    q34IvfKnn, q35IvfRecall, q36LshNearDup, q37LshRecall, q56IvfNearDup)
 }

@@ -61,5 +61,38 @@ object Sources {
     },
     None)
 
-  def queries: Seq[GraftQuery] = Seq(q80CsvRoundTrip, q81SchemaPeek)
+  /** JSONL (newline-delimited JSON) round trip — the lingua franca of
+    * LLM training-data interchange (one JSON object per line; what a
+    * 100 TB corpus usually lands as before parquet conversion). Same
+    * explicit-schema discipline as CSV: no sampling inference on read. */
+  def jsonlRoundTrip(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).json(path)
+    spark.read.schema(df.schema).json(path)
+  }
+
+  /** q84: documents through a JSONL round trip, then a per-source profile
+    * (text length survives JSON string escaping — the hash proves the
+    * lossless round trip, including the HTML-ish text payload). */
+  val q84JsonlRoundTrip = GraftQuery(
+    "q84_jsonl_roundtrip",
+    "S1,S7 ext; JSONL scan + sink, explicit schema",
+    (s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_rt_" +
+        java.lang.Integer.toHexString(System.identityHashCode(s))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val back = jsonlRoundTrip(s, docs, tmp)
+      back.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(length(col("text"))).as("total_len"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, count(*) AS n,
+        CAST(sum(length(text)) AS BIGINT) AS total_len,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  def queries: Seq[GraftQuery] = Seq(q80CsvRoundTrip, q81SchemaPeek, q84JsonlRoundTrip)
 }

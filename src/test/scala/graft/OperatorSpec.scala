@@ -78,6 +78,16 @@ class OperatorSpec extends SparkSpec {
     assert(found.toDouble / total >= 0.9, s"recall ${found.toDouble / total}")
   }
 
+  test("IVF near-dup pair recall >= 0.9 vs exact (tiny)") {
+    val exact = Similarity.nearDupPairs(spark, sfTiny, 0.35, prefilterLabel = false)
+      .select(col("id1"), col("id2"))
+    val ann = Ann.ivfNearDup(spark, sfTiny, 0.35, nprobe = 4)
+      .select(col("id1"), col("id2"))
+    val total = exact.count()
+    val found = exact.join(ann, Seq("id1", "id2")).count()
+    assert(found.toDouble / total >= 0.9, s"recall ${found.toDouble / total}")
+  }
+
   test("LSH near-dup recall >= 0.9 vs exact (tiny)") {
     val exact = Similarity.nearDupPairs(spark, sfTiny, 0.35, prefilterLabel = false)
       .select(col("id1"), col("id2"))

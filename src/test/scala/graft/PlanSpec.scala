@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Plan-shape contracts — the scale properties COVERAGE/SCALE claim, as
+  * executable assertions instead of prose: column pruning and filter
+  * pushdown reach the parquet scan, dimension joins broadcast, global
+  * top-k plans as TakeOrderedAndProject (never a full sort), and the
+  * quadratic baselines are the only cross joins in the registry. */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q31 scan prunes to the referenced columns (no label read)") {
+    val plan = planString(Registry.byName("q31_neardup_pairs").run(spark, sfTiny))
+    val readSchemas = "ReadSchema: [^\n]+".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("label"), s"label not pruned from scan: $rs")
+    }
+  }
+
+  test("q02 pushes its predicate into the parquet scan") {
+    // explainString(formatted) rather than the plan's toString: the scan
+    // node's metadata is truncated at maxMetadataStringLength in simple
+    // mode, which can cut the PushedFilters list mid-entry
+    val plan = Registry.byName("q02_filter_revenue").run(spark, sfTiny)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert("PushedFilters: \\[\\w".r.findFirstIn(plan).isDefined,
+      s"no pushed filters in q02 scan:\n$plan")
+  }
+
+  test("q05 sort+limit plans as TakeOrderedAndProject, not a global sort") {
+    val df = Registry.byName("q05_sort_limit").run(spark, sfTiny)
+    df.count() // finalize any adaptive plan
+    val plan = executed(df)
+    assert(plan.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"TakeOrderedAndProject missing:\n$plan")
+  }
+
+  test("q03 joins the nation dimension via broadcast") {
+    val df = Registry.byName("q03_join_revenue_by_nation").run(spark, sfTiny)
+    df.count()
+    val plan = executed(df)
+    assert(plan.exists(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+        n.isInstanceOf[BroadcastExchangeExec] ||
+        n.exists(_.isInstanceOf[BroadcastHashJoinExec])),
+      s"no broadcast join in q03:\n$plan")
+  }
+
+  test("q83 top-1 is a hash aggregate, not a window sort over the scored pairs") {
+    val plan = planString(Registry.byName("q83_similarity_histogram").run(spark, sfTiny))
+    assert(!plan.contains("Window"), s"q83 regressed to a window plan:\n$plan")
+    assert(plan.contains("HashAggregate"), s"q83 lost its hash-agg top-1:\n$plan")
+  }
+}
