@@ -238,7 +238,63 @@ object TextAnalysis {
             FROM documents)
       GROUP BY term ORDER BY tf DESC, term LIMIT 25"""))
 
+  /** q46: the end-to-end corpus *filter* recipe a training-data pipeline
+    * runs before tokenization (C4/Gopher shape): per-doc token and
+    * stopword metrics -> hard quality gates (token-count range, stopword
+    * ratio) -> content-addressed dedup where the *highest-quality*
+    * duplicate survives (most tokens, tie-break lowest doc_id) — a
+    * deliberate upgrade over keep-first (q44/q50): when near-identical
+    * crawls differ, you keep the richest copy, not the first-seen one.
+    * One declarative plan: scan -> per-row exprs -> one window -> output;
+    * shuffle volume is one row per doc, never the token explosion. */
+  val q46CorpusFilter = GraftQuery(
+    "q46_corpus_filter",
+    "F5,F6,F8,D1-variant,P4,A9; §LLM corpus filter composite",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val metrics = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+            .cast("binary")).as("fp"),
+          toks(col("text")).as("t"))
+        .select(col("doc_id"), col("lang"), col("fp"),
+          size(col("t")).as("n_tok"),
+          size(filter(col("t"), t => t.isInCollection(stopwords))).as("n_stop"))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") / col("n_tok"), 4))
+      val gated = metrics
+        .filter(col("n_tok") >= 20 && col("n_tok") <= 2000 &&
+          col("stop_ratio") <= 0.5)
+      val w = Window.partitionBy(col("fp"))
+        .orderBy(col("n_tok").desc, col("doc_id"))
+      gated
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("stop_ratio"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH metrics AS (
+        SELECT doc_id, lang,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+          len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+          len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+              t -> t IN ('the','a','of','and','to','in'))) AS n_stop
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang, fp, n_tok,
+          round(n_stop::DOUBLE / n_tok, 4) AS stop_ratio
+        FROM metrics),
+      gated AS (
+        SELECT * FROM scored
+        WHERE n_tok >= 20 AND n_tok <= 2000 AND stop_ratio <= 0.5),
+      deduped AS (
+        SELECT *, row_number() OVER (PARTITION BY fp
+          ORDER BY n_tok DESC, doc_id) AS rn
+        FROM gated)
+      SELECT doc_id, lang, n_tok, stop_ratio, fp
+      FROM deduped WHERE rn = 1 ORDER BY doc_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
-    q44PreprocessPipeline, q45TopTerms)
+    q44PreprocessPipeline, q45TopTerms, q46CorpusFilter)
 }
