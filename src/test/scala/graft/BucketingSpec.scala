@@ -31,6 +31,38 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("IVF probe join over a centroid-bucketed assignment table: corpus side never re-shuffles") {
+    // The 100 TB IVF layout (SCALE.md): the "index add" writes the
+    // assignment table bucketed by centroid_id, so every probe query
+    // shuffles only its (tiny) probe list — the corpus-side Exchange that
+    // would move the whole index per search must not exist.
+    spark.sql("DROP TABLE IF EXISTS ivf_assign_bucketed")
+    val (assigned, _) = operators.Ann.ivfIndex(spark, sfTiny)
+    plans.Scale.writeBucketed(
+      assigned.select(col("vec_id"), col("centroid_id"), col("vec")),
+      "ivf_assign_bucketed", "centroid_id", buckets = 4)
+    val probes = assigned.select(col("centroid_id")).distinct().limit(3)
+      .withColumnRenamed("centroid_id", "probe_cell")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ivf_assign_bucketed")
+        .join(probes, col("centroid_id") === col("probe_cell"))
+      val exec = joined.queryExecution.executedPlan
+      val plan = exec.toString
+      assert(plan.contains("Bucketed: true"), s"corpus scan not bucketed:\n$plan")
+      // probe-side shuffles are fine (the probe list is tiny); what must
+      // NOT exist is any Exchange above the bucketed corpus scan
+      val shuffleOverCorpus = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.toString.contains("Bucketed: true") => e
+      }
+      assert(shuffleOverCorpus.isEmpty,
+        s"the bucketed corpus side re-shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("LSH candidate join keeps its explicit salted fan-out (AQE must not re-serialize it)") {
     // regression guard for the r3 finding: the bucket join's shuffle
     // INPUT is tiny, so AQE coalesced it to 1-2 partitions and the huge
