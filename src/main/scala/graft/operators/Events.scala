@@ -151,6 +151,54 @@ object Events {
       GROUP BY CUBE (event_type, hr)
       ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST"""))
 
+  /** q75: as-of join — each purchase matched to the user's most recent
+    * view at-or-before it (left semantics: no prior view -> nulls).
+    *
+    * Spark has no ASOF JOIN operator; the naive encoding is a range
+    * join (`p.user = v.user AND v.ts <= p.ts` + per-row max), which
+    * Catalyst plans as an inner join exploding to all (purchase, earlier
+    * view) pairs — quadratic per user. This plan is the scalable
+    * union-tag + running-last window form: one shuffle on user_id, one
+    * ordered pass, O(events) total. View side is pre-deduped to one row
+    * per (user, ts) (keep max event_id) so ties are deterministic on
+    * both engines; DuckDB's native ASOF LEFT JOIN is the oracle. */
+  val q75AsofJoin = GraftQuery(
+    "q75_asof_join",
+    "as-of join (engine extension; union+window linear plan)",
+    (s, d) => {
+      val ev = Tables.eventsWithTs(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("event_id"))
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purchases)
+        .withColumn("view_id",
+          last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("view_ts",
+          last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("view_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("view_ts"))).as("gap_s"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""WITH views AS (
+        SELECT user_id, ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      purchases AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+        CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_s
+      FROM purchases p ASOF LEFT JOIN views v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY purchase_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
-    q70EventWindow, q71Sessionize, q72StreamDedup, q73JsonProps, q74Cube)
+    q70EventWindow, q71Sessionize, q72StreamDedup, q73JsonProps, q74Cube,
+    q75AsofJoin)
 }
