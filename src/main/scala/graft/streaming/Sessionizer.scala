@@ -13,13 +13,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * on (n_sessions, n_events) per user.
   *
   * State is one (lastTs, openSessionStart, counts) record per user —
-  * O(users), not O(events) — and event-time-timeout-able, which is what
-  * makes this viable on an unbounded 100 TB stream where the batch
-  * window-function form is not.
+  * O(users), not O(events) — and bounded by an EVENT-TIME TIMEOUT: each
+  * update arms a timeout at lastTs + gap, so when the watermark passes a
+  * user's idle horizon their state is emitted once more (the "session
+  * closed" record) and REMOVED. On an unbounded 100 TB stream the state
+  * store therefore holds only *active* users, not every user ever seen —
+  * the property the batch window-function form cannot have.
   */
 object Sessionizer {
 
-  case class Ev(user_id: Long, ts_us: Long)
+  /** `ts` carries the watermarked TimestampType column through to the
+    * stateful operator (the analyzer requires it in the child output for
+    * event-time timeouts); `ts_us` is the same instant in microseconds
+    * for exact integer gap math. */
+  case class Ev(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
   case class SessState(lastTs: Long, nSessions: Int, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Int, n_events: Long)
 
@@ -35,7 +42,8 @@ object Sessionizer {
     Math.floorDiv(tsUs, 1000000L) - Math.floorDiv(prevUs, 1000000L) > GapS
 
   /** The state-update function: fold this batch's (sorted) events into the
-    * running per-user session state.
+    * running per-user session state; on watermark timeout, emit the final
+    * record and drop the state.
     *
     * Events may arrive out of order ACROSS micro-batches (one parquet
     * file per trigger, no global order). lastTs is clamped to
@@ -46,32 +54,46 @@ object Sessionizer {
     * the bounded-state trade every watermark-based sessionizer makes.) */
   def update(userId: Long, events: Iterator[Ev],
       state: GroupState[SessState]): Iterator[UserSessions] = {
-    val sorted = events.toSeq.sortBy(_.ts_us)
-    if (sorted.isEmpty) {
-      state.getOption.map(s => UserSessions(userId, s.nSessions, s.nEvents)).iterator
-    } else {
-      var s = state.getOption.getOrElse(SessState(Long.MinValue, 0, 0L))
-      sorted.foreach { e =>
-        val isNew = s.lastTs == Long.MinValue || newSession(s.lastTs, e.ts_us)
-        s = SessState(math.max(s.lastTs, e.ts_us),
-          s.nSessions + (if (isNew) 1 else 0), s.nEvents + 1)
-      }
-      state.update(s)
+    if (state.hasTimedOut) {
+      // watermark passed this user's idle horizon: close out and free the
+      // state slot (a later event for the user starts a fresh session)
+      val s = state.get
+      state.remove()
       Iterator.single(UserSessions(userId, s.nSessions, s.nEvents))
+    } else {
+      val sorted = events.toSeq.sortBy(_.ts_us)
+      if (sorted.isEmpty) {
+        state.getOption.map(s => UserSessions(userId, s.nSessions, s.nEvents)).iterator
+      } else {
+        var s = state.getOption.getOrElse(SessState(Long.MinValue, 0, 0L))
+        sorted.foreach { e =>
+          val isNew = s.lastTs == Long.MinValue || newSession(s.lastTs, e.ts_us)
+          s = SessState(math.max(s.lastTs, e.ts_us),
+            s.nSessions + (if (isNew) 1 else 0), s.nEvents + 1)
+        }
+        state.update(s)
+        // arm the event-time timeout at the idle horizon (ms precision)
+        state.setTimeoutTimestamp(Math.floorDiv(s.lastTs, 1000L) + GapS * 1000L)
+        Iterator.single(UserSessions(userId, s.nSessions, s.nEvents))
+      }
     }
   }
 
-  /** Run over a parquet event directory with availableNow; results (last
-    * update per user) land in the memory table `sinkName`. */
-  def run(spark: SparkSession, dir: String, sinkName: String): StreamingQuery = {
+  /** Run over a parquet event directory with availableNow; results (one
+    * row per state update or timeout) land in the memory table
+    * `sinkName`. The watermark (`delay` behind max event time) both
+    * tolerates cross-file disorder and drives the state timeouts. */
+  def run(spark: SparkSession, dir: String, sinkName: String,
+      delay: String = "1 second"): StreamingQuery = {
     import spark.implicits._
     val events: Dataset[Ev] = StreamingJobs.eventStream(spark, dir)
-      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"))
+      .withWatermark("ts", delay)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"), col("ts"))
       .as[Ev]
     val q = events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(update)
       .writeStream
       .queryName(sinkName)
       .format("memory")

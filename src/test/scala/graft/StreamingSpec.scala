@@ -107,6 +107,45 @@ class StreamingSpec extends SparkSpec {
     assert(res(2L) == ((2, 4)), s"user 2 out-of-order clamp: ${res(2L)}")
   }
 
+  test("sessionizer state expires via event-time timeout and is rebuilt on return") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft_sess_timeout")
+    val base = 1700000000L
+    val sec = 1000000000L // ns per second
+    val day = 86400L
+    def writeOne(rows: Seq[(Long, Long)], name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_sess_part2")
+      rows.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dest = new java.io.File(dir.toFile, name)
+      Files.move(part.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+      assert(dest.setLastModified(mtime))
+    }
+    val now = System.currentTimeMillis()
+    // A: user 1 (2 events, one session) + user 2; B,C: only user 2, with
+    // event times far past user 1's idle horizon -> the advancing
+    // watermark must TIME OUT user 1's state (final emission + removal);
+    // D: user 1 returns -> a fresh state, not a continuation.
+    writeOne(Seq((1L, base * sec), (1L, (base + 60) * sec),
+      (2L, base * sec)), "a.parquet", now - 90000)
+    writeOne(Seq((2L, (base + 5 * day) * sec)), "b.parquet", now - 60000)
+    writeOne(Seq((2L, (base + 5 * day + 3600) * sec)), "c.parquet", now - 30000)
+    writeOne(Seq((1L, (base + 6 * day) * sec)), "d.parquet", now)
+    graft.streaming.Sessionizer.run(spark, dir.toString, "sess_timeout_test")
+    val u1 = spark.table("sess_timeout_test")
+      .filter(col("user_id") === 1L)
+      .select(col("n_sessions"), col("n_events"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    // batch A emission (1,2), timeout emission (1,2), post-return fresh
+    // state (1,1). A surviving (un-expired) state would instead continue
+    // to (2 sessions, 3 events).
+    assert(u1 == Seq((1, 1L), (1, 2L), (1, 2L)),
+      s"user 1 emissions $u1 — state did not expire + rebuild as required")
+  }
+
   test("streaming dedup (dropDuplicates + watermark) == batch keep-first key set") {
     StreamingJobs.runStreamingDedup(spark, streamDir, "dedup_test")
     val streamedKeys = spark.table("dedup_test")
