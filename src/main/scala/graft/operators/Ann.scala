@@ -401,6 +401,21 @@ object Ann {
     (s, d) => ivfNearDup(s, d, threshold = 0.35, nprobe = 4),
     None)
 
+  /** q57: IVF pair recall vs exact q31 — every ANN tier ships its recall
+    * query as data (IVF kNN: q35, LSH pairs: q37, IVF pairs: this). */
+  val q57IvfPairRecall = GraftQuery(
+    "q57_ivf_pair_recall",
+    "J1c quality gate",
+    (s, d) => {
+      val exact = Similarity.nearDupPairs(s, d, 0.35, prefilterLabel = false)
+        .select(col("id1").as("qid"), col("id2").as("nid"))
+      val ann = ivfNearDup(s, d, 0.35, nprobe = 4)
+        .select(col("id1").as("qid"), col("id2").as("nid"))
+      recallVsExact(ann, exact)
+    },
+    None)
+
   def queries: Seq[GraftQuery] = Seq(
-    q34IvfKnn, q35IvfRecall, q36LshNearDup, q37LshRecall, q56IvfNearDup)
+    q34IvfKnn, q35IvfRecall, q36LshNearDup, q37LshRecall, q56IvfNearDup,
+    q57IvfPairRecall)
 }

@@ -39,6 +39,31 @@ class PipelineSpec extends SparkSpec {
     assert(n == Tables.documents(spark, sfTiny).count())
   }
 
+  test("JSONL source tolerates corrupt lines (PERMISSIVE null rows, no job failure)") {
+    // a 100 TB JSONL landing zone WILL contain malformed lines; the scan
+    // must quarantine them as null rows, not kill the job
+    val dir = Files.createTempDirectory("graft_jsonl_corrupt")
+    Files.writeString(dir.resolve("part-0.json"),
+      """{"doc_id": 1, "text": "good line"}
+        |this is not json at all
+        |{"doc_id": 2, "text": "another good line"}
+        |{"doc_id": "not-a-number", "text": 3}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val read = spark.read.schema(schema).json(dir.toString)
+    val rows = read.collect()
+    assert(rows.length == 4) // every line produces a row
+    val good = read.filter(col("doc_id").isNotNull)
+      .collect().map(_.getLong(0)).toSet
+    assert(good == Set(1L, 2L), s"good rows: $good")
+    // corrupt lines arrive as all-null rows — countable, quarantinable
+    assert(read.filter(col("doc_id").isNull).count() == 2)
+  }
+
   test("markdown report sink renders header, separator, and escaped cells") {
     val df = Tables.documents(spark, sfTiny)
       .select(col("doc_id"), col("lang")).orderBy(col("doc_id")).limit(3)
