@@ -25,8 +25,10 @@ import graft.functions.VectorKernels._
   *    re-expressed as relational partition pruning. At cluster scale the
   *    assignment table is written bucketed by centroid_id so the probe
   *    join co-locates without a shuffle.
-  *  - LSH: MLlib BucketedRandomProjectionLSH (random-hyperplane family);
-  *    approxSimilarityJoin is the banded bucket-join.
+  *  - LSH: MLlib BucketedRandomProjectionLSH (random-hyperplane family)
+  *    supplies the fitted projections; the candidate join itself is
+  *    hand-planned (salted bucket equi-join + codegen verify) because
+  *    MLlib's approxSimilarityJoin verifies with a non-codegen UDF.
   *
   * All fit-time knobs come from [[graft.GraftConf]] (the Spark-native
   * equivalent of the reference's env-driven EMBEDDING_DIM /
