@@ -26,10 +26,13 @@ object Tables {
   }
 
   /** events with `ts` converted from epoch-nanos long to TimestampType
-    * (microsecond precision — plenty for windowing/watermarks). */
+    * (microsecond precision — plenty for windowing/watermarks).
+    * `div` (integer division), NOT `/`: SQL `/` on longs goes through
+    * DOUBLE, and epoch nanos (~1.7e18) exceed a double's 2^53 exact
+    * range, so the truncating cast could land a microsecond off. */
   def eventsWithTs(spark: SparkSession, d: String): DataFrame = {
     val ev = load(spark, d, "events")
-    ev.withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS LONG))"))
+    ev.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   def region(spark: SparkSession, d: String): DataFrame     = load(spark, d, "region")

@@ -39,7 +39,7 @@ object StreamingJobs {
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS LONG))"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // exact int division (see Tables.eventsWithTs)
   }
 
   /** Run the windowed agg over the directory's backlog with a 1-hour
