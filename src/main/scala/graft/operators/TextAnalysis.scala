@@ -294,7 +294,32 @@ object TextAnalysis {
       SELECT doc_id, lang, n_tok, stop_ratio, fp
       FROM deduped WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** q47: language-balanced stratified sampling — every 3rd document per
+    * language, capped per stratum (the corpus-balancing downsample an
+    * LLM-data pipeline applies to over-represented languages). Systematic
+    * within each stratum (rank by doc_id) rather than Bernoulli, so the
+    * oracle replays it exactly and a re-run is reproducible (SURVEY §7.3:
+    * the reference's unseeded random.sample is its non-determinism
+    * defect). One window per stratum — shuffle on lang, no global sort. */
+  val q47StratifiedSample = GraftQuery(
+    "q47_stratified_sample",
+    "X1,X2 ext; per-language balanced corpus sampling",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") % 3 === 1 && col("rk") <= 120)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, source, rk FROM (
+        SELECT doc_id, lang, source,
+          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+        FROM documents)
+      WHERE rk % 3 = 1 AND rk <= 120 ORDER BY doc_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
-    q44PreprocessPipeline, q45TopTerms, q46CorpusFilter)
+    q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample)
 }
