@@ -319,7 +319,83 @@ object TextAnalysis {
         FROM documents)
       WHERE rk % 3 = 1 AND rk <= 120 ORDER BY doc_id"""))
 
+  /** q48: training-sequence packing — assign documents (stable doc_id
+    * order WITHIN each source shard) to fixed-budget sequences of 512
+    * whitespace tokens by the running-cumsum rule: a document belongs to
+    * the bin its *starting* token offset falls in (the streaming
+    * greedy-fill approximation every packing implementation uses — no
+    * stateful bin-close logic, one window pass, deterministic). Packing
+    * is per-shard BY DESIGN: a single global ordering would be a
+    * one-reducer window (the SCALE.md anti-pattern), and cross-shard
+    * document order carries no meaning for training anyway — shards pack
+    * independently on 1000 executors. Emits per-sequence doc counts and
+    * fill levels — the packing-efficiency profile. */
+  val q48SequencePacking = GraftQuery(
+    "q48_sequence_packing",
+    "LLM-pipeline: token-budget sequence packing; per-shard window cumsum",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_id", floor((col("cum") - col("n_tok")) / 512L))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("source"), col("seq_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tok,
+          sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT source, CAST(floor((cum - n_tok) / 512) AS BIGINT) AS seq_id,
+        count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** q49: corpus mixture — per-source sampling weights applied as
+    * systematic mod-rates (src0 keep 1/1, src1 1/2, src2 1/4, others 1/8
+    * by within-source rank), then the resulting mixture profile. The
+    * dataset-mixing step of pretraining-corpus assembly, deterministic so
+    * a re-run (and the oracle) reproduces the exact mixture. */
+  val q49CorpusMixture = GraftQuery(
+    "q49_corpus_mixture",
+    "LLM-pipeline: weighted dataset mixing; X1 ext",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val rate = when(col("source") === "src0", 1)
+        .when(col("source") === "src1", 2)
+        .when(col("source") === "src2", 4)
+        .otherwise(8)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), size(toks(col("text"))).as("n_tok"))
+        .withColumn("rk", row_number().over(w))
+        .filter((col("rk") - 1) % rate === 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ranked AS (
+        SELECT doc_id, source,
+          len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+          CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+                      WHEN 'src2' THEN 4 ELSE 8 END AS rate
+        FROM documents)
+      SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM ranked WHERE (rk - 1) % rate = 0
+      GROUP BY source ORDER BY source"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
-    q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample)
+    q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,
+    q48SequencePacking, q49CorpusMixture)
 }
