@@ -68,6 +68,19 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("fit-time conf changes re-fit mid-session instead of reusing a stale model") {
+    // the model-cache key must include every fit parameter: after a conf
+    // change the SAME session must produce a fresh fit, not silently
+    // return the model fit under the old parameters
+    Ann.clearCaches()
+    val before = Ann.ivfIndex(spark, sfTiny)
+    withConf("spark.graft.ivf.maxIter", "1") {
+      val after = Ann.ivfIndex(spark, sfTiny)
+      assert(!(after._1 eq before._1),
+        "conf change returned the cached model fit under the old maxIter")
+    }
+  }
+
   test("exactPairCutoff routes the auto pair search") {
     // tiny corpus, cutoff 0 -> LSH path; huge cutoff -> exact path.
     // Both must agree on the pair set at this scale (recall gate).
