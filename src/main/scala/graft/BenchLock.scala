@@ -15,16 +15,26 @@ object BenchLock {
   private val LockPath = Paths.get(
     sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_measure.lock")
 
-  /** Run `body` holding the cross-JVM lock (blocks until acquired). */
+  // FileChannel locks are per-JVM: a second thread in the SAME process
+  // gets OverlappingFileLockException rather than queueing, so in-process
+  // callers serialize on this mutex first, then the file lock covers
+  // cross-JVM exclusion.
+  private val jvmMutex = new java.util.concurrent.locks.ReentrantLock()
+
+  /** Run `body` holding the cross-process measurement lock (blocks until
+    * acquired; same-JVM callers queue on an in-process mutex first). */
   def exclusively[A](label: String)(body: => A): A = {
-    val ch = FileChannel.open(LockPath,
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    jvmMutex.lock()
     try {
-      if (ch.tryLock() == null) {
-        System.err.println(s"[$label] waiting for concurrent measurement JVM to finish")
-        ch.lock() // blocks
-      }
-      body
-    } finally ch.close() // releases the lock
+      val ch = FileChannel.open(LockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        if (ch.tryLock() == null) {
+          System.err.println(s"[$label] waiting for concurrent measurement JVM to finish")
+          ch.lock() // blocks
+        }
+        body
+      } finally ch.close() // releases the file lock
+    } finally jvmMutex.unlock()
   }
 }
