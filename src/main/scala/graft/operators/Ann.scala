@@ -52,8 +52,13 @@ object Ann {
   // per JVM. Sessions have no stable public id, so the key uses identity
   // hash — correct for "same live session", never across JVMs (that is
   // what GraftConf.indexDir persistence is for).
+  /** A fitted IVF index: the quantizer model, the assigned corpus
+    * (vec_id, label, centroid_id, vec), and the broadcastable centroid
+    * table (centroid_id, cvec). */
+  final case class IvfIndex(model: KMeansModel, assigned: DataFrame, centroids: DataFrame)
+
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), IvfIndex]
   private val lshCache =
     scala.collection.concurrent.TrieMap.empty[(String, String),
       (BucketedRandomProjectionLSHModel, DataFrame)]
@@ -65,7 +70,7 @@ object Ann {
     * the M5 "rebuild the index" hook, also used by specs to force a
     * re-fit after a conf change in the same session. */
   def clearCaches(): Unit = {
-    ivfCache.values.foreach { case (assigned, _) => assigned.unpersist() }
+    ivfCache.values.foreach(_.assigned.unpersist())
     ivfCache.clear()
     lshCache.values.foreach { case (_, normed) => normed.unpersist() }
     lshCache.clear()
@@ -117,6 +122,13 @@ object Ann {
     * (centroid_id, cvec ARRAY<DOUBLE>) — small enough to broadcast.
     * Cell count from GraftConf.ivfCells. */
   def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val idx = ivfIndexFull(s, d)
+    (idx.assigned, idx.centroids)
+  }
+
+  /** Full index handle including the quantizer model (for continuous
+    * "add": streaming.StreamingJobs.runStreamingIndexAdd). */
+  def ivfIndexFull(s: SparkSession, d: String): IvfIndex = {
     val cells = GraftConf.ivfCells(s)
     val maxIter = GraftConf.ivfMaxIter(s)
     val init = GraftConf.ivfInitMode(s)
@@ -125,8 +137,20 @@ object Ann {
       fitIvfIndex(s, d, cells, maxIter, init))
   }
 
+  /** M3 "add" for an arbitrary (vec_id, embedding) frame: assign each
+    * vector its nearest cell with the dataset's fitted quantizer. Works
+    * on any batch frame (e.g. a foreachBatch micro-batch). */
+  def assignCells(s: SparkSession, d: String, df: DataFrame): DataFrame = {
+    val idx = ivfIndexFull(s, d)
+    val data = df.select(col("vec_id"),
+      array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("fvec"))
+    idx.model.transform(data)
+      .select(col("vec_id"), col("centroid_id"),
+        vector_to_array(col("fvec")).as("vec"))
+  }
+
   private def fitIvfIndex(s: SparkSession, d: String, cells: Int,
-      maxIter: Int, init: String): (DataFrame, DataFrame) = {
+      maxIter: Int, init: String): IvfIndex = {
     val data = vectorized(s, d)
     val model = loadOrFit(s,
       indexArtifactPath(s, "ivf_kmeans", d, s"cells=$cells,it=$maxIter,init=$init"),
@@ -143,7 +167,7 @@ object Ann {
     val centroids = s.createDataFrame(
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
       .toDF("centroid_id", "cvec")
-    (assigned, centroids)
+    IvfIndex(model, assigned, centroids)
   }
 
   /** M4 "search": k-NN via nprobe-cell pruning. Queries score all

@@ -107,6 +107,32 @@ object StreamingJobs {
     q
   }
 
+  /** Continuous "index add" (M3 as a process): embeddings arriving as a
+    * stream are assigned their IVF cell with the corpus's fitted
+    * quantizer and appended to the assignment table — the reference's
+    * batched index.add loop (app/main.py:85-91) as a standing ingestion
+    * job. foreachBatch is the idiomatic shape: each micro-batch is a
+    * plain DataFrame, so the BATCH assignment path (Ann.assignCells,
+    * model.transform) runs unchanged and the sink write can be bucketed
+    * by centroid_id at scale (the probe join then stays shuffle-free,
+    * see BucketingSpec). */
+  def runStreamingIndexAdd(spark: SparkSession, streamDir: String, corpusDir: String,
+      outDir: String): StreamingQuery = {
+    graft.operators.Ann.ivfIndexFull(spark, corpusDir) // fit/load once, up front
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Ann.assignCells(spark, corpusDir, batch)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming exact dedup: first event per (user_id, event_type), state
     * bounded by a 1-day watermark — dropDuplicates-with-watermark, the
     * streaming form of the batch keep-first window (q72). */

@@ -146,6 +146,23 @@ class StreamingSpec extends SparkSpec {
       s"user 1 emissions $u1 — state did not expire + rebuild as required")
   }
 
+  test("streaming index add (foreachBatch) == batch cell assignment") {
+    val streamDir = Files.createTempDirectory("graft_ivf_stream")
+    Files.copy(Paths.get(s"$sfTiny/embeddings.parquet"),
+      streamDir.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val outDir = Files.createTempDirectory("graft_ivf_add_out").toString
+    graft.streaming.StreamingJobs.runStreamingIndexAdd(
+      spark, streamDir.toString, sfTiny, outDir)
+    val streamed = spark.read.parquet(outDir)
+      .select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val (assigned, _) = operators.Ann.ivfIndex(spark, sfTiny)
+    val batch = assigned.select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(streamed == batch,
+      s"streamed assignment diverges from batch (${streamed.size} vs ${batch.size} rows)")
+  }
+
   test("streaming dedup (dropDuplicates + watermark) == batch keep-first key set") {
     StreamingJobs.runStreamingDedup(spark, streamDir, "dedup_test")
     val streamedKeys = spark.table("dedup_test")
