@@ -97,6 +97,22 @@ class OperatorSpec extends SparkSpec {
     assert(found.toDouble / total >= 0.9, s"recall ${found.toDouble / total}")
   }
 
+  test("edge semantics: single-row corpus and empty query sets yield empty joins, not errors") {
+    val ss = spark
+    import ss.implicits._
+    // 1-row corpus: LSH fit succeeds (projections don't depend on data),
+    // pair join is empty — the empty-index <-> empty-join equivalence
+    val one = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    assert(Ann.lshNearDupFrame(one, "vec_id", "embedding",
+      threshold = -1.0, bucketLength = 0.25, numTables = 4).count() == 0)
+    // empty micro-batch through the continuous index-add path
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Ann.assignCells(spark, sfTiny, empty).count() == 0)
+    // unsatisfiable threshold -> empty pair relation (cos <= 1 always)
+    assert(Similarity.nearDupPairs(spark, sfTiny, threshold = 1.1,
+      prefilterLabel = false).count() == 0)
+  }
+
   test("every registered query runs on sf0.001 and the registry is consistent") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length, "duplicate query names")
