@@ -279,9 +279,10 @@ object Dedup {
     "q54_neardup_survivors",
     "D5,M5,J-anti; embedding-cosine dedup",
     (s, d) => neardupSurvivors(s, d, threshold = 0.35),
-    Some("""SELECT vec_id, label FROM embeddings
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+      SELECT vec_id, label FROM embeddings
       WHERE vec_id NOT IN (
-        SELECT b.vec_id FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        SELECT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35)
       ORDER BY vec_id"""))
 

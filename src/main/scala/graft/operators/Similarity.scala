@@ -90,7 +90,10 @@ object Similarity {
     "J1a,M4,T3,F10",
     (s, d) => knnExact(s, d, k = 2, queryMod = 10),
     Some("""WITH base AS (
-        SELECT vec_id, embedding FROM embeddings),
+        -- DOUBLE[]: DuckDB's list kernels compute in the input's element
+        -- type; float32 accumulation rounds differently from the engine's
+        -- double kernels at 4th-decimal boundaries
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
       q AS (SELECT vec_id AS qid, embedding AS qvec FROM base WHERE vec_id % 10 = 0),
       scored AS (
         SELECT qid, vec_id AS nid,
@@ -109,9 +112,10 @@ object Similarity {
     "q31_neardup_pairs",
     "D5,J1a,P5,P6,D4,T1,F9,F10",
     (s, d) => nearDupPairs(s, d, threshold = 0.35, prefilterLabel = false),
-    Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
         round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
       ORDER BY sim DESC, id1, id2"""))
 
@@ -135,9 +139,11 @@ object Similarity {
           round(l2ToCosine(col("dist")), 4).as("cos_from_l2"))
         .orderBy(col("qid"), col("rank"))
     },
-    Some("""WITH norms AS (
+    Some("""WITH fl AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+      norms AS (
         SELECT vec_id, sqrt(list_inner_product(embedding, embedding)) AS nrm, embedding
-        FROM embeddings),
+        FROM fl),
       unit AS (
         SELECT vec_id,
           list_transform(embedding, x -> CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE) ELSE x / nrm END) AS vec
@@ -173,7 +179,9 @@ object Similarity {
         round(avg(nrm), 4) AS avg_norm,
         round(min(nrm), 4) AS min_norm,
         round(max(nrm), 4) AS max_norm
-      FROM (SELECT label, sqrt(list_inner_product(embedding, embedding)) AS nrm
+      FROM (SELECT label,
+              sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) AS nrm
             FROM embeddings)
       GROUP BY label ORDER BY label"""))
 
@@ -206,7 +214,7 @@ object Similarity {
         s"""max(CASE WHEN rank = $r THEN nid END) AS n${r}_id,
            max(CASE WHEN rank = $r THEN nlab END) AS n${r}_lab,
            max(CASE WHEN rank = $r THEN sim END) AS n${r}_sim""").mkString(",\n")
-      s"""WITH base AS (SELECT vec_id, embedding, label FROM embeddings),
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings),
         q AS (SELECT vec_id AS qid, embedding AS qvec FROM base WHERE vec_id % 20 = 0),
         scored AS (
           SELECT qid, vec_id AS nid, list_cosine_similarity(qvec, embedding) AS sim
@@ -264,7 +272,7 @@ object Similarity {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("type"), col("bin"))
     },
-    Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
       nn AS (
         SELECT round(sim, 4) AS sim, 'nn' AS type FROM (
           SELECT qid, sim,
