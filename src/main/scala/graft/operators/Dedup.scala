@@ -311,7 +311,73 @@ object Dedup {
     (s, d) => lshSurvivors(s, d, threshold = 0.35),
     None)
 
+  // ---------------------------------------------------------------------
+  // q58: n-gram Jaccard with a document-frequency cut (the hot-shingle
+  // mitigation SCALE.md prescribes for the explode join)
+  // ---------------------------------------------------------------------
+
+  /** q53's verification join with a df-cut: shingles appearing in more
+    * than `maxDf` documents are effectively stopword phrases — they blow
+    * up the equi-join (a shingle in f docs contributes O(f^2) candidate
+    * pairs) while carrying no dedup signal. Dropping them bounds the
+    * join's per-key fan-out by maxDf^2. Jaccard is computed over the
+    * RETAINED shingle space (per-doc set sizes recomputed after the cut),
+    * so the score is self-consistent and the oracle replays it exactly. */
+  def ngramJaccardDfCut(s: SparkSession, d: String, n: Int,
+      threshold: Double, maxDf: Int): DataFrame = {
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(shingles(col("t"), n)).as("sgl"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sgl").cast("binary")), 1, 15), 16, 10).cast("long").as("k"))
+    val retainedKeys = ex.groupBy(col("k"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select(col("k"))
+    val retained = ex.join(retainedKeys, Seq("k"))
+    val sizes = retained.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val keyed = retained.join(sizes, Seq("doc_id"))
+    val a = keyed.select(col("doc_id").as("id1"), col("n_sh").as("na"), col("k"))
+    val b = keyed.select(col("doc_id").as("id2"), col("n_sh").as("nb"), col("k"))
+    a.join(b, Seq("k")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .select(col("id1"), col("id2"), col("inter"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+  }
+
+  val q58JaccardDfCut = GraftQuery(
+    "q58_jaccard_dfcut",
+    "D5,A9; df-cut shingle join (bounded per-key fan-out)",
+    (s, d) => ngramJaccardDfCut(s, d, n = 3, threshold = 0.05, maxDf = 50),
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sgl
+        FROM tk WHERE len(toks) >= 3),
+      ex AS (
+        SELECT doc_id, ('0x' || substr(md5(sgl), 1, 15))::BIGINT AS k FROM sh),
+      keep AS (SELECT k FROM ex GROUP BY k HAVING count(*) <= 50),
+      retained AS (SELECT ex.doc_id, ex.k FROM ex JOIN keep USING (k)),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM retained GROUP BY 1),
+      keyed AS (SELECT r.doc_id, r.k, s.n_sh FROM retained r JOIN sizes s USING (doc_id)),
+      p AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(count(*) AS BIGINT) AS inter,
+          any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+        FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, inter,
+        round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+      FROM p WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.05
+      ORDER BY jaccard DESC, id1, id2"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
-    q54NeardupSurvivors, q55LshSurvivors)
+    q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut)
 }
