@@ -352,17 +352,17 @@ object Dedup {
   val q58JaccardDfCut = GraftQuery(
     "q58_jaccard_dfcut",
     "D5,A9; df-cut shingle join (bounded per-key fan-out)",
-    (s, d) => ngramJaccardDfCut(s, d, n = 3, threshold = 0.05, maxDf = 50),
+    (s, d) => ngramJaccardDfCut(s, d, n = 5, threshold = 0.05, maxDf = 20),
     Some("""WITH tk AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
         FROM documents),
       sh AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
-          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sgl
-        FROM tk WHERE len(toks) >= 3),
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-3),
+          i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))) AS sgl
+        FROM tk WHERE len(toks) >= 5),
       ex AS (
         SELECT doc_id, ('0x' || substr(md5(sgl), 1, 15))::BIGINT AS k FROM sh),
-      keep AS (SELECT k FROM ex GROUP BY k HAVING count(*) <= 50),
+      keep AS (SELECT k FROM ex GROUP BY k HAVING count(*) <= 20),
       retained AS (SELECT ex.doc_id, ex.k FROM ex JOIN keep USING (k)),
       sizes AS (SELECT doc_id, count(*) AS n_sh FROM retained GROUP BY 1),
       keyed AS (SELECT r.doc_id, r.k, s.n_sh FROM retained r JOIN sizes s USING (doc_id)),
