@@ -223,7 +223,7 @@ object Ann {
     None)
 
   /** q35: IVF recall@2 vs the exact join (target >= 0.9 at nprobe=6,
-    * asserted by AnnSpec; reported here as data). */
+    * asserted by OperatorSpec; reported here as data). */
   val q35IvfRecall = GraftQuery(
     "q35_ivf_recall",
     "M4 quality gate; J1a vs J1c",
@@ -276,9 +276,10 @@ object Ann {
     * degenerate to near-everything when the threshold sits below the
     * corpus's similarity floor), so the raw (ht, bucket) key space hands
     * a whole mega-bucket's O(|bucket|^2) pair generation to ONE task.
-    * Side 1 keys each row by id1 % BucketSalts; side 2 replicates each
-    * row to all salts — every in-bucket pair is still produced exactly
-    * once per (ht, bucket), but the work lands on BucketSalts tasks.
+    * Side 1 keys each row by id % salts (GraftConf.lshBucketSalts); side
+    * 2 replicates each row to all salts — every in-bucket pair is still
+    * produced exactly once per (ht, bucket), but the work fans out over
+    * `salts` tasks.
     * (AQE skew-join can't help here: the skew is in join *output*
     * cardinality, not input partition bytes.) Same technique as the
     * salted aggregation in plans.Scale (q82). */
