@@ -76,4 +76,12 @@ object GraftConf {
     * routes through the LSH candidate path instead of the exact join. */
   def exactPairCutoff(s: SparkSession): Long =
     s.conf.get("spark.graft.pairs.exactCutoff", "20000").toLong
+
+  /** Sequence-packing shard fan-out (q48): each `source` is split into
+    * this many hash shards and shards pack independently, so packing
+    * parallelism is sources x shards instead of the source cardinality
+    * (a 4-source 100 TB corpus would otherwise sort on 4 reducers).
+    * The shard key is md5-derived so the DuckDB oracle replays it. */
+  def packShards(s: SparkSession): Int =
+    s.conf.get("spark.graft.pack.shards", "8").toInt
 }

@@ -320,7 +320,7 @@ object TextAnalysis {
       WHERE rk % 3 = 1 AND rk <= 120 ORDER BY doc_id"""))
 
   /** q48: training-sequence packing — assign documents (stable doc_id
-    * order WITHIN each source shard) to fixed-budget sequences of 512
+    * order WITHIN each shard) to fixed-budget sequences of 512
     * whitespace tokens by the running-cumsum rule: a document belongs to
     * the bin its *starting* token offset falls in (the streaming
     * greedy-fill approximation every packing implementation uses — no
@@ -328,36 +328,46 @@ object TextAnalysis {
     * is per-shard BY DESIGN: a single global ordering would be a
     * one-reducer window (the SCALE.md anti-pattern), and cross-shard
     * document order carries no meaning for training anyway — shards pack
-    * independently on 1000 executors. Emits per-sequence doc counts and
-    * fill levels — the packing-efficiency profile. */
+    * independently on 1000 executors. The shard key is composite
+    * (source, md5(doc_id) % packShards): parallelism is sources x
+    * GraftConf.packShards rather than the source cardinality, so a
+    * 4-source 100 TB corpus no longer sorts whole sources on 4 reducers.
+    * md5 (not Spark's murmur3 hash()) keeps the shard assignment
+    * oracle-replayable. Emits per-sequence doc counts and fill levels —
+    * the packing-efficiency profile. */
   val q48SequencePacking = GraftQuery(
     "q48_sequence_packing",
-    "LLM-pipeline: token-budget sequence packing; per-shard window cumsum",
+    "LLM-pipeline: token-budget sequence packing; sharded window cumsum",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val shards = graft.GraftConf.packShards(s)
+      val w = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          size(toks(col("text"))).cast("long").as("n_tok"))
+          size(toks(col("text"))).cast("long").as("n_tok"),
+          (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+            16, 10).cast("long") % shards).as("shard"))
         .withColumn("cum", sum(col("n_tok")).over(w))
         .withColumn("seq_id", floor((col("cum") - col("n_tok")) / 512L))
-        .groupBy(col("source"), col("seq_id"))
+        .groupBy(col("source"), col("shard"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-        .orderBy(col("source"), col("seq_id"))
+        .orderBy(col("source"), col("shard"), col("seq_id"))
     },
     Some("""WITH t AS (
         SELECT doc_id, source,
-          CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+          CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
         FROM documents),
       c AS (
-        SELECT doc_id, source, n_tok,
-          sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        SELECT doc_id, source, shard, n_tok,
+          sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM t)
-      SELECT source, CAST(floor((cum - n_tok) / 512) AS BIGINT) AS seq_id,
+      SELECT source, shard, CAST(floor((cum - n_tok) / 512) AS BIGINT) AS seq_id,
         count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-      FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
   /** q49: corpus mixture — per-source sampling weights applied as
     * systematic mod-rates (src0 keep 1/1, src1 1/2, src2 1/4, others 1/8
