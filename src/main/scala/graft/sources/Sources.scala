@@ -15,6 +15,12 @@ import graft.{GraftQuery, Tables}
   * only — plans land in parquet/bucketed tables immediately (S10). */
 object Sources {
 
+  // round-trip temp paths: concurrent Verify/Bench JVMs must not race on
+  // the same directory. A per-process random id — identityHashCode of the
+  // session (the previous scheme) is only unique within one JVM and two
+  // JVMs can collide on it.
+  private val runId: String = java.util.UUID.randomUUID().toString.take(8)
+
   /** S7 + S1: write a DataFrame as headered CSV, read it back with the
     * explicit schema. Timestamps round-trip via ISO format. */
   def csvRoundTrip(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
@@ -29,9 +35,7 @@ object Sources {
     "q80_csv_roundtrip",
     "S1,S2,S7; CSV scan + sink, explicit schema",
     (s, d) => {
-      // session-unique path: concurrent Verify/Bench JVMs must not race
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_" +
-        java.lang.Integer.toHexString(System.identityHashCode(s))
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_$runId"
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       val back = csvRoundTrip(s, docs, tmp)
@@ -77,8 +81,7 @@ object Sources {
     "q84_jsonl_roundtrip",
     "S1,S7 ext; JSONL scan + sink, explicit schema",
     (s, d) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_rt_" +
-        java.lang.Integer.toHexString(System.identityHashCode(s))
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_rt_$runId"
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
       val back = jsonlRoundTrip(s, docs, tmp)
