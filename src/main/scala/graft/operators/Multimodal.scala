@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{GraftQuery, Tables}
 
+/** Typed row for the q62 decoder boundary. Top-level and public on
+  * purpose: nested/private case classes break the encoder's *generated*
+  * serializer (Janino cannot reference them → "Failed to compile" →
+  * per-record interpreted fallback on the decode path). */
+final case class DecodedFeature(doc_id: Long, j: Int, feat: Double)
+
 /** Multimodal binary-column plumbing (north-star extension; the
   * reference's only binary artifacts are its .npy/.pkl sidecars,
   * app/generate_embeddings.py:52-68 — no image/audio surface exists
@@ -111,9 +117,6 @@ object Multimodal {
   // q62: decode + feature-extract STUB behind real batch plumbing
   // ---------------------------------------------------------------------
 
-  /** Typed row for the decoder boundary. */
-  private case class Decoded(doc_id: Long, j: Int, feat: Double)
-
   /** STUB DECODER — this is where a real image/audio decoder (JNI codec,
     * ONNX runtime, …) would plug in; the container ships none, so the
     * "decoded features" are a deterministic fake: the first 8 bytes of
@@ -124,7 +127,7 @@ object Multimodal {
     * feature table. */
   def decodeFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val enc = org.apache.spark.sql.Encoders.product[Decoded]
+    val enc = org.apache.spark.sql.Encoders.product[DecodedFeature]
     binaryTable(s, d)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -135,7 +138,7 @@ object Multimodal {
           codec.reset()
           val digest = codec.digest(payload)
           (0 until 8).iterator.map { j =>
-            Decoded(id, j, math.round((digest(j) & 0xff) / 255.0 * 10000) / 10000.0)
+            DecodedFeature(id, j, math.round((digest(j) & 0xff) / 255.0 * 10000) / 10000.0)
           }
         }
       }(enc)
