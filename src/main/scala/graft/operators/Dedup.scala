@@ -77,7 +77,12 @@ object Dedup {
     * pipeline). The join is an equi-join on (band, key): shuffle-partition
     * by bucket, no cross join anywhere, which is what makes this the
     * 100 TB path vs q31's exact quadratic scan. */
-  def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+  def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    minhashCandidatePairs(s, d).orderBy(col("id1"), col("id2"))
+
+  /** Unordered candidate relation (id1, id2, n_bands) — the composition
+    * entry point (q59): no final sort to drag into a downstream plan. */
+  def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
     // Materialize the token array BEFORE shingling: inlining the split
     // expression into the shingle lambda would re-split the whole document
     // once per element_at (HOFs are interpreted, no subexpression reuse).
@@ -95,7 +100,6 @@ object Dedup {
     val bdf = banded.select(col("doc_id").as("id2"), col("b"), col("key"))
     a.join(bdf, Seq("b", "key")).filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_bands"))
-      .orderBy(col("id1"), col("id2"))
   }
 
   val q51MinhashLsh = GraftQuery(
@@ -312,6 +316,95 @@ object Dedup {
     None)
 
   // ---------------------------------------------------------------------
+  // q59: composed sketch-dedup — MinHash band candidates -> exact Jaccard
+  // verify on the candidate pairs only -> survivors. This is the
+  // scale-DEFAULT Jaccard dedup; q53's corpus-wide join stays registered
+  // as the labeled small-N oracle baseline.
+  // ---------------------------------------------------------------------
+
+  /** Exact 3-shingle Jaccard computed ONLY for MinHash candidate pairs
+    * (the verify-after-candidates shape of the reference's semantic dedup,
+    * app/main.py:226-263, applied to the sketch tier). The verify join is
+    * DRIVEN FROM the candidate relation: candidates join the exploded
+    * shingle table on id1, then the (id2, shingle-key) equi-join counts
+    * the intersection — so verification work is O(candidates x
+    * shingles/doc) no matter how big the corpus is. A shingle shared by f
+    * documents costs q53 O(f^2) rows here it costs only as many rows as
+    * there are candidate pairs containing it. */
+  def sketchVerifiedPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val cand = minhashCandidatePairs(s, d).select(col("id1"), col("id2"))
+    // Same 3-shingle space the MinHash signatures sketch, md5-prefix keyed
+    // (8-byte shuffle keys; identical hashing on the oracle side).
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("sgl"))
+      .select(col("doc_id"), col("n_sh"),
+        conv(substring(md5(col("sgl").cast("binary")), 1, 15), 16, 10).cast("long").as("k"))
+    cand
+      .join(ex.select(col("doc_id").as("id1"), col("n_sh").as("na"), col("k")), Seq("id1"))
+      .join(ex.select(col("doc_id").as("id2"), col("n_sh").as("nb"), col("k")), Seq("id2", "k"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .select(col("id1"), col("id2"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Survivor set under the composed pipeline: greedy keep-lowest-id over
+    * the VERIFIED near-dup pairs (candidates alone over-drop: the band
+    * join admits J~0.02 false positives; the exact-Jaccard gate removes
+    * them before any document is discarded). */
+  def sketchDedupSurvivors(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val dropped = sketchVerifiedPairs(s, d, threshold)
+      .select(col("id2").as("doc_id")).distinct()
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  val q59SketchDedup = GraftQuery(
+    "q59_sketch_dedup",
+    "D5,A9,J-anti; scale-default composed Jaccard dedup (candidates -> verify -> survivors)",
+    (s, d) => sketchDedupSurvivors(s, d, threshold = 0.8),
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM tk WHERE len(toks) >= 3),
+      sig AS (
+        SELECT doc_id,
+          [list_min(list_transform(sh, s -> md5('0:' || s))),
+           list_min(list_transform(sh, s -> md5('1:' || s))),
+           list_min(list_transform(sh, s -> md5('2:' || s))),
+           list_min(list_transform(sh, s -> md5('3:' || s))),
+           list_min(list_transform(sh, s -> md5('4:' || s))),
+           list_min(list_transform(sh, s -> md5('5:' || s))),
+           list_min(list_transform(sh, s -> md5('6:' || s))),
+           list_min(list_transform(sh, s -> md5('7:' || s)))] AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS key
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+      ver AS (
+        SELECT c.id1, c.id2,
+          round(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
+            (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) AS jaccard
+        FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id),
+      dropped AS (SELECT DISTINCT id2 FROM ver WHERE jaccard >= 0.8)
+      SELECT doc_id, source FROM documents
+      WHERE doc_id NOT IN (SELECT id2 FROM dropped)
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
   // q58: n-gram Jaccard with a document-frequency cut (the hot-shingle
   // mitigation SCALE.md prescribes for the explode join)
   // ---------------------------------------------------------------------
@@ -379,5 +472,5 @@ object Dedup {
 
   def queries: Seq[GraftQuery] = Seq(
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
-    q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut)
+    q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup)
 }

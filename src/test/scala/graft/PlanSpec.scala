@@ -60,6 +60,27 @@ class PlanSpec extends SparkSpec {
       s"no broadcast join in q03:\n$plan")
   }
 
+  test("q59 verify join is driven by the candidate set, not a corpus self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = operators.Dedup.sketchVerifiedPairs(spark, sfTiny, 0.8)
+      .queryExecution.optimizedPlan
+    // The shingle-intersection join is the only one keyed on `k`.
+    val verifyJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "k")) => j
+    }
+    assert(verifyJoins.nonEmpty, s"no shingle-key verify join found:\n$plan")
+    // Its left input must contain the candidate-pair aggregate (the
+    // group-by over (id1, id2) from the MinHash band join) — i.e. the
+    // exact-Jaccard work is restricted to candidate pairs, not replayed
+    // over the whole corpus like q53's baseline join.
+    assert(verifyJoins.exists(_.left.collectFirst {
+      case a: Aggregate
+        if a.groupingExpressions.flatMap(_.references.map(_.name))
+          .toSet == Set("id1", "id2") => a
+    }.isDefined),
+      s"verify join's left side lacks the candidate aggregate:\n$plan")
+  }
+
   test("q83 top-1 is a hash aggregate, not a window sort over the scored pairs") {
     val plan = planString(Registry.byName("q83_similarity_histogram").run(spark, sfTiny))
     assert(!plan.contains("Window"), s"q83 regressed to a window plan:\n$plan")
