@@ -77,6 +77,39 @@ object GraftConf {
   def exactPairCutoff(s: SparkSession): Long =
     s.conf.get("spark.graft.pairs.exactCutoff", "20000").toLong
 
+  /** MinHash signature length (seeded hash functions per doc, q51/q59).
+    * Longer signatures estimate Jaccard tighter but cost one md5 pass
+    * per function; bandRows must divide it. tools.SketchTune sweep on
+    * the test corpus (BASELINE.md): 8 is the knee — recall 1.0 at half
+    * the hashing of 16. */
+  def minhashFuncs(s: SparkSession): Int =
+    s.conf.get("spark.graft.minhash.funcs", "8").toInt
+
+  /** Rows per MinHash band (q51/q59): bands = funcs/bandRows. Fewer
+    * rows per band = looser candidates (collision prob J^bandRows per
+    * band): bandRows=1 admits any shared minimum, bandRows=funcs
+    * requires identical signatures. */
+  def minhashBandRows(s: SparkSession): Int =
+    s.conf.get("spark.graft.minhash.bandRows", "2").toInt
+
+  /** SimHash band count (q52): the 64-bit sketch is split into this
+    * many equal-width bands (even, and band width must divide 32 so
+    * bands nest in the sketch's two 32-bit words: 2, 4, 8, 16).
+    * Pigeonhole: b bands give complete recall for Hamming <= b-1, so
+    * the default 4 exactly covers the operator's radius-3 contract;
+    * more bands widen candidate volume without widening the radius. */
+  def simhashBands(s: SparkSession): Int =
+    s.conf.get("spark.graft.simhash.bands", "4").toInt
+
+  /** Word2Vec fit parallelism (M1 alternative backend). Default 1 =
+    * bit-reproducible fits (MLlib's multi-partition Word2Vec merges
+    * per-partition weight updates in a nondeterministic order); raise on
+    * large corpora where fit throughput matters more than exact
+    * reproducibility. Embedding *application* is a narrow map either
+    * way — this knob only shapes the fit. */
+  def w2vNumPartitions(s: SparkSession): Int =
+    s.conf.get("spark.graft.w2v.numPartitions", "1").toInt
+
   /** Sequence-packing shard fan-out (q48): each `source` is split into
     * this many hash shards and shards pack independently, so packing
     * parallelism is sources x shards instead of the source cardinality

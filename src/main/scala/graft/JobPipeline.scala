@@ -48,7 +48,9 @@ object JobPipeline {
     // Stage 2 — embed: deterministic TF-IDF pipeline, unit-normalized
     // (app/generate_embeddings.py:25-50; M1 stand-in)
     val embedded = pipe.stage("s2_embed") {
-      operators.Embedding.embedDocs(clean)
+      // the clean frame is a deterministic function of (dataset, stage 1),
+      // so the fitted model may be cached/persisted under that identity
+      operators.Embedding.embedDocs(clean, Some(s"$sfDir#s1_preprocess"))
     }
 
     // Stage 3 — "index add": persist the searchable vector table keyed by

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel, Normalizer}
 import org.apache.spark.ml.util.MLWritable
@@ -86,30 +85,14 @@ object Ann {
   // -------------------------------------------------------------------
 
   /** Artifact path for a (kind, dataset, fit-params) triple, if
-    * persistence is configured. */
+    * persistence is configured (mechanics shared via [[ModelStore]]). */
   private[graft] def indexArtifactPath(s: SparkSession, kind: String, d: String,
       params: String): Option[String] =
-    GraftConf.indexDir(s).map { root =>
-      val ds = d.replaceAll("[^A-Za-z0-9._-]", "_")
-      s"$root/$kind/$ds/$params"
-    }
+    ModelStore.artifactPath(s, kind, d, params)
 
-  /** True if a saved MLlib model artifact is present (MLWriter commits
-    * metadata last, so its presence is the commit marker). */
-  private def artifactExists(s: SparkSession, p: String): Boolean = {
-    val path = new Path(p, "metadata")
-    path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
-  }
-
-  /** Load the model at `path` if persistence is on and the artifact
-    * exists; otherwise fit, and save when persistence is on. */
   private def loadOrFit[M <: MLWritable](s: SparkSession, path: Option[String],
       load: String => M)(fit: => M): M =
-    path match {
-      case Some(p) if artifactExists(s, p) => load(p)
-      case Some(p) => val m = fit; m.write.overwrite().save(p); m
-      case None => fit
-    }
+    ModelStore.loadOrFit(s, path, load)(fit)
 
   /** Embeddings as (vec_id, label, fvec ml.Vector) — MLlib interop. */
   private def vectorized(s: SparkSession, d: String): DataFrame =

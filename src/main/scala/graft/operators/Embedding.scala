@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.feature.{HashingTF, IDF, Normalizer, RegexTokenizer}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -28,34 +28,80 @@ object Embedding {
   /** Configured output dimension (spark.graft.embedding.dim). */
   def dim(s: SparkSession): Int = GraftConf.embeddingDim(s)
 
-  /** Fit + apply the embedding pipeline; returns (doc_id, embedding). */
-  def embed(s: SparkSession, d: String): DataFrame =
-    embedDocs(Tables.documents(s, d).select(col("doc_id"), col("text")))
+  // fit-once-embed-many (S6 parity for M1, same policy as Ann's
+  // quantizer): IDF's fit is an extra full corpus scan, so the fitted
+  // PipelineModel is an index artifact, not part of any single query.
+  // One fit per (session, dataset, dim) per JVM; with
+  // spark.graft.index.dir set, one fit per CLUSTER, loaded thereafter
+  // (reference persists the encoder output the same way,
+  // app/generate_embeddings.py + vector_search.py:207-294).
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), PipelineModel]
 
-  /** Same, over any (doc_id, text) frame (the composed-pipeline entry). */
-  def embedDocs(docs: DataFrame): DataFrame = {
-    val d = GraftConf.embeddingDim(docs.sparkSession)
-    val pipe = new Pipeline().setStages(Array(
+  private def sessionKey(s: SparkSession): String =
+    System.identityHashCode(s).toString
+
+  /** Fits performed by this JVM — EmbeddingSpec's no-refit probe. */
+  private[graft] val fitCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drop cached fitted embedding models (spec hook / M5 rebuild). */
+  def clearCaches(): Unit = modelCache.clear()
+
+  private def fitModel(docs: DataFrame, dim: Int): PipelineModel = {
+    fitCount.incrementAndGet()
+    new Pipeline().setStages(Array(
       new RegexTokenizer().setInputCol("text").setOutputCol("toks")
         .setPattern("\\s+").setToLowercase(true),
-      new HashingTF().setInputCol("toks").setOutputCol("tf").setNumFeatures(d),
+      new HashingTF().setInputCol("toks").setOutputCol("tf").setNumFeatures(dim),
       new IDF().setInputCol("tf").setOutputCol("tfidf"),
       new Normalizer().setInputCol("tfidf").setOutputCol("emb").setP(2.0)))
-    pipe.fit(docs).transform(docs)
+      .fit(docs)
+  }
+
+  /** The fitted model for (dataset key, dim): session cache first, then
+    * the persisted artifact, then fit (and save if persistence is on).
+    * `key=None` (anonymous frame) always fits — there is no sound cache
+    * identity for arbitrary intermediate frames. */
+  private def model(docs: DataFrame, key: Option[String], dim: Int): PipelineModel = {
+    val s = docs.sparkSession
+    key match {
+      case Some(k) =>
+        modelCache.getOrElseUpdate((sessionKey(s), s"$k@dim=$dim"),
+          ModelStore.loadOrFit(s,
+            ModelStore.artifactPath(s, "embed_pipeline", k, s"dim=$dim"),
+            PipelineModel.load)(fitModel(docs, dim)))
+      case None => fitModel(docs, dim)
+    }
+  }
+
+  /** Fit-or-load + apply the embedding pipeline; (doc_id, embedding). */
+  def embed(s: SparkSession, d: String): DataFrame =
+    embedDocs(Tables.documents(s, d).select(col("doc_id"), col("text")), Some(d))
+
+  /** Same, over any (doc_id, text) frame (the composed-pipeline entry).
+    * Pass `cacheKey` when the frame is a deterministic function of a
+    * dataset (e.g. a pipeline stage) so the fitted model is cached and
+    * persisted under that identity. */
+  def embedDocs(docs: DataFrame, cacheKey: Option[String] = None): DataFrame = {
+    val d = GraftConf.embeddingDim(docs.sparkSession)
+    model(docs, cacheKey, d).transform(docs)
       .select(col("doc_id"), vector_to_array(col("emb")).as("embedding"))
   }
 
   /** Alternative M1 backend: Word2Vec (dense learned vectors, the other
-    * public-knowledge stand-in SURVEY §7.1 step 5 names). Seeded and
-    * single-partitioned for determinism; dimension matches the main
-    * pipeline so downstream similarity operators are backend-agnostic. */
+    * public-knowledge stand-in SURVEY §7.1 step 5 names). Seeded;
+    * dimension matches the main pipeline so downstream similarity
+    * operators are backend-agnostic. Fit parallelism is conf-gated
+    * (GraftConf.w2vNumPartitions): the default 1 keeps the fit
+    * bit-reproducible, >1 trades that for fit throughput on big corpora
+    * (MLlib merges per-partition updates non-deterministically). */
   def embedWord2Vec(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"),
       split(lower(trim(col("text"))), "\\s+").as("toks"))
     val model = new org.apache.spark.ml.feature.Word2Vec()
       .setInputCol("toks").setOutputCol("emb")
       .setVectorSize(GraftConf.embeddingDim(s)).setMinCount(1).setSeed(42L)
-      .setMaxIter(1).setNumPartitions(1)
+      .setMaxIter(1).setNumPartitions(GraftConf.w2vNumPartitions(s))
       .fit(docs)
     model.transform(docs)
       .select(col("doc_id"), vector_to_array(col("emb")).as("embedding"))

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.ml.util.MLWritable
+import org.apache.spark.sql.SparkSession
+import graft.GraftConf
+
+/** S6 model persistence, shared by every fitted-model operator (the ANN
+  * quantizer and LSH tables in [[Ann]], the M1 embedding pipeline in
+  * [[Embedding]]): with `spark.graft.index.dir` set, a fit is saved once
+  * and every later JVM loads the artifact instead of refitting — the
+  * Spark-native form of the reference's faiss.write_index/read_index
+  * round-trip (app/vector_search.py:207-294). Paths go through the
+  * configured Hadoop FileSystem, so local, HDFS and S3A all work.
+  */
+private[graft] object ModelStore {
+
+  /** Artifact path for a (kind, dataset, fit-params) triple, if
+    * persistence is configured. */
+  def artifactPath(s: SparkSession, kind: String, d: String,
+      params: String): Option[String] =
+    GraftConf.indexDir(s).map { root =>
+      val ds = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      s"$root/$kind/$ds/$params"
+    }
+
+  /** True if a saved MLlib model artifact is present (MLWriter commits
+    * metadata last, so its presence is the commit marker). */
+  def artifactExists(s: SparkSession, p: String): Boolean = {
+    val path = new Path(p, "metadata")
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** Load the model at `path` if persistence is on and the artifact
+    * exists; otherwise fit, and save when persistence is on. */
+  def loadOrFit[M <: MLWritable](s: SparkSession, path: Option[String],
+      load: String => M)(fit: => M): M =
+    path match {
+      case Some(p) if artifactExists(s, p) => load(p)
+      case Some(p) => val m = fit; m.write.overwrite().save(p); m
+      case None => fit
+    }
+}

@@ -23,6 +23,33 @@ class EmbeddingSpec extends SparkSpec {
     }
   }
 
+  test("embedding model is fit once per (session, dataset, dim)") {
+    Embedding.clearCaches()
+    val c0 = Embedding.fitCount.get()
+    Embedding.embed(spark, sfTiny).count()
+    Embedding.embed(spark, sfTiny).count()
+    assert(Embedding.fitCount.get() == c0 + 1,
+      "second embed() call re-fit the pipeline instead of using the session cache")
+  }
+
+  test("embedding model persists under index.dir and is loaded, not refit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embed_index").toString
+    spark.conf.set("spark.graft.index.dir", dir)
+    Embedding.clearCaches()
+    try {
+      Embedding.embed(spark, sfTiny).count() // fit + save
+      Embedding.clearCaches() // "new JVM": only the on-disk artifact remains
+      val c0 = Embedding.fitCount.get()
+      val rows = Embedding.embed(spark, sfTiny).count() // must load
+      assert(rows > 0)
+      assert(Embedding.fitCount.get() == c0,
+        "artifact present but the model was refit")
+    } finally {
+      spark.conf.unset("spark.graft.index.dir")
+      Embedding.clearCaches()
+    }
+  }
+
   test("word2vec backend: fixed dim, deterministic under a seed") {
     val a = Embedding.embedWord2Vec(spark, sfTiny).collect().sortBy(_.getLong(0))
     assert(a.nonEmpty && a.forall(_.getSeq[Double](1).length == GraftConf.embeddingDim(spark)))
