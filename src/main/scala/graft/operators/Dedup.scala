@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{GraftQuery, Tables}
+import graft.{GraftConf, GraftQuery, Tables}
 import graft.functions.SketchFunctions._
 
 /** Deduplication operator suite (SURVEY §2.3 D1-D5, north-star dedup
@@ -67,34 +67,37 @@ object Dedup {
   // q51: MinHash + LSH candidate pairs (D5 scale path)
   // ---------------------------------------------------------------------
 
-  private val MinhashFns = 8 // signature length
-  private val BandRows   = 2 // rows per band -> 4 bands
-
-  /** Per-doc MinHash signature over distinct 3-word shingles: for each of
-    * 8 seeded hash functions, the minimum md5("<seed>:<shingle>") hex
-    * string. Signature is banded 4x2; docs sharing any band bucket are
-    * candidate near-dups (the classic shingle->minhash->band->bucket-join
-    * pipeline). The join is an equi-join on (band, key): shuffle-partition
-    * by bucket, no cross join anywhere, which is what makes this the
-    * 100 TB path vs q31's exact quadratic scan. */
+  /** Per-doc MinHash signature over distinct 3-word shingles: for each
+    * seeded hash function, the minimum md5("<seed>:<shingle>") hex
+    * string. Signature length and band shape come from GraftConf
+    * (spark.graft.minhash.{funcs,bandRows}; defaults 8 and 2 -> 4 bands,
+    * the shape the q51/q59 oracles replay). Docs sharing any band bucket
+    * are candidate near-dups (the classic shingle->minhash->band->
+    * bucket-join pipeline). The join is an equi-join on (band, key):
+    * shuffle-partition by bucket, no cross join anywhere, which is what
+    * makes this the 100 TB path vs q31's exact quadratic scan. */
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
     minhashCandidatePairs(s, d).orderBy(col("id1"), col("id2"))
 
   /** Unordered candidate relation (id1, id2, n_bands) — the composition
     * entry point (q59): no final sort to drag into a downstream plan. */
   def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val fns = GraftConf.minhashFuncs(s)
+    val rows = GraftConf.minhashBandRows(s)
+    require(fns > 0 && rows > 0 && fns % rows == 0,
+      s"minhash.bandRows ($rows) must divide minhash.funcs ($fns)")
     // Materialize the token array BEFORE shingling: inlining the split
     // expression into the shingle lambda would re-split the whole document
     // once per element_at (HOFs are interpreted, no subexpression reuse).
-    val bands = (0 until MinhashFns / BandRows).map { b =>
-      concat_ws("|", (0 until BandRows).map(r =>
-        element_at(col("sig"), b * BandRows + r + 1)): _*)
+    val bands = (0 until fns / rows).map { b =>
+      concat_ws("|", (0 until rows).map(r =>
+        element_at(col("sig"), b * rows + r + 1)): _*)
     }
     val banded = Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
-      .select(col("doc_id"), minhashSignature(col("sh"), MinhashFns).as("sig"))
+      .select(col("doc_id"), minhashSignature(col("sh"), fns).as("sig"))
       .select(col("doc_id"), posexplode(array(bands: _*)).as(Seq("b", "key")))
     val a = banded.select(col("doc_id").as("id1"), col("b"), col("key"))
     val bdf = banded.select(col("doc_id").as("id2"), col("b"), col("key"))
@@ -142,23 +145,35 @@ object Dedup {
     * and DuckDB sides): bit j of the sketch is the majority vote of bit j
     * across the token hashes. Computed entirely with higher-order
     * kernel ([[graft.functions.Simhash64]]) — one pass per row, no
-    * explode, no shuffle until the candidate join. Near-dup candidates
-    * share at least one of four 16-bit bands (pigeonhole: any pair with
-    * Hamming distance <= 3 must agree on some band, so the filter below
-    * has complete recall); candidates are then filtered by exact Hamming
-    * distance. */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    * explode, no shuffle until the candidate join. Band count comes from
+    * GraftConf (spark.graft.simhash.bands, default 4 x 16-bit): by
+    * pigeonhole, b bands give complete recall for Hamming <= b-1, so the
+    * default exactly covers the radius-3 filter below, and the
+    * 65536-value key space keeps bucket skew (and the candidate pair
+    * count) ~7x lower than byte bands on a clustered corpus; candidates
+    * are then filtered by exact Hamming distance. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashCandidates(s, d)
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id1"), col("id2"))
+
+  /** Banded candidate relation (id1, id2, hamming), pre-radius-filter —
+    * the quantity the bands knob tunes (and what SketchTune measures). */
+  def simhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val nb = GraftConf.simhashBands(s)
+    require(nb >= 2 && nb % 2 == 0 && 32 % (nb / 2) == 0,
+      s"simhash.bands ($nb) must be even with a width dividing 32 (2, 4, 8, 16)")
+    val perHalf = nb / 2
+    val width = 32 / perHalf
+    val mask = (1L << width) - 1
     val sketches = Tables.documents(s, d)
       .select(col("doc_id"), array_distinct(toks(col("text"))).as("t"))
       .select(col("doc_id"), simhash64(col("t")).as("sk"))
       .select(col("doc_id"),
         element_at(col("sk"), 1).as("sh1"), element_at(col("sk"), 2).as("sh2"))
-    // 4 x 16-bit bands: pigeonhole still covers Hamming <= 3 completely,
-    // and the 65536-value key space keeps bucket skew (and the candidate
-    // pair count) ~7x lower than byte bands on a clustered corpus.
-    val bandKeys = (0 until 4).map { b =>
-      val half = if (b < 2) col("sh1") else col("sh2")
-      shiftright(half, 16 * (b % 2)).bitwiseAND(lit(65535L))
+    val bandKeys = (0 until nb).map { b =>
+      val half = if (b < perHalf) col("sh1") else col("sh2")
+      shiftright(half, width * (b % perHalf)).bitwiseAND(lit(mask))
     }
     val banded = sketches.select(
       col("doc_id"), col("sh1"), col("sh2"),
@@ -169,8 +184,6 @@ object Dedup {
       .select(col("id1"), col("id2"),
         (expr("bit_count(a1 ^ b1)") + expr("bit_count(a2 ^ b2)")).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy(col("id1"), col("id2"))
   }
 
   val q52SimhashPairs = GraftQuery(

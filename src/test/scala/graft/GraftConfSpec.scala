@@ -68,6 +68,53 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("minhash band shape drives candidate volume (1-row bands loosest)") {
+    // collision prob per band is J^bandRows: bandRows=1 admits any shared
+    // per-function minimum, bandRows=funcs requires identical signatures.
+    def candidates(bandRows: Int): Long =
+      withConf("spark.graft.minhash.bandRows", bandRows.toString) {
+        operators.Dedup.minhashCandidatePairs(spark, sfTiny).count()
+      }
+    val loose = candidates(1)
+    val strict = candidates(8)
+    assert(loose > strict,
+      s"minhash.bandRows had no effect: 1-row=$loose 8-row=$strict")
+  }
+
+  test("spark.graft.minhash.funcs drives the signature length") {
+    withConf("spark.graft.minhash.funcs", "3") {
+      withConf("spark.graft.minhash.bandRows", "3") {
+        // 3 funcs / 3 rows = 1 band: runs end-to-end with the odd shape
+        assert(operators.Dedup.minhashCandidatePairs(spark, sfTiny).count() > 0)
+      }
+    }
+    // non-divisible shape is rejected loudly, not silently truncated
+    withConf("spark.graft.minhash.funcs", "8") {
+      withConf("spark.graft.minhash.bandRows", "3") {
+        intercept[IllegalArgumentException] {
+          operators.Dedup.minhashCandidatePairs(spark, sfTiny)
+        }
+      }
+    }
+  }
+
+  test("spark.graft.simhash.bands drives candidate volume without changing the radius-3 answer") {
+    def run(bands: Int): (Long, Set[(Long, Long)]) =
+      withConf("spark.graft.simhash.bands", bands.toString) {
+        val cand = operators.Dedup.simhashCandidates(spark, sfTiny).count()
+        val pairs = operators.Dedup.simhashPairs(spark, sfTiny)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (cand, pairs)
+      }
+    val (cand4, pairs4) = run(4)
+    val (cand8, pairs8) = run(8)
+    assert(cand8 > cand4, s"simhash.bands had no effect: 8=$cand8 4=$cand4")
+    // both shapes are >= 4 bands, so both are pigeonhole-complete at
+    // Hamming <= 3: the verified answer must be identical
+    assert(pairs4 == pairs8,
+      s"radius-3 answer changed with band count: ${pairs4.size} vs ${pairs8.size}")
+  }
+
   test("fit-time conf changes re-fit mid-session instead of reusing a stale model") {
     // the model-cache key must include every fit parameter: after a conf
     // change the SAME session must produce a fresh fit, not silently
