@@ -101,6 +101,14 @@ object GraftConf {
   def simhashBands(s: SparkSession): Int =
     s.conf.get("spark.graft.simhash.bands", "4").toInt
 
+  /** Bucket count for JobPipeline's stage-3 index table: the searchable
+    * (doc_id, embedding) relation is written bucketed by doc_id so every
+    * downstream id-keyed equi-join against it (vector fetch, survivor
+    * anti-join, enrichment) plans without re-shuffling the corpus. Size
+    * so one bucket ~ a few GB at the target scale. */
+  def indexBuckets(s: SparkSession): Int =
+    s.conf.get("spark.graft.index.buckets", "16").toInt
+
   /** Word2Vec fit parallelism (M1 alternative backend). Default 1 =
     * bit-reproducible fits (MLlib's multi-partition Word2Vec merges
     * per-partition weight updates in a nondeterministic order); raise on

@@ -55,9 +55,13 @@ object JobPipeline {
 
     // Stage 3 — "index add": persist the searchable vector table keyed by
     // id (the reference writes faiss index + id map, S6; the one-table
-    // design needs only the embedding relation itself; at scale this
-    // write is bucketed by the join key)
-    val indexed = pipe.stage("s3_index") {
+    // design needs only the embedding relation itself). Written BUCKETED
+    // by doc_id — the key every downstream id lookup joins on (vector
+    // fetch for a result id, survivor anti-join, detail enrichment) — so
+    // those joins read the corpus side with zero Exchange
+    // (JobPipelineSpec asserts the plan).
+    val indexed = pipe.stageBucketed("s3_index", "doc_id",
+        GraftConf.indexBuckets(spark)) {
       embedded.select(col("doc_id"), col("embedding"))
     }
 

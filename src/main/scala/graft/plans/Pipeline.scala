@@ -48,4 +48,33 @@ final class Pipeline(spark: SparkSession, root: String) {
     val f = fs(m)
     if (f.exists(m)) f.delete(m, false)
   }
+
+  /** Catalog table name for a bucketed stage — root-scoped so two
+    * pipelines with different workDirs never collide in the catalog. */
+  def bucketedTableName(name: String): String =
+    s"graft_${name}_${Integer.toHexString(root.hashCode)}"
+
+  /** Stage variant materialized as a table BUCKETED by `key` (external,
+    * data at the stage dir): the "shuffle once at ingest, never per
+    * query" layout — every downstream equi-join on `key` reads this side
+    * with zero Exchange (asserted by JobPipelineSpec/BucketingSpec).
+    * Bucket metadata lives in the session catalog; a fresh session that
+    * finds the commit marker but no catalog entry rewrites the stage
+    * from its (already materialized) inputs — a local layout rebuild,
+    * not a recomputation of upstream stages. */
+  def stageBucketed(name: String, key: String, buckets: Int)
+      (compute: => DataFrame): DataFrame = {
+    val table = bucketedTableName(name)
+    if (!isDone(name) || !spark.catalog.tableExists(table)) {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // the _DONE marker is underscore-prefixed, so parquet readers treat
+      // it as hidden metadata and the table dir stays self-contained
+      compute.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", dir(name)).format("parquet").saveAsTable(table)
+      val m = doneMarker(name)
+      fs(m).create(m, true).close()
+    }
+    spark.table(table)
+  }
 }

@@ -49,6 +49,34 @@ class JobPipelineSpec extends SparkSpec {
     assert(coldS > 0) // smoke for the timer itself
   }
 
+  test("stage-3 index table is bucketed: id-keyed lookups never re-shuffle the corpus side") {
+    val work = Files.createTempDirectory("graft_jobpipe_bucket").toString
+    val pairs = JobPipeline.run(spark, sfTiny, work, threshold = 0.5)
+    val pipe = new plans.Pipeline(spark, work)
+    val indexTable = pipe.bucketedTableName("s3_index")
+    assert(spark.catalog.tableExists(indexTable), s"$indexTable not in catalog")
+
+    // the M3 lookup shape: fetch the stored vector for each result id —
+    // the join every search/enrichment does against the index at scale
+    val resultIds = pairs.select(col("id1").as("doc_id")).distinct()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val lookup = spark.table(indexTable).join(resultIds, Seq("doc_id"))
+      val exec = lookup.queryExecution.executedPlan
+      val plan = exec.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      // the tiny id side may shuffle to the bucket layout; the corpus
+      // side must not: no Exchange anywhere above the bucketed scan
+      val shuffleOverCorpus = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.toString.contains("Bucketed: true") => e
+      }
+      assert(shuffleOverCorpus.isEmpty, s"bucketed index side re-shuffles:\n$plan")
+      assert(lookup.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stage 4 routes through LSH above exactPairCutoff with pair recall >= 0.99") {
     val exactWork = Files.createTempDirectory("graft_jobpipe_exact").toString
     val lshWork = Files.createTempDirectory("graft_jobpipe_lsh").toString
