@@ -70,12 +70,58 @@ object TextAnalysis {
            ELSE 'und' END AS lang_pred
       FROM documents ORDER BY doc_id"""))
 
+  // --- Gopher-style repetition signals (q41/q46) -----------------------
+
+  /** All overlapping 2-grams of a token array, in document order (NOT
+    * distinct — frequency is the point). The outer single-element
+    * transform LET-BINDS the token array to a lambda variable: predicate
+    * pushdown substitutes aliases into filter conditions, and without the
+    * binding an inlined `split()` would re-tokenize the document once per
+    * element_at (HOFs are interpreted, no subexpression reuse — the q53
+    * lesson, here in pushed-down-filter form: q46 went 0.4s -> 6.6s). */
+  private def twoGrams(t: Column): Column =
+    flatten(transform(array(t), tt =>
+      transform(sequence(lit(1), size(tt) - 1), i =>
+        concat_ws(" ", element_at(tt, i), element_at(tt, i + 1)))))
+
+  /** Highest occurrence count of any array element, computed as the max
+    * run length of the SORTED array — one O(n log n) pass per row, no
+    * per-row quadratic count-each-distinct scan (the oracle does the
+    * quadratic form; both produce the same integer). */
+  private def maxFreq(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Fraction of tokens covered by the single most frequent 2-gram
+    * (Gopher's "top n-gram fraction" repetition signal; boilerplate and
+    * generated spam push it up). */
+  private def top2gramFrac(t: Column): Column =
+    when(size(t) >= 2,
+      round(maxFreq(twoGrams(t)) * lit(2.0) / size(t), 4))
+      .otherwise(lit(0.0))
+
+  /** Fraction of duplicated lines (Gopher's duplicate-line signal;
+    * single-line documents score 0 by construction). */
+  private def dupLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    round(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines), 4)
+  }
+
   /** q41: quality scoring — length, token stats, punctuation ratio,
-    * stopword ratio, and a keep/drop flag (the C4/Gopher-style filter
-    * shape). */
+    * stopword ratio, repetition signals (duplicate-line ratio, top-2-gram
+    * fraction — the Gopher additions), and a keep/drop flag (the
+    * C4/Gopher-style filter shape; repetition gates at Gopher's 0.2
+    * top-n-gram / 0.3 dup-line levels). */
   val q41QualityScore = GraftQuery(
     "q41_quality_score",
-    "north-star quality scoring; F6,F8,A5",
+    "north-star quality scoring; F6,F8,A5; Gopher repetition signals",
     (s, d) => {
       // token array materialized once; downstream size/filter read it
       Tables.documents(s, d)
@@ -83,34 +129,53 @@ object TextAnalysis {
           col("doc_id"),
           length(col("text")).as("n_char"),
           regexp_count(col("text"), lit("[\\p{Punct}]")).as("n_punct"),
+          dupLineRatio(col("text")).as("dup_line_ratio"),
           toks(col("text")).as("t"))
         .select(
           col("doc_id"), col("n_char"),
           size(col("t")).as("n_tok"),
           round(col("n_char").cast("double") / size(col("t")), 4).as("chars_per_tok"),
           col("n_punct"),
-          size(filter(col("t"), t => t.isInCollection(stopwords))).as("n_stop"))
+          size(filter(col("t"), t => t.isInCollection(stopwords))).as("n_stop"),
+          col("dup_line_ratio"),
+          top2gramFrac(col("t")).as("top_2gram_frac"))
         .withColumn("stop_ratio",
           round(col("n_stop").cast("double") / col("n_tok"), 4))
         .withColumn("keep",
-          col("n_tok") >= 20 && col("stop_ratio") <= 0.5)
+          col("n_tok") >= 20 && col("stop_ratio") <= 0.5 &&
+            col("dup_line_ratio") <= 0.3 && col("top_2gram_frac") <= 0.2)
         .orderBy(col("doc_id"))
     },
-    Some("""SELECT doc_id,
-      length(text) AS n_char,
-      len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
-      round(length(text)::DOUBLE / len(string_split_regex(lower(trim(text)), '\s+')), 4) AS chars_per_tok,
-      len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
-      len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-          t -> t IN ('the','a','of','and','to','in'))) AS n_stop,
-      round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-          t -> t IN ('the','a','of','and','to','in')))::DOUBLE
-        / len(string_split_regex(lower(trim(text)), '\s+')), 4) AS stop_ratio,
-      (len(string_split_regex(lower(trim(text)), '\s+')) >= 20 AND
-       len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-          t -> t IN ('the','a','of','and','to','in')))::DOUBLE
-        / len(string_split_regex(lower(trim(text)), '\s+')) <= 0.5) AS keep
-      FROM documents ORDER BY doc_id"""))
+    Some("""WITH tk AS (
+        SELECT doc_id, text,
+          string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      gr AS (
+        SELECT doc_id, text, t,
+          CASE WHEN len(t) >= 2
+            THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+            ELSE [] END AS g
+        FROM tk),
+      m AS (
+        SELECT doc_id,
+          length(text) AS n_char,
+          len(t) AS n_tok,
+          round(length(text)::DOUBLE / len(t), 4) AS chars_per_tok,
+          len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+          len(list_filter(t, x -> x IN ('the','a','of','and','to','in'))) AS n_stop,
+          round(1.0 - len(list_distinct(string_split(text, chr(10))))::DOUBLE
+            / len(string_split(text, chr(10))), 4) AS dup_line_ratio,
+          CASE WHEN len(t) >= 2
+            THEN round(list_max(list_transform(list_distinct(g),
+              x -> len(list_filter(g, y -> y = x)))) * 2.0 / len(t), 4)
+            ELSE 0.0 END AS top_2gram_frac
+        FROM gr)
+      SELECT doc_id, n_char, n_tok, chars_per_tok, n_punct, n_stop,
+        dup_line_ratio, top_2gram_frac,
+        round(n_stop::DOUBLE / n_tok, 4) AS stop_ratio,
+        (n_tok >= 20 AND round(n_stop::DOUBLE / n_tok, 4) <= 0.5 AND
+         dup_line_ratio <= 0.3 AND top_2gram_frac <= 0.2) AS keep
+      FROM m ORDER BY doc_id"""))
 
   /** q42: token counting — whitespace tokens and a BPE-ish regex
     * tokenizer (letter runs / digit runs / single punctuation), the
@@ -249,49 +314,69 @@ object TextAnalysis {
     * shuffle volume is one row per doc, never the token explosion. */
   val q46CorpusFilter = GraftQuery(
     "q46_corpus_filter",
-    "F5,F6,F8,D1-variant,P4,A9; §LLM corpus filter composite",
+    "F5,F6,F8,D1-variant,P4,A9; §LLM corpus filter composite + Gopher repetition gate",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val metrics = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
             .cast("binary")).as("fp"),
+          dupLineRatio(col("text")).as("dup_line_ratio"),
           toks(col("text")).as("t"))
         .select(col("doc_id"), col("lang"), col("fp"),
           size(col("t")).as("n_tok"),
-          size(filter(col("t"), t => t.isInCollection(stopwords))).as("n_stop"))
+          size(filter(col("t"), t => t.isInCollection(stopwords))).as("n_stop"),
+          col("dup_line_ratio"),
+          top2gramFrac(col("t")).as("top_2gram_frac"))
         .withColumn("stop_ratio",
           round(col("n_stop").cast("double") / col("n_tok"), 4))
+      // hard gates: token range, stopword ratio, and the Gopher
+      // repetition signals (dup-line <= 0.3, top-2-gram <= 0.2 — a
+      // document that is mostly one repeated bigram is spam, not data)
       val gated = metrics
         .filter(col("n_tok") >= 20 && col("n_tok") <= 2000 &&
-          col("stop_ratio") <= 0.5)
+          col("stop_ratio") <= 0.5 &&
+          col("dup_line_ratio") <= 0.3 && col("top_2gram_frac") <= 0.2)
       val w = Window.partitionBy(col("fp"))
         .orderBy(col("n_tok").desc, col("doc_id"))
       gated
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang"), col("n_tok"), col("stop_ratio"), col("fp"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("stop_ratio"),
+          col("top_2gram_frac"), col("fp"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH metrics AS (
-        SELECT doc_id, lang,
+    Some("""WITH tk AS (
+        SELECT doc_id, lang, text,
           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-          len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
-          len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-              t -> t IN ('the','a','of','and','to','in'))) AS n_stop
+          string_split_regex(lower(trim(text)), '\s+') AS t
         FROM documents),
+      gr AS (
+        SELECT doc_id, lang, text, fp, t,
+          CASE WHEN len(t) >= 2
+            THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+            ELSE [] END AS g
+        FROM tk),
       scored AS (
-        SELECT doc_id, lang, fp, n_tok,
-          round(n_stop::DOUBLE / n_tok, 4) AS stop_ratio
-        FROM metrics),
+        SELECT doc_id, lang, fp, len(t) AS n_tok,
+          round(len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+            / len(t), 4) AS stop_ratio,
+          round(1.0 - len(list_distinct(string_split(text, chr(10))))::DOUBLE
+            / len(string_split(text, chr(10))), 4) AS dup_line_ratio,
+          CASE WHEN len(t) >= 2
+            THEN round(list_max(list_transform(list_distinct(g),
+              x -> len(list_filter(g, y -> y = x)))) * 2.0 / len(t), 4)
+            ELSE 0.0 END AS top_2gram_frac
+        FROM gr),
       gated AS (
         SELECT * FROM scored
-        WHERE n_tok >= 20 AND n_tok <= 2000 AND stop_ratio <= 0.5),
+        WHERE n_tok >= 20 AND n_tok <= 2000 AND stop_ratio <= 0.5
+          AND dup_line_ratio <= 0.3 AND top_2gram_frac <= 0.2),
       deduped AS (
         SELECT *, row_number() OVER (PARTITION BY fp
           ORDER BY n_tok DESC, doc_id) AS rn
         FROM gated)
-      SELECT doc_id, lang, n_tok, stop_ratio, fp
+      SELECT doc_id, lang, n_tok, stop_ratio, top_2gram_frac, fp
       FROM deduped WHERE rn = 1 ORDER BY doc_id"""))
 
   /** q47: language-balanced stratified sampling — every 3rd document per
