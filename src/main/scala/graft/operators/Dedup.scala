@@ -418,6 +418,113 @@ object Dedup {
       ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------------
+  // q64: transitive duplicate clusters — connected components over the
+  // verified near-dup graph (pairwise survivors miss chains: a~b, b~c
+  // puts all three in one cluster even when a and c never pair directly)
+  // ---------------------------------------------------------------------
+
+  /** Connected components of an undirected (id1, id2) edge relation by
+    * iterative min-label propagation: every round each vertex adopts the
+    * minimum label in its closed neighborhood; converges in O(graph
+    * diameter) rounds of two shuffles each (near-dup clusters are dense,
+    * so the diameter — and the round count — is small in practice). The
+    * Pregel/GraphFrames shape without a graph-library dependency; each
+    * round localCheckpoints to truncate lineage (at production scale use
+    * a reliable checkpoint dir for fault tolerance). Returns (v, label)
+    * for every vertex that appears in an edge. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val viaNbr = edges.join(labels, edges("dst") === labels("v"))
+        .select(edges("src").as("v"), col("label"))
+      val updated = labels.union(viaNbr)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("label", "old"), Seq("v"))
+        .filter(col("label") < col("old")).isEmpty
+      labels = updated
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Every document with its transitive dup-cluster id (the minimum
+    * doc_id reachable through verified near-dup pairs; docs outside the
+    * graph are their own singleton cluster) and the cluster size. Edges
+    * come from the composed q59 pipeline (MinHash candidates -> exact
+    * Jaccard >= threshold). */
+  def dupClusters(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val pairs = sketchVerifiedPairs(s, d, threshold).select(col("id1"), col("id2"))
+    val comp = connectedComponents(pairs).withColumnRenamed("v", "doc_id")
+    val labeled = Tables.documents(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q64DupClusters = GraftQuery(
+    "q64_dup_clusters",
+    "D5 transitive closure; connected components (min-label propagation)",
+    (s, d) => dupClusters(s, d, threshold = 0.8),
+    Some("""WITH RECURSIVE tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM tk WHERE len(toks) >= 3),
+      sig AS (
+        SELECT doc_id,
+          [list_min(list_transform(sh, s -> md5('0:' || s))),
+           list_min(list_transform(sh, s -> md5('1:' || s))),
+           list_min(list_transform(sh, s -> md5('2:' || s))),
+           list_min(list_transform(sh, s -> md5('3:' || s))),
+           list_min(list_transform(sh, s -> md5('4:' || s))),
+           list_min(list_transform(sh, s -> md5('5:' || s))),
+           list_min(list_transform(sh, s -> md5('6:' || s))),
+           list_min(list_transform(sh, s -> md5('7:' || s)))] AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS key
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+      ver AS (
+        SELECT c.id1, c.id2,
+          round(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
+            (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) AS jaccard
+        FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id),
+      e AS (
+        SELECT id1 AS s, id2 AS d FROM ver WHERE jaccard >= 0.8
+        UNION ALL
+        SELECT id2, id1 FROM ver WHERE jaccard >= 0.8),
+      reach AS (
+        SELECT DISTINCT s AS v, s AS r FROM e
+        UNION
+        SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.v),
+      labels AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+      alldocs AS (
+        SELECT doc_id, coalesce(l.cluster_id, doc_id) AS cluster_id
+        FROM documents LEFT JOIN labels l ON documents.doc_id = l.v),
+      sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM alldocs GROUP BY 1)
+      SELECT a.doc_id, a.cluster_id, s.cluster_size
+      FROM alldocs a JOIN sizes s USING (cluster_id)
+      ORDER BY a.doc_id"""))
+
+  // ---------------------------------------------------------------------
   // q58: n-gram Jaccard with a document-frequency cut (the hot-shingle
   // mitigation SCALE.md prescribes for the explode join)
   // ---------------------------------------------------------------------
@@ -485,5 +592,6 @@ object Dedup {
 
   def queries: Seq[GraftQuery] = Seq(
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
-    q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup)
+    q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup,
+    q64DupClusters)
 }

@@ -45,6 +45,36 @@ class OperatorSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("connected components: chains collapse to one cluster (toy graph + corpus invariants)") {
+    // chain 1-2-3 (1 and 3 never pair directly), separate pair 10-11,
+    // plus a triangle 20-21-22: min-label must reach across hops
+    val edges = spark.createDataFrame(
+      Seq((2L, 3L), (1L, 2L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)))
+      .toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L), s"chain broke: $comp")
+    assert(Seq(10L, 11L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+
+    // corpus run: every verified edge's endpoints share a cluster, and
+    // every cluster id is a member of its own cluster
+    val pairs = Dedup.sketchVerifiedPairs(spark, sfTiny, 0.8)
+      .select(col("id1"), col("id2"))
+    val clusters = Dedup.dupClusters(spark, sfTiny, 0.8)
+    val cmap = clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    pairs.collect().foreach { r =>
+      assert(cmap(r.getLong(0)) == cmap(r.getLong(1)),
+        s"edge (${r.getLong(0)}, ${r.getLong(1)}) spans clusters")
+    }
+    cmap.values.toSet.foreach { (c: Long) => assert(cmap(c) == c, s"cluster id $c not self-labeled") }
+    // sizes are consistent
+    val sizeOk = clusters.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("doc_id")).as("n"), first(col("cluster_size")).as("sz"))
+      .filter(col("n") =!= col("sz")).count()
+    assert(sizeOk == 0)
+  }
+
   test("neardup survivors: survivors + dominated = all; no survivor dominated") {
     val total = Tables.embeddings(spark, sfTiny).count()
     val pairs = Similarity.nearDupPairs(spark, sfTiny, 0.35, prefilterLabel = false)
