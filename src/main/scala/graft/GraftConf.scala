@@ -101,6 +101,29 @@ object GraftConf {
   def simhashBands(s: SparkSession): Int =
     s.conf.get("spark.graft.simhash.bands", "4").toInt
 
+  /** PQ subspace count (m): the embedding is split into m equal
+    * sub-vectors, each quantized to one code — the corpus side of an
+    * ADC search shuffles m small codes per row instead of dim floats
+    * (16 codes vs 64 floats = 16x at the defaults). Must divide the
+    * embedding dimension. Defaults from the round-5 sweep (BASELINE.md):
+    * m=16, k=256, refine=8 -> recall@2 0.93-0.94, the same ceiling the
+    * uncompressed IVF probe itself has at nprobe=6. */
+  def pqSubspaces(s: SparkSession): Int =
+    s.conf.get("spark.graft.pq.m", "16").toInt
+
+  /** PQ codebook size per subspace (k): larger = finer quantization,
+    * k entries per subspace in every query's ADC table (256 = the
+    * standard 8-bit-code shape). */
+  def pqCodes(s: SparkSession): Int =
+    s.conf.get("spark.graft.pq.codes", "256").toInt
+
+  /** ADC shortlist multiplier: the PQ search keeps top k*refine
+    * candidates by approximate distance, then re-ranks exactly on the
+    * full vectors (the faiss IVFPQ+refine shape) — only the shortlist
+    * ever touches full-width vectors. */
+  def pqRefine(s: SparkSession): Int =
+    s.conf.get("spark.graft.pq.refine", "8").toInt
+
   /** Bucket count for JobPipeline's stage-3 index table: the searchable
     * (doc_id, embedding) relation is written bucketed by doc_id so every
     * downstream id-keyed equi-join against it (vector fetch, survivor

@@ -73,6 +73,7 @@ object Ann {
     ivfCache.clear()
     lshCache.values.foreach { case (_, normed) => normed.unpersist() }
     lshCache.clear()
+    pqCache.clear()
   }
 
   // -------------------------------------------------------------------
@@ -425,7 +426,163 @@ object Ann {
     },
     None)
 
+  // -------------------------------------------------------------------
+  // PQ — product-quantization compression tier (the "IVFx,PQy" scale
+  // path of the reference's index-factory vocabulary,
+  // app/vector_search.py:40-47): corpus vectors become m small codes,
+  // search is IVF probe -> ADC shortlist on codes -> exact re-rank of
+  // the shortlist only. At 100 TB the candidate shuffle moves m bytes
+  // per row instead of dim floats, and full vectors are touched only
+  // for the k*refine shortlist.
+  // -------------------------------------------------------------------
+
+  /** A fitted PQ codebook: m subspaces x k codes, flat [j][c][dim]
+    * layout (tiny — broadcast as a literal into the codegen kernels). */
+  final case class PqIndex(m: Int, k: Int, sub: Int, codebook: Array[Double])
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), PqIndex]
+
+  /** Fit-once-per-(session, dataset, shape), persisted under
+    * spark.graft.index.dir as a single-row parquet (S6 parity — the
+    * codebook IS the index artifact for this tier). */
+  def pqIndex(s: SparkSession, d: String): PqIndex = {
+    val m = GraftConf.pqSubspaces(s)
+    val k = GraftConf.pqCodes(s)
+    pqCache.getOrElseUpdate((sessionKey(s), s"$d@m=$m,k=$k"), {
+      indexArtifactPath(s, "pq_codebook", d, s"m=$m,k=$k") match {
+        case Some(p) if pqArtifactExists(s, p) =>
+          val row = s.read.parquet(p).head()
+          PqIndex(row.getInt(0), row.getInt(1), row.getInt(2),
+            row.getSeq[Double](3).toArray)
+        case Some(p) =>
+          val idx = fitPq(s, d, m, k)
+          s.createDataFrame(Seq((idx.m, idx.k, idx.sub, idx.codebook.toSeq)))
+            .toDF("m", "k", "sub", "cb")
+            .coalesce(1).write.mode("overwrite").parquet(p)
+          idx
+        case None => fitPq(s, d, m, k)
+      }
+    })
+  }
+
+  private def pqArtifactExists(s: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** Per-subspace KMeans on the L2-normalized corpus (normalized so the
+    * ADC L2 ordering is the cosine ordering: cos = 1 - d^2/2 on unit
+    * vectors). m small fits; at real scale fit each on a sample. */
+  private def fitPq(s: SparkSession, d: String, m: Int, k: Int): PqIndex = {
+    val nv = normalizeFrame(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
+      .select(vector_to_array(col("nvec")).as("nv")).persist()
+    val dim = nv.select(size(col("nv"))).head().getInt(0)
+    require(dim % m == 0, s"pq.m ($m) must divide the embedding dim ($dim)")
+    val sub = dim / m
+    val cb = new Array[Double](m * k * sub)
+    (0 until m).foreach { j =>
+      val model = new KMeans().setK(k).setSeed(Seed + j).setMaxIter(10)
+        .setFeaturesCol("fvec").setPredictionCol("cc")
+        .fit(nv.select(array_to_vector(slice(col("nv"), j * sub + 1, sub)).as("fvec")))
+      model.clusterCenters.zipWithIndex.foreach { case (cvec, c) =>
+        System.arraycopy(cvec.toArray, 0, cb, (j * k + c) * sub, sub)
+      }
+    }
+    nv.unpersist()
+    PqIndex(m, k, sub, cb)
+  }
+
+  /** IVF-PQ k-NN with exact refine: probe nprobe cells, rank candidates
+    * by ADC over the m-byte codes, keep the k*refine shortlist, re-rank
+    * the shortlist exactly on full vectors. Same query/result shape as
+    * q30/q34. */
+  def pqKnn(s: SparkSession, d: String, k: Int, nprobe: Int, queryMod: Int): DataFrame = {
+    import graft.functions.PqKernels._
+    val pq = pqIndex(s, d)
+    val cb = typedLit(pq.codebook.toSeq)
+    val refine = k * GraftConf.pqRefine(s)
+    val (assigned, centroids) = ivfIndex(s, d)
+    // the compressed corpus: cell + m codes per vector (the only thing
+    // the candidate join shuffles)
+    val corpus = assigned.select(col("centroid_id"), col("vec_id").as("nid"),
+      pqEncodeFast(l2NormalizeFast(col("vec")), cb, pq.m, pq.k).as("codes"))
+    val queries = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        pqDistTableFast(l2NormalizeFast(col("vec")), cb, pq.m, pq.k).as("tbl"))
+    val probed = queries
+      .join(broadcast(centroids), lit(true))
+      .select(col("qid"), col("tbl"), col("centroid_id"),
+        l2DistSqFast(col("qvec"), col("cvec")).as("cdist"))
+      .withColumn("crank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cdist"), col("centroid_id"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("tbl"), col("centroid_id"))
+    val shortlist = probed
+      .join(corpus, Seq("centroid_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), adcDistFast(col("tbl"), col("codes")).as("adist"))
+      .withColumn("arank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("adist"), col("nid"))))
+      .filter(col("arank") <= refine)
+    // exact refine: only the shortlist joins back to full-width vectors
+    shortlist
+      .join(assigned.select(col("vec_id").as("qid"), col("vec").as("qvec")), Seq("qid"))
+      .join(assigned.select(col("vec_id").as("nid"), col("vec").as("nvec")), Seq("nid"))
+      .select(col("qid"), col("nid"), cosineFast(col("qvec"), col("nvec")).as("sim"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Per-vector quantization error: the ADC distance of a vector's own
+    * codes is exactly its squared reconstruction error — the PQ quality
+    * profile, free from the same two kernels the search uses. */
+  def pqQuantError(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PqKernels._
+    val pq = pqIndex(s, d)
+    val cb = typedLit(pq.codebook.toSeq)
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), l2NormalizeFast(col("embedding")).as("nv"))
+      .select(col("vec_id"),
+        round(adcDistFast(
+          pqDistTableFast(col("nv"), cb, pq.m, pq.k),
+          pqEncodeFast(col("nv"), cb, pq.m, pq.k)), 4).as("qerr"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q65: PQ quantization-error profile (no SQL oracle: KMeans
+    * codebooks; PqSpec gates error bounds, determinism, code ranges). */
+  val q65PqQuantError = GraftQuery(
+    "q65_pq_quant_error",
+    "M2-PQ; per-vector reconstruction error (no SQL oracle: KMeans)",
+    (s, d) => pqQuantError(s, d),
+    None)
+
+  /** q66: IVF-PQ k-NN with exact refine, same shape as q30/q34. */
+  val q66PqKnn = GraftQuery(
+    "q66_pq_knn",
+    "M2,M3,M4,J1c-PQ; compressed-domain k-NN (no SQL oracle: KMeans)",
+    (s, d) => pqKnn(s, d, k = 2, nprobe = GraftConf.ivfNprobe(s), queryMod = 10),
+    None)
+
+  /** q67: PQ recall@2 vs the exact join — the compression tier ships its
+    * recall query as data like every other ANN tier. */
+  val q67PqRecall = GraftQuery(
+    "q67_pq_recall",
+    "M4-PQ quality gate",
+    (s, d) => recallVsExact(
+      pqKnn(s, d, k = 2, nprobe = GraftConf.ivfNprobe(s), queryMod = 10),
+      Similarity.knnExact(s, d, k = 2, queryMod = 10)),
+    None)
+
   def queries: Seq[GraftQuery] = Seq(
     q34IvfKnn, q35IvfRecall, q36LshNearDup, q37LshRecall, q56IvfNearDup,
-    q57IvfPairRecall)
+    q57IvfPairRecall, q65PqQuantError, q66PqKnn, q67PqRecall)
 }

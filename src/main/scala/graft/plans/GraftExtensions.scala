@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, L2DistanceSq, MinhashSignature, ShingleArray, Simhash64}
+import graft.functions.{AdcDistance, CosineSimilarity, DotProduct, L2DistanceSq, L2NormalizeArray, MinhashSignature, PqDistTable, PqEncode, ShingleArray, Simhash64}
 
 /** SparkSessionExtensions entry point (SURVEY §4 verdict: no custom
   * Rule/SparkStrategy needed — injectFunction is the one extension the
@@ -48,7 +48,23 @@ object GraftExtensions {
     (FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "distinct n-word shingles of a string array; arg2 = n"),
       (args: Seq[Expression]) => ShingleArray(args(0),
-        args(1).eval().asInstanceOf[Number].intValue())))
+        args(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_pq_encode"),
+      info("graft_pq_encode", "PQ codes of a vector; args = vec, codebook, m, k"),
+      (args: Seq[Expression]) => PqEncode(args(0), args(1),
+        args(2).eval().asInstanceOf[Number].intValue(),
+        args(3).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_pq_table"),
+      info("graft_pq_table", "ADC distance table; args = query, codebook, m, k"),
+      (args: Seq[Expression]) => PqDistTable(args(0), args(1),
+        args(2).eval().asInstanceOf[Number].intValue(),
+        args(3).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_adc"),
+      info("graft_adc", "ADC distance from a dist table and a code array"),
+      (args: Seq[Expression]) => AdcDistance(args(0), args(1))),
+    (FunctionIdentifier("graft_l2norm"),
+      info("graft_l2norm", "L2-normalize a numeric array (zero vectors unchanged)"),
+      (args: Seq[Expression]) => L2NormalizeArray(args(0), args(0))))
 
   private def inject(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

@@ -78,6 +78,26 @@ class IndexPersistenceSpec extends SparkSpec {
     }
   }
 
+  test("PQ codebook persists and is loaded, not refit") {
+    withIndexDir { dir =>
+      val idx = Ann.pqIndex(spark, sfTiny)
+      val path = Ann.indexArtifactPath(spark, "pq_codebook", sfTiny,
+        s"m=${idx.m},k=${idx.k}").get
+      assert(new java.io.File(path, "_SUCCESS").exists(), s"artifact missing at $path")
+
+      // tamper: an all-zero codebook saved over the slot
+      spark.createDataFrame(
+          Seq((idx.m, idx.k, idx.sub, Seq.fill(idx.codebook.length)(0.0))))
+        .toDF("m", "k", "sub", "cb")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+      Ann.clearCaches() // "new JVM"
+      val idx2 = Ann.pqIndex(spark, sfTiny)
+      assert(idx2.codebook.forall(_ == 0.0),
+        "expected the tampered zero codebook to be loaded — a refit would have produced fitted centroids")
+    }
+  }
+
   test("without index.dir, nothing is written and queries still pass (in-memory fit)") {
     Ann.clearCaches()
     assert(GraftConf.indexDir(spark).isEmpty)
