@@ -590,8 +590,51 @@ object Dedup {
       FROM p WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.05
       ORDER BY jaccard DESC, id1, id2"""))
 
+  // ---------------------------------------------------------------------
+  // q68: cross-document repeated spans — the span-level dedup signal
+  // (Lee et al., "Deduplicating Training Data Makes Language Models
+  // Better": repeated passages induce memorization even when documents
+  // as a whole are distinct) plus cross-SOURCE overlap, the
+  // benchmark-contamination question (a span shared by two corpora).
+  // ---------------------------------------------------------------------
+
+  /** 10-token spans appearing in more than one document: one explode ->
+    * one groupBy-on-span shuffle, linear in corpus token count (the
+    * 100 TB form adds a df cap exactly like q58's hot-shingle cut; at
+    * that scale the group key would be the md5 of the span with the text
+    * sampled per group). n_sources > 1 flags cross-corpus leakage. */
+  def dupSpans(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("source"), explode(shingles(col("t"), n)).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("df"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("span"))
+
+  val q68DupSpans = GraftQuery(
+    "q68_dup_spans",
+    "D5-span,A9; repeated-passage + cross-source contamination detection",
+    (s, d) => dupSpans(s, d, n = 10),
+    Some("""WITH tk AS (
+        SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source, unnest(list_distinct(list_transform(range(1, len(toks)-8),
+          i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||
+               toks[i+5]||' '||toks[i+6]||' '||toks[i+7]||' '||toks[i+8]||' '||toks[i+9]))) AS span
+        FROM tk WHERE len(toks) >= 10)
+      SELECT span, CAST(count(*) AS BIGINT) AS df,
+        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM sh GROUP BY span HAVING count(*) >= 2
+      ORDER BY df DESC, span"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
     q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup,
-    q64DupClusters)
+    q64DupClusters, q68DupSpans)
 }
