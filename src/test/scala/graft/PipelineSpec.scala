@@ -83,5 +83,18 @@ class PipelineSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 11.0)
     assert(r.getSeq[String](2) == Seq("a b", "b c"))
+
+    // PQ kernels: 2 subspaces x 2 codes over a 2-d toy codebook
+    // [(0,): {0.0, 1.0}; (1,): {0.0, 1.0}] — the vector (1, 0) encodes
+    // to codes [1, 0], its self-ADC distance is 0, and normalization
+    // leaves unit vectors unchanged
+    val p = spark.sql(
+      """SELECT graft_pq_encode(array(1.0, 0.0), array(0.0, 1.0, 0.0, 1.0), 2, 2) AS codes,
+                graft_adc(graft_pq_table(array(1.0, 0.0), array(0.0, 1.0, 0.0, 1.0), 2, 2),
+                          graft_pq_encode(array(1.0, 0.0), array(0.0, 1.0, 0.0, 1.0), 2, 2)) AS selfd,
+                graft_l2norm(array(3.0, 4.0)) AS nv""").head()
+    assert(p.getSeq[Int](0) == Seq(1, 0))
+    assert(p.getDouble(1) == 0.0)
+    assert(p.getSeq[Double](2) == Seq(0.6, 0.8))
   }
 }
