@@ -81,7 +81,9 @@ object Dedup {
 
   /** Unordered candidate relation (id1, id2, n_bands) — the composition
     * entry point (q59): no final sort to drag into a downstream plan. */
-  def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc MinHash band rows (doc_id, b, key) under the conf'd shape —
+    * the shared candidate-generation relation. */
+  private def minhashBanded(s: SparkSession, d: String): DataFrame = {
     val fns = GraftConf.minhashFuncs(s)
     val rows = GraftConf.minhashBandRows(s)
     require(fns > 0 && rows > 0 && fns % rows == 0,
@@ -93,12 +95,16 @@ object Dedup {
       concat_ws("|", (0 until rows).map(r =>
         element_at(col("sig"), b * rows + r + 1)): _*)
     }
-    val banded = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
       .select(col("doc_id"), minhashSignature(col("sh"), fns).as("sig"))
       .select(col("doc_id"), posexplode(array(bands: _*)).as(Seq("b", "key")))
+  }
+
+  def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val banded = minhashBanded(s, d)
     val a = banded.select(col("doc_id").as("id1"), col("b"), col("key"))
     val bdf = banded.select(col("doc_id").as("id2"), col("b"), col("key"))
     a.join(bdf, Seq("b", "key")).filter(col("id1") < col("id2"))
@@ -344,17 +350,23 @@ object Dedup {
     * shingles/doc) no matter how big the corpus is. A shingle shared by f
     * documents costs q53 O(f^2) rows here it costs only as many rows as
     * there are candidate pairs containing it. */
-  def sketchVerifiedPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val cand = minhashCandidatePairs(s, d).select(col("id1"), col("id2"))
-    // Same 3-shingle space the MinHash signatures sketch, md5-prefix keyed
-    // (8-byte shuffle keys; identical hashing on the oracle side).
-    val ex = Tables.documents(s, d)
+  /** Exploded 3-shingle keys (doc_id, n_sh, k): the verification-side
+    * relation, md5-prefix keyed (8-byte shuffle keys; identical hashing
+    * on the oracle side). */
+  private def shingleKeys(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("sgl"))
       .select(col("doc_id"), col("n_sh"),
         conv(substring(md5(col("sgl").cast("binary")), 1, 15), 16, 10).cast("long").as("k"))
+
+  /** Candidate-driven exact-Jaccard verify: (id1, id2) pairs -> those
+    * with 3-shingle J >= threshold. Work is O(pairs x shingles/doc). */
+  private def verifyJaccard(s: SparkSession, d: String,
+      cand: DataFrame, threshold: Double): DataFrame = {
+    val ex = shingleKeys(s, d)
     cand
       .join(ex.select(col("doc_id").as("id1"), col("n_sh").as("na"), col("k")), Seq("id1"))
       .join(ex.select(col("doc_id").as("id2"), col("n_sh").as("nb"), col("k")), Seq("id2", "k"))
@@ -365,6 +377,10 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  def sketchVerifiedPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
+    verifyJaccard(s, d,
+      minhashCandidatePairs(s, d).select(col("id1"), col("id2")), threshold)
 
   /** Survivor set under the composed pipeline: greedy keep-lowest-id over
     * the VERIFIED near-dup pairs (candidates alone over-drop: the band
@@ -591,6 +607,83 @@ object Dedup {
       ORDER BY jaccard DESC, id1, id2"""))
 
   // ---------------------------------------------------------------------
+  // q69: incremental dedup — a new batch against the accumulated corpus
+  // (the daily-crawl-increment shape: corpus-internal pairs are NOT
+  // recomputed; only batch-driven candidates are generated)
+  // ---------------------------------------------------------------------
+
+  /** Batch survivors under incremental sketch dedup: a new document is
+    * dropped if it near-dups (3-shingle J >= threshold on MinHash band
+    * candidates) ANY existing corpus document, or a LOWER-id document of
+    * its own batch (keep-first within the increment). Candidate
+    * generation is driven from the batch side of the band join, so work
+    * scales with the increment, not the corpus — at real scale the
+    * corpus band table is the materialized artifact of previous runs
+    * (bucketed by band key), and each increment equi-joins against it. */
+  def incrementalDedupSurvivors(s: SparkSession, d: String,
+      isNew: Column, threshold: Double): DataFrame = {
+    val banded = minhashBanded(s, d)
+      .withColumn("is_new", isNew)
+    val batch = banded.filter(col("is_new"))
+      .select(col("doc_id").as("id1"), col("b"), col("key"))
+    val all = banded
+      .select(col("doc_id").as("id2"), col("is_new").as("new2"), col("b"), col("key"))
+    val cand = batch.join(all, Seq("b", "key"))
+      .filter(col("id1") =!= col("id2"))
+      // vs corpus: any match drops the new doc; vs batch: only a
+      // lower-id batch doc dominates (keep-first within the increment)
+      .filter(!col("new2") || col("id2") < col("id1"))
+      .select(col("id1"), col("id2")).distinct()
+    val dropped = verifyJaccard(s, d, cand, threshold)
+      .select(col("id1").as("doc_id")).distinct()
+    Tables.documents(s, d)
+      .withColumn("is_new", isNew).filter(col("is_new"))
+      .select(col("doc_id"), col("source"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  val q69IncrementalDedup = GraftQuery(
+    "q69_incremental_dedup",
+    "D5-incremental; batch-vs-corpus dedup (batch-driven candidates)",
+    (s, d) => incrementalDedupSurvivors(s, d, col("doc_id") % 7 === 0, threshold = 0.8),
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM tk WHERE len(toks) >= 3),
+      sig AS (
+        SELECT doc_id,
+          [list_min(list_transform(sh, s -> md5('0:' || s))),
+           list_min(list_transform(sh, s -> md5('1:' || s))),
+           list_min(list_transform(sh, s -> md5('2:' || s))),
+           list_min(list_transform(sh, s -> md5('3:' || s))),
+           list_min(list_transform(sh, s -> md5('4:' || s))),
+           list_min(list_transform(sh, s -> md5('5:' || s))),
+           list_min(list_transform(sh, s -> md5('6:' || s))),
+           list_min(list_transform(sh, s -> md5('7:' || s)))] AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, b, sig[2*b+1] || '|' || sig[2*b+2] AS key
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+        WHERE a.doc_id % 7 = 0 AND a.doc_id <> b.doc_id
+          AND (b.doc_id % 7 <> 0 OR b.doc_id < a.doc_id)),
+      ver AS (
+        SELECT c.id1,
+          round(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
+            (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) AS jaccard
+        FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id),
+      dropped AS (SELECT DISTINCT id1 FROM ver WHERE jaccard >= 0.8)
+      SELECT doc_id, source FROM documents
+      WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT id1 FROM dropped)
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
   // q68: cross-document repeated spans — the span-level dedup signal
   // (Lee et al., "Deduplicating Training Data Makes Language Models
   // Better": repeated passages induce memorization even when documents
@@ -636,5 +729,5 @@ object Dedup {
   def queries: Seq[GraftQuery] = Seq(
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
     q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup,
-    q64DupClusters, q68DupSpans)
+    q64DupClusters, q68DupSpans, q69IncrementalDedup)
 }

@@ -45,7 +45,7 @@ object Embedding {
   private[graft] val fitCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drop cached fitted embedding models (spec hook / M5 rebuild). */
-  def clearCaches(): Unit = modelCache.clear()
+  def clearCaches(): Unit = { modelCache.clear(); w2vCache.clear() }
 
   private def fitModel(docs: DataFrame, dim: Int): PipelineModel = {
     fitCount.incrementAndGet()
@@ -95,14 +95,28 @@ object Embedding {
     * (GraftConf.w2vNumPartitions): the default 1 keeps the fit
     * bit-reproducible, >1 trades that for fit throughput on big corpora
     * (MLlib merges per-partition updates non-deterministically). */
+  private val w2vCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.ml.feature.Word2VecModel]
+
   def embedWord2Vec(s: SparkSession, d: String): DataFrame = {
+    val dim = GraftConf.embeddingDim(s)
+    val parts = GraftConf.w2vNumPartitions(s)
     val docs = Tables.documents(s, d).select(col("doc_id"),
       split(lower(trim(col("text"))), "\\s+").as("toks"))
-    val model = new org.apache.spark.ml.feature.Word2Vec()
-      .setInputCol("toks").setOutputCol("emb")
-      .setVectorSize(GraftConf.embeddingDim(s)).setMinCount(1).setSeed(42L)
-      .setMaxIter(1).setNumPartitions(GraftConf.w2vNumPartitions(s))
-      .fit(docs)
+    // same lifecycle as the main pipeline: session cache + persisted
+    // artifact keyed by every fit parameter
+    val model = w2vCache.getOrElseUpdate(
+      (sessionKey(s), s"$d@dim=$dim,np=$parts"),
+      ModelStore.loadOrFit(s,
+        ModelStore.artifactPath(s, "w2v", d, s"dim=$dim,np=$parts"),
+        org.apache.spark.ml.feature.Word2VecModel.load) {
+        fitCount.incrementAndGet()
+        new org.apache.spark.ml.feature.Word2Vec()
+          .setInputCol("toks").setOutputCol("emb")
+          .setVectorSize(dim).setMinCount(1).setSeed(42L)
+          .setMaxIter(1).setNumPartitions(parts)
+          .fit(docs)
+      })
     model.transform(docs)
       .select(col("doc_id"), vector_to_array(col("emb")).as("embedding"))
   }

@@ -75,6 +75,18 @@ class OperatorSpec extends SparkSpec {
     assert(sizeOk == 0)
   }
 
+  test("incremental dedup with everything-new equals the full q59 survivor set") {
+    // both policies drop a doc exactly when a lower-id verified near-dup
+    // exists, so an increment covering the whole corpus must reproduce
+    // the batch pipeline bit-for-bit
+    val full = Dedup.sketchDedupSurvivors(spark, sfTiny, 0.8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val inc = Dedup.incrementalDedupSurvivors(spark, sfTiny, lit(true), 0.8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(inc == full,
+      s"incremental(all-new) diverged: ${(inc -- full).size} extra, ${(full -- inc).size} missing")
+  }
+
   test("neardup survivors: survivors + dominated = all; no survivor dominated") {
     val total = Tables.embeddings(spark, sfTiny).count()
     val pairs = Similarity.nearDupPairs(spark, sfTiny, 0.35, prefilterLabel = false)
