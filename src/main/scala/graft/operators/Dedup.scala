@@ -81,9 +81,12 @@ object Dedup {
 
   /** Unordered candidate relation (id1, id2, n_bands) — the composition
     * entry point (q59): no final sort to drag into a downstream plan. */
-  /** Per-doc MinHash band rows (doc_id, b, key) under the conf'd shape —
-    * the shared candidate-generation relation. */
-  private def minhashBanded(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc MinHash band rows (doc_id, b, key, <carried cols>) under the
+    * conf'd shape — the shared candidate-generation relation. `carry`
+    * names extra input columns to keep alongside the band rows. */
+  private[graft] def minhashBandedFrame(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val s = docs.sparkSession
     val fns = GraftConf.minhashFuncs(s)
     val rows = GraftConf.minhashBandRows(s)
     require(fns > 0 && rows > 0 && fns % rows == 0,
@@ -95,13 +98,17 @@ object Dedup {
       concat_ws("|", (0 until rows).map(r =>
         element_at(col("sig"), b * rows + r + 1)): _*)
     }
-    Tables.documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("t"))
+    val c = carry.map(col)
+    docs
+      .select((Seq(col("doc_id"), toks(col("text")).as("t")) ++ c): _*)
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
-      .select(col("doc_id"), minhashSignature(col("sh"), fns).as("sig"))
-      .select(col("doc_id"), posexplode(array(bands: _*)).as(Seq("b", "key")))
+      .select((Seq(col("doc_id"), shingles(col("t"), 3).as("sh")) ++ c): _*)
+      .select((Seq(col("doc_id"), minhashSignature(col("sh"), fns).as("sig")) ++ c): _*)
+      .select((Seq(col("doc_id"), posexplode(array(bands: _*)).as(Seq("b", "key"))) ++ c): _*)
   }
+
+  private def minhashBanded(s: SparkSession, d: String): DataFrame =
+    minhashBandedFrame(Tables.documents(s, d))
 
   def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val banded = minhashBanded(s, d)
@@ -353,8 +360,8 @@ object Dedup {
   /** Exploded 3-shingle keys (doc_id, n_sh, k): the verification-side
     * relation, md5-prefix keyed (8-byte shuffle keys; identical hashing
     * on the oracle side). */
-  private def shingleKeys(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private[graft] def shingleKeysFrame(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
@@ -362,11 +369,17 @@ object Dedup {
       .select(col("doc_id"), col("n_sh"),
         conv(substring(md5(col("sgl").cast("binary")), 1, 15), 16, 10).cast("long").as("k"))
 
+  private def shingleKeys(s: SparkSession, d: String): DataFrame =
+    shingleKeysFrame(Tables.documents(s, d))
+
   /** Candidate-driven exact-Jaccard verify: (id1, id2) pairs -> those
     * with 3-shingle J >= threshold. Work is O(pairs x shingles/doc). */
   private def verifyJaccard(s: SparkSession, d: String,
+      cand: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardFrame(shingleKeys(s, d), cand, threshold)
+
+  private[graft] def verifyJaccardFrame(ex: DataFrame,
       cand: DataFrame, threshold: Double): DataFrame = {
-    val ex = shingleKeys(s, d)
     cand
       .join(ex.select(col("doc_id").as("id1"), col("n_sh").as("na"), col("k")), Seq("id1"))
       .join(ex.select(col("doc_id").as("id2"), col("n_sh").as("nb"), col("k")), Seq("id2", "k"))
@@ -622,23 +635,36 @@ object Dedup {
     * (bucketed by band key), and each increment equi-joins against it. */
   def incrementalDedupSurvivors(s: SparkSession, d: String,
       isNew: Column, threshold: Double): DataFrame = {
-    val banded = minhashBanded(s, d)
-      .withColumn("is_new", isNew)
-    val batch = banded.filter(col("is_new"))
+    val all = Tables.documents(s, d).withColumn("is_new", isNew)
+    incrementalDedupFrames(
+      all.filter(!col("is_new")), all.filter(col("is_new")), threshold)
+  }
+
+  /** Frame form of the incremental dedup (the streaming micro-batch
+    * entry, streaming.StreamingJobs.runStreamingTextDedup): `ref` is the
+    * accumulated reference (any match drops a new doc), `batch` the
+    * increment (only a lower-id increment doc dominates). Both need
+    * (doc_id, source, text). */
+  def incrementalDedupFrames(ref: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame = {
+    val docs = ref.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("is_new", lit(false))
+      .unionByName(batch.select(col("doc_id"), col("source"), col("text"))
+        .withColumn("is_new", lit(true)))
+    val banded = minhashBandedFrame(docs, carry = Seq("is_new"))
+    val batchSide = banded.filter(col("is_new"))
       .select(col("doc_id").as("id1"), col("b"), col("key"))
-    val all = banded
+    val allSide = banded
       .select(col("doc_id").as("id2"), col("is_new").as("new2"), col("b"), col("key"))
-    val cand = batch.join(all, Seq("b", "key"))
+    val cand = batchSide.join(allSide, Seq("b", "key"))
       .filter(col("id1") =!= col("id2"))
-      // vs corpus: any match drops the new doc; vs batch: only a
+      // vs reference: any match drops the new doc; vs batch: only a
       // lower-id batch doc dominates (keep-first within the increment)
       .filter(!col("new2") || col("id2") < col("id1"))
       .select(col("id1"), col("id2")).distinct()
-    val dropped = verifyJaccard(s, d, cand, threshold)
+    val dropped = verifyJaccardFrame(shingleKeysFrame(docs), cand, threshold)
       .select(col("id1").as("doc_id")).distinct()
-    Tables.documents(s, d)
-      .withColumn("is_new", isNew).filter(col("is_new"))
-      .select(col("doc_id"), col("source"))
+    batch.select(col("doc_id"), col("source"))
       .join(dropped, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }

@@ -133,6 +133,48 @@ object StreamingJobs {
     q
   }
 
+  /** Streaming incremental TEXT dedup (the q69 batch operator as a
+    * standing job): document files arriving as a stream are MinHash-
+    * banded, candidate-joined against the accumulated reference
+    * (initial corpus + every previously seen increment), exact-Jaccard
+    * verified, and only the surviving documents are appended to
+    * `outDir`. foreachBatch so the batch operator
+    * (Dedup.incrementalDedupFrames) runs unchanged per micro-batch;
+    * every processed document (survivor or not) joins the reference so
+    * a later re-crawl of a dropped document is still recognized.
+    *
+    * When increments arrive in ascending doc_id order (the natural
+    * crawl-id layout), the accumulated result equals the one-shot batch
+    * q69 answer bit-for-bit (StreamingSpec proves it). At scale the
+    * reference's band/shingle relations are materialized bucketed
+    * tables appended per trigger, not re-derived from text. */
+  def runStreamingTextDedup(spark: SparkSession, streamDir: String,
+      corpusParquet: String, outDir: String, threshold: Double): StreamingQuery = {
+    val seenDir = s"$outDir/_seen"
+    val survivorsDir = s"$outDir/survivors"
+    val corpus = spark.read.parquet(corpusParquet)
+      .select(col("doc_id"), col("source"), col("text"))
+    val schema = corpus.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select(col("doc_id"), col("source"), col("text"))
+        val seen =
+          try spark.read.parquet(seenDir)
+          catch { case _: Exception => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema) }
+        val ref = corpus.unionByName(seen)
+        graft.operators.Dedup.incrementalDedupFrames(ref, b, threshold)
+          .write.mode("append").parquet(survivorsDir)
+        b.write.mode("append").parquet(seenDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming exact dedup: first event per (user_id, event_type), state
     * bounded by a 1-day watermark — dropDuplicates-with-watermark, the
     * streaming form of the batch keep-first window (q72). */

@@ -163,6 +163,42 @@ class StreamingSpec extends SparkSpec {
       s"streamed assignment diverges from batch (${streamed.size} vs ${batch.size} rows)")
   }
 
+  test("streaming incremental text dedup == batch q69 (id-ordered increments)") {
+    // batch q69 shape: corpus = doc_id % 7 != 0, increment = % 7 == 0.
+    // Split the increment into two id-ordered files so the equivalence
+    // crosses a micro-batch boundary (cross-trigger domination works via
+    // the accumulated _seen reference).
+    val work = Files.createTempDirectory("graft_textdedup").toString
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("source"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .coalesce(1).write.parquet(s"$work/corpus")
+    val streamDir = Files.createTempDirectory("graft_textdedup_stream")
+    docs.filter(col("doc_id") % 7 === 0 && col("doc_id") <= maxId / 2)
+      .coalesce(1).write.parquet(s"$work/b1")
+    docs.filter(col("doc_id") % 7 === 0 && col("doc_id") > maxId / 2)
+      .coalesce(1).write.parquet(s"$work/b2")
+    def firstPart(dir: String): java.nio.file.Path =
+      Files.list(Paths.get(dir)).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    // file mtimes order the triggers: b1 (low ids) first
+    val f1 = Files.copy(firstPart(s"$work/b1"), streamDir.resolve("b1.parquet"))
+    val f2 = Files.copy(firstPart(s"$work/b2"), streamDir.resolve("b2.parquet"))
+    f1.toFile.setLastModified(1000000L)
+    f2.toFile.setLastModified(2000000L)
+
+    val outDir = Files.createTempDirectory("graft_textdedup_out").toString
+    StreamingJobs.runStreamingTextDedup(
+      spark, streamDir.toString, s"$work/corpus", outDir, threshold = 0.8)
+    val streamed = spark.read.parquet(s"$outDir/survivors")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val batch = operators.Dedup
+      .incrementalDedupSurvivors(spark, sfTiny, col("doc_id") % 7 === 0, 0.8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"streamed survivors diverge: ${(streamed -- batch).size} extra, ${(batch -- streamed).size} missing")
+  }
+
   test("streaming dedup (dropDuplicates + watermark) == batch keep-first key set") {
     StreamingJobs.runStreamingDedup(spark, streamDir, "dedup_test")
     val streamedKeys = spark.table("dedup_test")
