@@ -489,7 +489,69 @@ object TextAnalysis {
       FROM ranked WHERE (rk - 1) % rate = 0
       GROUP BY source ORDER BY source"""))
 
+  /** q76: deterministic train/val/test split — md5(doc_id) mod 100 into
+    * 80/10/10 buckets. Content-independent and replayable: the same doc
+    * lands in the same split on every run, machine, and engine (the
+    * property an unseeded random split lacks — SURVEY §7.3 flags exactly
+    * that defect in the reference's sampling). Pure per-row expression,
+    * no shuffle until the output sort. */
+  val q76HashSplit = GraftQuery(
+    "q76_hash_split",
+    "LLM-pipeline: deterministic corpus split; X1 ext",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 100).as("bucket"))
+        .select(col("doc_id"), col("source"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source,
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, source,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  /** q77: quality-decile binning WITHOUT a global sort — the curriculum/
+    * threshold-selection step. A global ntile() window is a one-reducer
+    * sort (the SCALE.md anti-pattern); instead the decile cutoffs are one
+    * exact-percentile aggregate (a broadcastable 9-double row) and every
+    * document computes its bin locally by counting cutoffs below its
+    * score. Binning metric: token count (the length-curriculum shape). */
+  val q77QualityBins = GraftQuery(
+    "q77_quality_bins",
+    "LLM-pipeline: quantile binning (no global sort); A6 ext",
+    (s, d) => {
+      val m = Tables.documents(s, d)
+        .select(col("doc_id"), size(toks(col("text"))).as("n_tok"))
+      val cuts = m.agg(expr(
+        "percentile(n_tok, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cs"))
+      m.crossJoin(broadcast(cuts))
+        .select(col("n_tok"),
+          (lit(1) + size(filter(col("cs"), c => col("n_tok") > c))).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH m AS (
+        SELECT doc_id, len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+        FROM documents),
+      cut AS (
+        SELECT quantile_cont(n_tok, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+        FROM m),
+      binned AS (
+        SELECT n_tok, 1 + len(list_filter(cs, c -> n_tok > c)) AS bin
+        FROM m CROSS JOIN cut)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        min(n_tok) AS min_tok, max(n_tok) AS max_tok
+      FROM binned GROUP BY bin ORDER BY bin"""))
+
   def queries: Seq[GraftQuery] = Seq(
+    q76HashSplit, q77QualityBins,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,
     q48SequencePacking, q49CorpusMixture)
