@@ -59,5 +59,29 @@ object Scale {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Compact a parquet directory to ~targetFileBytes-sized files.
+    * Streaming sinks and per-trigger appends (runStreamingIndexAdd,
+    * runStreamingTextDedup) leave one small file per micro-batch; at
+    * scale that degrades scan task sizing and metadata listing long
+    * before it degrades storage. Rewrites via a temp dir + rename swap
+    * (atomic on HDFS/posix; on eventual-consistency object stores run it
+    * from the table's maintenance job). Returns the output file count. */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "__compact_old")
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(path, old) && fs.rename(tmp, path),
+      s"compaction swap failed for $dir")
+    fs.delete(old, true)
+    nFiles
+  }
+
   def queries: Seq[GraftQuery] = Seq(q82SaltedAgg)
 }

@@ -81,6 +81,27 @@ class BucketingSpec extends SparkSpec {
     assert(plan.contains("salt"), s"salt column missing from LSH join plan:\n$plan")
   }
 
+  test("compact: fragmented append dir collapses to few files, data identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val docs = Tables.documents(spark, sfTiny).select(col("doc_id"), col("source"))
+    // simulate 8 micro-batch appends -> >= 8 part files
+    (0 until 8).foreach { i =>
+      docs.filter(col("doc_id") % 8 === i).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    def partFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    val before = partFiles
+    assert(before >= 8, s"fixture not fragmented: $before files")
+    val expected = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val n = plans.Scale.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(n == 1 && partFiles == 1, s"expected 1 file, got $partFiles")
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == expected, "compaction changed the data")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val direct = Tables.lineitem(spark, sfTiny)
       .groupBy(col("l_returnflag"))

@@ -115,6 +115,35 @@ class GraftConfSpec extends SparkSpec {
       s"radius-3 answer changed with band count: ${pairs4.size} vs ${pairs8.size}")
   }
 
+  test("spark.graft.pq.m drives the code length (and must divide the dim)") {
+    withConf("spark.graft.pq.m", "4") {
+      Ann.clearCaches()
+      val idx = Ann.pqIndex(spark, sfTiny)
+      assert(idx.m == 4 && idx.sub * 4 == idx.sub * idx.m)
+      val codes = Tables.embeddings(spark, sfTiny).limit(1)
+        .select(graft.functions.PqKernels.pqEncodeFast(
+          graft.functions.PqKernels.l2NormalizeFast(col("embedding")),
+          typedLit(idx.codebook.toSeq), idx.m, idx.k).as("c"))
+        .head().getSeq[Int](0)
+      assert(codes.length == 4)
+    }
+    withConf("spark.graft.pq.m", "7") { // 7 does not divide 64
+      Ann.clearCaches()
+      intercept[IllegalArgumentException] { Ann.pqIndex(spark, sfTiny) }
+    }
+    Ann.clearCaches()
+  }
+
+  test("spark.graft.index.buckets drives the stage-3 table bucket spec") {
+    val work = java.nio.file.Files.createTempDirectory("graft_bucket_conf").toString
+    withConf("spark.graft.index.buckets", "3") {
+      JobPipeline.run(spark, sfTiny, work, threshold = 0.5)
+      val table = new plans.Pipeline(spark, work).bucketedTableName("s3_index")
+      val ddl = spark.sql(s"SHOW CREATE TABLE $table").head().getString(0)
+      assert(ddl.contains("INTO 3 BUCKETS"), s"bucket spec missing:\n$ddl")
+    }
+  }
+
   test("fit-time conf changes re-fit mid-session instead of reusing a stale model") {
     // the model-cache key must include every fit parameter: after a conf
     // change the SAME session must produce a fresh fit, not silently

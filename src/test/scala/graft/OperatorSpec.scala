@@ -75,6 +75,17 @@ class OperatorSpec extends SparkSpec {
     assert(sizeOk == 0)
   }
 
+  test("degenerate thresholds: no pairs -> all-singleton clusters; empty increment -> empty survivors") {
+    // threshold > 1 admits no verified pair: every doc is its own cluster
+    val clusters = Dedup.dupClusters(spark, sfTiny, threshold = 1.01)
+    val total = Tables.documents(spark, sfTiny).count()
+    assert(clusters.count() == total)
+    assert(clusters.filter(col("cluster_id") =!= col("doc_id")).count() == 0)
+    assert(clusters.filter(col("cluster_size") =!= 1).count() == 0)
+    // an increment selecting nothing yields an empty survivor set, not an error
+    assert(Dedup.incrementalDedupSurvivors(spark, sfTiny, lit(false), 0.8).count() == 0)
+  }
+
   test("incremental dedup with everything-new equals the full q59 survivor set") {
     // both policies drop a doc exactly when a lower-id verified near-dup
     // exists, so an increment covering the whole corpus must reproduce
