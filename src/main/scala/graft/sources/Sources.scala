@@ -97,5 +97,37 @@ object Sources {
         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
       FROM documents GROUP BY source ORDER BY source"""))
 
-  def queries: Seq[GraftQuery] = Seq(q80CsvRoundTrip, q81SchemaPeek, q84JsonlRoundTrip)
+  /** ORC round trip — the other columnar format Spark ships natively
+    * (warehouse interchange with Hive-lineage systems). Same explicit-
+    * schema discipline; no spark-avro connector is bundled in this
+    * distribution, so ORC is the third and last on-disk format here. */
+  def orcRoundTrip(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).orc(path)
+    spark.read.schema(df.schema).orc(path)
+  }
+
+  /** q85: documents through an ORC round trip, then a per-lang profile
+    * (hash equality vs the parquet-side oracle proves losslessness). */
+  val q85OrcRoundTrip = GraftQuery(
+    "q85_orc_roundtrip",
+    "S1,S7 ext; ORC scan + sink, explicit schema",
+    (s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt_$runId"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val back = orcRoundTrip(s, docs, tmp)
+      back.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(length(col("text"))).as("total_len"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n,
+        CAST(sum(length(text)) AS BIGINT) AS total_len,
+        max(n_chars) AS max_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  def queries: Seq[GraftQuery] =
+    Seq(q80CsvRoundTrip, q81SchemaPeek, q84JsonlRoundTrip, q85OrcRoundTrip)
 }
