@@ -198,7 +198,62 @@ object Events {
         ON p.user_id = v.user_id AND p.ts >= v.ts
       ORDER BY purchase_id"""))
 
+  /** q79: ordered funnel — users progressing view -> click -> purchase,
+    * each step strictly after the previous one (first qualifying event
+    * per step). Three keyed min-aggregates chained by a per-user join:
+    * one shuffle per step on user_id, no per-user event explosion — the
+    * scalable form of the sequential-pattern question (a self-join on
+    * all event pairs would be quadratic per user). */
+  val q79Funnel = GraftQuery(
+    "q79_funnel",
+    "event-time funnel (sequential steps); A1,J-ext",
+    (s, d) => {
+      val ev = Tables.eventsWithTs(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      // total-user count rides along as a broadcast scalar row (no eager
+      // driver-side count at plan build)
+      val tot = ev.agg(countDistinct(col("user_id")).cast("double").as("tot"))
+      def step(n: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .crossJoin(broadcast(tot))
+          .select(lit(n).as("step"), lit(name).as("event_type"),
+            col("n_users"), round(col("n_users") / col("tot"), 4).as("pct_of_users"))
+      step(1, "view", t1)
+        .unionByName(step(2, "click", t2))
+        .unionByName(step(3, "purchase", t3))
+        .orderBy(col("step"))
+    },
+    Some("""WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+        WHERE e.event_type = 'click' GROUP BY 1),
+      t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1),
+      tot AS (SELECT count(DISTINCT user_id)::DOUBLE AS n FROM events)
+      SELECT 1 AS step, 'view' AS event_type, CAST(count(*) AS BIGINT) AS n_users,
+        round(count(*) / (SELECT n FROM tot), 4) AS pct_of_users FROM t1
+      UNION ALL
+      SELECT 2, 'click', CAST(count(*) AS BIGINT),
+        round(count(*) / (SELECT n FROM tot), 4) FROM t2
+      UNION ALL
+      SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+        round(count(*) / (SELECT n FROM tot), 4) FROM t3
+      ORDER BY step"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q70EventWindow, q71Sessionize, q72StreamDedup, q73JsonProps, q74Cube,
-    q75AsofJoin)
+    q75AsofJoin, q79Funnel)
 }
