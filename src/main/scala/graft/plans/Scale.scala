@@ -59,6 +59,17 @@ object Scale {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Hive-style partitioned write: one directory per value of `key`.
+    * The partition column never touches file contents, and a reader
+    * filtering on it prunes whole directories at PLANNING time
+    * (PartitionFilters in the scan, zero row groups read for pruned
+    * values) — the coarse data-skipping layer a 100 TB table layers
+    * under parquet min/max stats. Partition by low-cardinality columns
+    * only (source, lang, date); high-cardinality keys belong in
+    * bucketing (writeBucketed) instead, or the file count explodes. */
+  def writePartitioned(df: DataFrame, dir: String, key: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(key).parquet(dir)
+
   /** Compact a parquet directory to ~targetFileBytes-sized files.
     * Streaming sinks and per-trigger appends (runStreamingIndexAdd,
     * runStreamingTextDedup) leave one small file per micro-batch; at

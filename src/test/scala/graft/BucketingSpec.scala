@@ -102,6 +102,34 @@ class BucketingSpec extends SparkSpec {
     assert(after == expected, "compaction changed the data")
   }
 
+  test("partitioned write: a partition-key filter prunes at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("lang"), col("source"))
+    plans.Scale.writePartitioned(docs, dir, "source")
+    val sources = docs.select(col("source")).distinct().count()
+    assert(sources > 1, "fixture needs multiple partitions")
+
+    val one = docs.filter(col("source") === "src0").count()
+    val read = spark.read.parquet(dir).filter(col("source") === "src0")
+    val plan = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the filter must appear as a PartitionFilters entry on the scan —
+    // planned directory pruning, not a post-scan row filter
+    assert("PartitionFilters: \\[[^\\]]*source".r.findFirstIn(plan).isDefined,
+      s"source filter not pushed to partition pruning:\n$plan")
+    assert(read.count() == one)
+    // and the pruned scan reads only the matching partition's files
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val files = scannedFiles(read)
+    val allFiles = scannedFiles(spark.read.parquet(dir))
+    assert(files < allFiles, s"pruning read all $allFiles files")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val direct = Tables.lineitem(spark, sfTiny)
       .groupBy(col("l_returnflag"))
