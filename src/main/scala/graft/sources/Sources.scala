@@ -128,6 +128,37 @@ object Sources {
         max(n_chars) AS max_chars
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** q86: documents through a Hive-partitioned parquet round trip
+    * (Scale.writePartitioned), read back pruned to three partitions.
+    * The partition column lives in directory names, not file contents —
+    * the hash vs the flat-parquet oracle proves that move is lossless,
+    * and the IN-list filter rides partition pruning (PartitionFilters in
+    * the scan; plan-asserted in BucketingSpec), the coarse skipping
+    * layer a 100 TB corpus keyed by source/lang/date relies on. */
+  val q86PartitionedRoundTrip = GraftQuery(
+    "q86_partitioned_roundtrip",
+    "S10 ext; partitionBy write + pruned read-back",
+    (s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_rt_$runId"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      graft.plans.Scale.writePartitioned(docs, tmp, "source")
+      s.read.schema(docs.schema).parquet(tmp)
+        .filter(col("source").isin("src0", "src1", "src2"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, count(*) AS n,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents WHERE source IN ('src0','src1','src2')
+      GROUP BY source ORDER BY source"""))
+
   def queries: Seq[GraftQuery] =
-    Seq(q80CsvRoundTrip, q81SchemaPeek, q84JsonlRoundTrip, q85OrcRoundTrip)
+    Seq(q80CsvRoundTrip, q81SchemaPeek, q84JsonlRoundTrip, q85OrcRoundTrip,
+      q86PartitionedRoundTrip)
 }
