@@ -70,6 +70,20 @@ object Scale {
   def writePartitioned(df: DataFrame, dir: String, key: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(key).parquet(dir)
 
+  /** The canonical 100 TB corpus layout: Hive-partition by a
+    * low-cardinality column (source/lang/date — prunes whole directories
+    * at planning time) AND bucket within each partition by the
+    * high-cardinality join key (doc_id — co-locates equi-joins, zero
+    * Exchange). One write at ingest buys both data skipping and
+    * shuffle-free joins for every downstream query; BucketingSpec
+    * asserts both properties on one plan. */
+  def writePartitionedBucketed(df: DataFrame, table: String,
+      partKey: String, bucketKey: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partKey)
+      .bucketBy(buckets, bucketKey).sortBy(bucketKey)
+      .format("parquet").saveAsTable(table)
+
   /** Compact a parquet directory to ~targetFileBytes-sized files.
     * Streaming sinks and per-trigger appends (runStreamingIndexAdd,
     * runStreamingTextDedup) leave one small file per micro-batch; at

@@ -130,6 +130,37 @@ class BucketingSpec extends SparkSpec {
     assert(files < allFiles, s"pruning read all $allFiles files")
   }
 
+  test("partitioned+bucketed layout: one plan gets pruning AND a shuffle-free join") {
+    // the canonical ingest layout: partition by source (pruning), bucket
+    // by doc_id (co-located joins) — both properties on the same table
+    spark.sql("DROP TABLE IF EXISTS docs_part_bucketed")
+    spark.sql("DROP TABLE IF EXISTS scores_bucketed")
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("lang"), col("source"))
+    Scale.writePartitionedBucketed(docs, "docs_part_bucketed",
+      partKey = "source", bucketKey = "doc_id", buckets = 4)
+    Scale.writeBucketed(docs.select(col("doc_id"), length(col("lang")).as("score")),
+      "scores_bucketed", "doc_id", buckets = 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("docs_part_bucketed")
+        .filter(col("source") === "src0")
+        .join(spark.table("scores_bucketed"), Seq("doc_id"))
+      val exec = joined.queryExecution.executedPlan
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert("PartitionFilters: \\[[^\\]]*source".r.findFirstIn(plan).isDefined,
+        s"source filter not pushed to partition pruning:\n$plan")
+      assert(exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, s"partitioned+bucketed join still shuffles:\n$plan")
+      assert(joined.count() ==
+        docs.filter(col("source") === "src0").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val direct = Tables.lineitem(spark, sfTiny)
       .groupBy(col("l_returnflag"))
