@@ -84,6 +84,45 @@ object Scale {
       .bucketBy(buckets, bucketKey).sortBy(bucketKey)
       .format("parquet").saveAsTable(table)
 
+  /** Morton (Z-order) value of two columns already scaled to [0, 2^bits):
+    * interleave their bits so nearby (a,b) pairs get nearby z-values.
+    * Pure built-in bit ops — stays inside whole-stage codegen. */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Z-order clustering: range-partition + sort by the interleaved-bit
+    * Morton code of two numeric columns, so every output file covers a
+    * small RECTANGLE of the (a,b) space instead of a stripe of one
+    * column. Parquet min/max footer stats then skip files for filters on
+    * EITHER column — linear sort gives that for the leading column only.
+    * This is the sort Delta/Iceberg OPTIMIZE ZORDER runs; here it is a
+    * plain Spark plan (one extra min/max pass to scale the columns, one
+    * range shuffle). Cluster by the two most-filtered dimensions at
+    * ingest; ZOrderSpec quantifies the per-file pruning it buys. */
+  def clusterZOrder(df: DataFrame, dir: String, colA: String, colB: String,
+      files: Int, bits: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head
+    val (aLo, aHi, bLo, bHi) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    val span = (1L << bits) - 1
+    def scaled(c: String, lo: Double, hi: Double): Column =
+      if (hi > lo)
+        least(lit(span), floor((col(c).cast("double") - lit(lo)) /
+          lit(hi - lo) * lit(span + 1))).cast("long")
+      else lit(0L)
+    df.withColumn("__z", zValue(scaled(colA, aLo, aHi), scaled(colB, bLo, bHi), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
   /** Compact a parquet directory to ~targetFileBytes-sized files.
     * Streaming sinks and per-trigger appends (runStreamingIndexAdd,
     * runStreamingTextDedup) leave one small file per micro-batch; at
@@ -108,5 +147,34 @@ object Scale {
     nFiles
   }
 
-  def queries: Seq[GraftQuery] = Seq(q82SaltedAgg)
+  // per-process id for round-trip temp paths (same rationale as Sources)
+  private val runId: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** q87: lineitem through a Z-order clustered rewrite, then a profile
+    * the oracle computes straight from the source parquet — hash equality
+    * proves the clustering rewrite is a pure layout change (no rows or
+    * values gained/lost/reordered within groups). The skipping payoff of
+    * the layout itself is quantified in ZOrderSpec. */
+  val q87ZOrderRoundTrip = GraftQuery(
+    "q87_zorder_roundtrip",
+    "scale: Z-order clustered rewrite (== source data)",
+    (s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$runId"
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_returnflag"))
+      clusterZOrder(li, tmp, "l_orderkey", "l_partkey", files = 8)
+      s.read.parquet(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("total_qty"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+        round(sum(l_quantity), 2) AS total_qty,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  def queries: Seq[GraftQuery] = Seq(q82SaltedAgg, q87ZOrderRoundTrip)
 }
