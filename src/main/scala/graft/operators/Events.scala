@@ -253,7 +253,67 @@ object Events {
         round(count(*) / (SELECT n FROM tot), 4) FROM t3
       ORDER BY step"""))
 
+  /** q89: rolling statistics — per-user moving average/count of event
+    * value over the trailing 5 events (ROWS frame, deterministic
+    * (ts, event_id) order). One shuffle on user_id, then a bounded-frame
+    * sliding aggregate per partition — state is 5 rows regardless of
+    * history length, so the plan is identical at 10^10 events (the
+    * streaming twin is a sliding window agg). */
+  val q89RollingStats = GraftQuery(
+    "q89_rolling_stats",
+    "T-ext: bounded-frame sliding window; A5",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      Tables.eventsWithTs(s, d)
+        .select(
+          col("user_id"), col("event_id"),
+          round(avg(col("value")).over(w), 4).as("roll_avg"),
+          count(lit(1)).over(w).as("roll_n"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+      round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_avg,
+      count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_n
+      FROM events ORDER BY user_id, event_id"""))
+
+  /** q94: cohort retention — users grouped by first-activity week, active
+    * users per (cohort_week, weeks-since-cohort) cell. Two hash
+    * aggregates (per-user min, then per-cell distinct count) — both
+    * partial-aggregatable, output bounded by weeks², independent of event
+    * count. Week trunc starts Monday in both engines; the week offset is
+    * day-difference/7 so it doesn't depend on either engine's
+    * week-boundary arithmetic. */
+  val q94CohortRetention = GraftQuery(
+    "q94_cohort_retention",
+    "A-ext: cohort/retention matrix; F14",
+    (s, d) => {
+      val ev = Tables.eventsWithTs(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(to_date(date_trunc("week", min(col("day")))).as("cohort_week"))
+      ev.join(cohort, Seq("user_id"))
+        .select(col("user_id"), col("cohort_week"),
+          floor(datediff(col("day"), col("cohort_week")) / 7).as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      cohort AS (
+        SELECT user_id, CAST(date_trunc('week', min(day)) AS DATE) AS cohort_week
+        FROM ev GROUP BY 1)
+      SELECT cohort_week,
+        CAST(floor(date_diff('day', cohort_week, day) / 7.0) AS BIGINT) AS week_offset,
+        count(DISTINCT ev.user_id) AS n_active
+      FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q70EventWindow, q71Sessionize, q72StreamDedup, q73JsonProps, q74Cube,
-    q75AsofJoin, q79Funnel)
+    q75AsofJoin, q79Funnel, q89RollingStats, q94CohortRetention)
 }

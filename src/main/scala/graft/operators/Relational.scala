@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GraftQuery, Tables}
@@ -472,11 +472,131 @@ object Relational {
       WHERE abs(a.c_acctbal - b.c_acctbal) < 1.0
       ORDER BY id1, id2"""))
 
+  /** Binned range join: points `x` against intervals `[lo, hi]` without a
+    * theta join. Points map to the single width-sized bucket containing x;
+    * each interval replicates to every bucket it overlaps
+    * (`sequence(floor(lo/w), floor(hi/w))` — replication factor is
+    * `len/w + 1`, bounded when interval length is bounded); the join is a
+    * plain hash equi-join on the bucket id, and the exact range predicate
+    * re-verifies candidates. This is the standard scale plan for an
+    * operator Spark has no native physical strategy for: a naive
+    * `a.join(b, x.between(lo, hi))` plans as BroadcastNestedLoopJoin
+    * (O(|a|·|b|) comparisons) which is a non-starter at 10^10 rows —
+    * PlanSpec asserts the binned form contains no nested-loop or
+    * cartesian operator. Same candidates-then-verify shape as the LSH
+    * bucket join (Ann) and the shingle-band join (Dedup). */
+  def rangeJoinBinned(
+      points: DataFrame,
+      intervals: DataFrame,
+      x: Column,
+      lo: Column,
+      hi: Column,
+      width: Double): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val pts = points.withColumn("__bucket", floor(x / lit(width)).cast("long"))
+    val ivs = intervals.withColumn("__bucket",
+      explode(sequence(floor(lo / lit(width)).cast("long"),
+        floor(hi / lit(width)).cast("long"))))
+    pts.join(ivs, Seq("__bucket")).filter(x >= lo && x <= hi).drop("__bucket")
+  }
+
+  /** q88: range join — customers whose account balance falls inside each
+    * supplier's ±50 band (the value-proximity matching shape; the time
+    * form is identical with ts buckets). Interval length is fixed (100)
+    * and equals the bucket width, so each interval lands in ≤ 2 buckets
+    * and candidate volume is ~2·|supplier| join fan-in, not
+    * |supplier|·|customer|. */
+  val q88RangeJoin = GraftQuery(
+    "q88_range_join",
+    "J-ext: binned range join (no NestedLoop); P5",
+    (s, d) => {
+      val pts = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val ivs = Tables.supplier(s, d).select(
+        col("s_suppkey"),
+        (col("s_acctbal") - 50).as("lo"),
+        (col("s_acctbal") + 50).as("hi"))
+      rangeJoinBinned(pts, ivs, col("c_acctbal"), col("lo"), col("hi"), 100.0)
+        .groupBy(col("s_suppkey"))
+        .agg(
+          count(lit(1)).as("n_matches"),
+          // sum, not avg: 2-decimal inputs sum ONTO the 0.01 grid (never
+          // near a rounding boundary), while avg divides onto a finer grid
+          // where cross-engine accumulation order flipped the last cent
+          round(sum(col("c_acctbal")), 2).as("sum_match_bal"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""SELECT s_suppkey, count(*) AS n_matches,
+      round(sum(c_acctbal), 2) AS sum_match_bal
+      FROM supplier JOIN customer
+        ON c_acctbal >= s_acctbal - 50 AND c_acctbal <= s_acctbal + 50
+      GROUP BY s_suppkey ORDER BY s_suppkey"""))
+
+  /** q90: bivariate statistics — Pearson correlation, sample covariance,
+    * sample stddev per group (one pass, partial-aggregatable moments; the
+    * corpus-profiling stats a mixture designer reads before weighting
+    * sources). Rounding is coarse enough that cross-engine accumulation
+    * order can't flip the hash. */
+  val q90CorrStats = GraftQuery(
+    "q90_corr_stats",
+    "A5-ext: corr/covar/stddev moments",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 1).as("qty_price_covar"),
+          round(stddev_samp(col("l_quantity")), 4).as("qty_stddev"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+      round(covar_samp(l_quantity, l_extendedprice), 1) AS qty_price_covar,
+      round(stddev_samp(l_quantity), 4) AS qty_stddev,
+      round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+      count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** q91: GROUPING SETS — the two one-dimensional marginals plus the
+    * grand total in ONE scan (rollup/cube's general form; q19/q74 cover
+    * those). Group keys are coalesced to '(all)' so the ordering is
+    * engine-independent (Spark sorts nulls first, DuckDB last), and the
+    * grouping() indicators disambiguate a real '(all)' value. Executes as
+    * a single Expand + hash aggregate — one shuffle for all three
+    * granularities, which at 100 TB replaces three separate scans. */
+  val q91GroupingSets = GraftQuery(
+    "q91_grouping_sets",
+    "A-ext: grouping sets lattice",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"), col("g_rf"), col("g_ls")),
+    Some("""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+      coalesce(l_linestatus, '(all)') AS linestatus,
+      CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+      round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY returnflag, linestatus, g_rf, g_ls"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02FilterRevenue, q03JoinRevenueByNation,
     q04TopkPerGroup, q05SortLimit, q06NullHandling, q07StringFuncs,
     q08DateAgg, q09StatsSummary, q10Histogram, q11ValueCounts,
     q12DistinctCounts, q13SystematicSample, q14UnionDistinct, q15SetOps,
     q16AntiJoin, q17SemiJoin, q18WindowAnalytics, q19Rollup, q20Pivot,
-    q21PairCanon)
+    q21PairCanon, q88RangeJoin, q90CorrStats, q91GroupingSets)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 
@@ -585,9 +586,55 @@ object TextAnalysis {
       FROM tok JOIN counts USING (w)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** q93: per-document keyword extraction — top-3 terms by tf·idf. Three
+    * hash aggregates (term frequency, document frequency, corpus size)
+    * and a per-document top-k window: every stage is
+    * partial-aggregatable and the window partition is one document's
+    * vocabulary, so the plan is scan-bound at 100 TB. idf is the LINEAR
+    * form tf·(N/df), not tf·ln(N/df): ×, ÷ are bit-exact IEEE
+    * cross-engine while ln differs in the last ulp (the q78 lesson —
+    * log damping is monotone in df, so a user wanting it applies log()
+    * downstream without changing any top-k). */
+  val q93TfidfKeywords = GraftQuery(
+    "q93_tfidf_keywords",
+    "LLM-pipeline: tf-idf keyword extraction; A3,T3",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n"))
+      val scored = tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * (col("n") / col("df")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      scored AS (
+        SELECT doc_id, term, tf, df, tf * ((SELECT n FROM n) / df) AS score
+        FROM tf JOIN df USING (term)),
+      ranked AS (
+        SELECT doc_id, term, tf, df, score,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+        round(score, 4) AS score
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,
-    q48SequencePacking, q49CorpusMixture)
+    q48SequencePacking, q49CorpusMixture, q93TfidfKeywords)
 }

@@ -176,5 +176,58 @@ object Scale {
         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
-  def queries: Seq[GraftQuery] = Seq(q82SaltedAgg, q87ZOrderRoundTrip)
+  /** MERGE/upsert: apply a changeset to a keyed table — updates replace
+    * the base row, inserts append, unmatched base rows pass through
+    * (the Delta/Iceberg MERGE INTO matched/not-matched semantics as a
+    * plain Spark plan). One left-anti join + one union: with the base
+    * bucketed by the key (writeBucketed) the anti-join is co-located and
+    * shuffle-free on the 100 TB side, and a typical changeset is small
+    * enough that Catalyst broadcasts it — the base table is read once and
+    * never shuffled. Precondition: one row per key in `changes` (enforce
+    * upstream with q50's keep-first dedup). */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String): DataFrame =
+    base.join(changes.select(col(key)), Seq(key), "left_anti")
+      .unionByName(changes)
+
+  /** q94-companion correctness query for MERGE: documents patched by a
+    * derived changeset (every 10th doc re-sourced, plus synthetic new
+    * docs), verified by a post-merge per-source profile. The oracle
+    * replays the same anti-join + union in SQL — hash equality proves
+    * update-wins/insert/pass-through semantics row-for-row. */
+  val q95MergeUpsert = GraftQuery(
+    "q95_merge_upsert",
+    "scale: keyed MERGE/upsert (anti-join + union)",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val updates = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("patched"))
+        .withColumn("n_chars", col("n_chars") + 1)
+      val inserts = base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          lit("inserted").as("source"), col("n_chars"))
+      mergeUpsert(base, updates.unionByName(inserts), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, lang, source, n_chars FROM documents),
+      changes AS (
+        SELECT doc_id, lang, 'patched' AS source, n_chars + 1 AS n_chars
+        FROM base WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, lang, 'inserted', n_chars
+        FROM base WHERE doc_id % 17 = 0),
+      merged AS (
+        SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM changes)
+        UNION ALL SELECT * FROM changes)
+      SELECT source, count(*) AS n,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM merged GROUP BY source ORDER BY source"""))
+
+  def queries: Seq[GraftQuery] = Seq(q82SaltedAgg, q87ZOrderRoundTrip,
+    q95MergeUpsert)
 }

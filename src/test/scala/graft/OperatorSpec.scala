@@ -166,6 +166,55 @@ class OperatorSpec extends SparkSpec {
       prefilterLabel = false).count() == 0)
   }
 
+  test("rangeJoinBinned equals the naive theta join (bucket replication is exact)") {
+    val pts = Tables.customer(spark, sfTiny).select(col("c_custkey"), col("c_acctbal"))
+    val ivs = Tables.supplier(spark, sfTiny).select(
+      col("s_suppkey"),
+      (col("s_acctbal") - 50).as("lo"), (col("s_acctbal") + 50).as("hi"))
+    val binned = operators.Relational
+      .rangeJoinBinned(pts, ivs, col("c_acctbal"), col("lo"), col("hi"), 100.0)
+      .select(col("s_suppkey"), col("c_custkey"))
+    val naive = pts.crossJoin(ivs)
+      .filter(col("c_acctbal") >= col("lo") && col("c_acctbal") <= col("hi"))
+      .select(col("s_suppkey"), col("c_custkey"))
+    assert(binned.count() == naive.count())
+    assert(binned.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(binned).count() == 0)
+  }
+
+  test("fuzzy blocking recall: two-key candidates find every exact all-pairs match") {
+    val blocked = operators.Dedup
+      .fuzzyNamePairs(Tables.part(spark, sfTiny), "p_name", maxDist = 3)
+      .select(col("name1"), col("name2"))
+    val vocab = Tables.part(spark, sfTiny)
+      .select(lower(col("p_name")).as("name")).distinct()
+    val exact = vocab.select(col("name").as("name1"))
+      .crossJoin(vocab.select(col("name").as("name2")))
+      .filter(col("name1") < col("name2"))
+      .filter(levenshtein(col("name1"), col("name2")) <= 3)
+    val total = exact.count()
+    val found = exact.join(blocked, Seq("name1", "name2")).count()
+    assert(total > 0)
+    // head+tail blocking measured at recall 1.0 on this vocabulary; gate a
+    // notch lower so a benign fixture change doesn't flap the suite
+    assert(found.toDouble / total >= 0.95, s"recall ${found.toDouble / total}")
+    assert(blocked.count() == blocked.dropDuplicates("name1", "name2").count())
+  }
+
+  test("mergeUpsert: update wins, inserts append, untouched rows pass through, key stays unique") {
+    val ss = spark
+    import ss.implicits._
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "v", "n")
+    val changes = Seq((2L, "B", 99), (9L, "z", 1)).toDF("id", "v", "n")
+    val merged = plans.Scale.mergeUpsert(base, changes, "id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(merged.size == 4)                         // 3 base - 1 replaced + 2 changes
+    assert(merged(2L) == ("B", 99), "update must win over base")
+    assert(merged(9L) == ("z", 1), "insert must appear")
+    assert(merged(1L) == ("a", 10) && merged(3L) == ("c", 30), "pass-through rows")
+  }
+
   test("every registered query runs on sf0.001 and the registry is consistent") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length, "duplicate query names")

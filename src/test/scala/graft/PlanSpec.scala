@@ -86,4 +86,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"q83 regressed to a window plan:\n$plan")
     assert(plan.contains("HashAggregate"), s"q83 lost its hash-agg top-1:\n$plan")
   }
+
+  test("q88 range join plans as a hash equi-join on the bucket, never a nested loop") {
+    val df = Registry.byName("q88_range_join").run(spark, sfTiny)
+    df.count()
+    val plan = executed(df).toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q88 planned a nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q88 planned a cartesian product:\n$plan")
+  }
 }
