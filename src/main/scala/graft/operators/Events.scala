@@ -313,7 +313,43 @@ object Events {
       FROM ev JOIN cohort ON ev.user_id = cohort.user_id
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q96: interval join — purchases attributed to every view by the same
+    * user in the preceding 24 h (the attribution-window shape). Batch
+    * twin of the STREAM-STREAM interval join
+    * (StreamingJobs.runStreamingIntervalJoin; equivalence asserted by
+    * StreamingSpec). The plan is an equi-join on user_id with the time
+    * bound as a post-filter — per-user fan-out is bounded by activity in
+    * the window, and in the streaming form the same bound is what lets
+    * the watermark expire join state. */
+  val q96IntervalJoin = GraftQuery(
+    "q96_interval_join",
+    "streaming ext: stream-stream interval join (batch twin); J-ext",
+    (s, d) => {
+      val ev = Tables.eventsWithTs(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      views.join(buys, Seq("user_id"))
+        .filter(col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts")))
+            .as("gap_s"))
+        .orderBy(col("view_id"), col("purchase_id"))
+    },
+    Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_s
+      FROM events v JOIN events p
+        ON v.user_id = p.user_id
+        AND v.event_type = 'view' AND p.event_type = 'purchase'
+        AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+      ORDER BY view_id, purchase_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q70EventWindow, q71Sessionize, q72StreamDedup, q73JsonProps, q74Cube,
-    q75AsofJoin, q79Funnel, q89RollingStats, q94CohortRetention)
+    q75AsofJoin, q79Funnel, q89RollingStats, q94CohortRetention,
+    q96IntervalJoin)
 }

@@ -592,11 +592,125 @@ object Relational {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY returnflag, linestatus, g_rf, g_ls"""))
 
+  /** q97: unpivot/melt — the inverse of q20's pivot: wide per-status
+    * metric columns back to (status, metric, value) long form (the
+    * reshape a metrics store or plotting sink wants). Spark's native
+    * unpivot is an Expand — a projection, zero shuffle beyond the
+    * feeding aggregate. */
+  val q97Unpivot = GraftQuery(
+    "q97_unpivot",
+    "A-ext: unpivot/melt (inverse pivot)",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_discount")), 2).as("sum_disc"))
+        .unpivot(
+          Array(col("l_linestatus")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "val")
+        .orderBy(col("l_linestatus"), col("metric")),
+    Some("""WITH wide AS (
+        SELECT l_linestatus,
+          round(sum(l_quantity), 2) AS sum_qty,
+          round(sum(l_extendedprice), 2) AS sum_price,
+          round(sum(l_discount), 2) AS sum_disc
+        FROM lineitem GROUP BY 1)
+      SELECT l_linestatus, metric, val
+      FROM wide UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+      ORDER BY l_linestatus, metric"""))
+
+  /** q98: distribution-rank window family — dense_rank, percent_rank,
+    * cume_dist, ntile(4) per order priority (completes the §2.10 window
+    * surface next to q18's row_number/lag/frames and q04's top-k).
+    * percent_rank/cume_dist are single IEEE divisions of exact integers
+    * — bit-stable cross-engine (no accumulation, no transcendentals);
+    * the (totalprice desc, orderkey) order is total so every rank is
+    * deterministic. */
+  val q98RankFamily = GraftQuery(
+    "q98_rank_family",
+    "T5-ext: dense_rank/percent_rank/cume_dist/ntile",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          dense_rank().over(w).cast("long").as("drank"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey,
+      dense_rank() OVER w AS drank,
+      round(percent_rank() OVER w, 6) AS prank,
+      round(cume_dist() OVER w, 6) AS cdist,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      FROM orders WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey"""))
+
+  /** q99: declarative constraint audit (the Deequ/Great-Expectations
+    * shape): each constraint is one aggregate over its table — uniqueness
+    * as count−distinct, domain/range/consistency as filtered counts —
+    * union'd into a (table, constraint, n_violations) report. Every check
+    * is a partial-aggregatable scan: the whole audit is one pass per
+    * table at 100 TB, and a constraint on a partition column prunes to
+    * the partitions it names. Mixes hard invariants (expected 0) with
+    * policy gates (expected >0) so the report shape is exercised both
+    * ways. */
+  val q99ConstraintAudit = GraftQuery(
+    "q99_constraint_audit",
+    "A-ext: data-quality constraint audit",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val docs = Tables.documents(s, d)
+      def report(tbl: String, c: String, v: DataFrame): DataFrame =
+        v.select(lit(tbl).as("tbl"), lit(c).as("constraint_name"),
+          col("v").cast("long").as("n_violations"))
+      report("orders", "orderkey_unique",
+          o.agg((count(col("o_orderkey")) - countDistinct(col("o_orderkey"))).as("v")))
+        .unionByName(report("orders", "totalprice_nonneg",
+          o.agg(count(when(col("o_totalprice") < 0, 1)).as("v"))))
+        .unionByName(report("orders", "orderdate_not_null",
+          o.agg(count(when(col("o_orderdate").isNull, 1)).as("v"))))
+        .unionByName(report("documents", "doc_id_unique",
+          docs.agg((count(col("doc_id")) - countDistinct(col("doc_id"))).as("v"))))
+        .unionByName(report("documents", "n_chars_consistent",
+          docs.agg(count(when(length(col("text")) =!= col("n_chars"), 1)).as("v"))))
+        .unionByName(report("documents", "lang_in_latin_domain",
+          docs.agg(count(when(!col("lang").isin("en", "es", "fr", "de"), 1)).as("v"))))
+        .unionByName(report("documents", "min_length_policy",
+          docs.agg(count(when(col("n_chars") < 100, 1)).as("v"))))
+        .orderBy(col("tbl"), col("constraint_name"))
+    },
+    Some("""SELECT 'orders' AS tbl, 'orderkey_unique' AS constraint_name,
+        CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations FROM orders
+      UNION ALL SELECT 'orders', 'totalprice_nonneg',
+        CAST(count(CASE WHEN o_totalprice < 0 THEN 1 END) AS BIGINT) FROM orders
+      UNION ALL SELECT 'orders', 'orderdate_not_null',
+        CAST(count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT) FROM orders
+      UNION ALL SELECT 'documents', 'doc_id_unique',
+        CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) FROM documents
+      UNION ALL SELECT 'documents', 'n_chars_consistent',
+        CAST(count(CASE WHEN length(text) <> n_chars THEN 1 END) AS BIGINT) FROM documents
+      UNION ALL SELECT 'documents', 'lang_in_latin_domain',
+        CAST(count(CASE WHEN lang NOT IN ('en','es','fr','de') THEN 1 END) AS BIGINT) FROM documents
+      UNION ALL SELECT 'documents', 'min_length_policy',
+        CAST(count(CASE WHEN n_chars < 100 THEN 1 END) AS BIGINT) FROM documents
+      ORDER BY tbl, constraint_name"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02FilterRevenue, q03JoinRevenueByNation,
     q04TopkPerGroup, q05SortLimit, q06NullHandling, q07StringFuncs,
     q08DateAgg, q09StatsSummary, q10Histogram, q11ValueCounts,
     q12DistinctCounts, q13SystematicSample, q14UnionDistinct, q15SetOps,
     q16AntiJoin, q17SemiJoin, q18WindowAnalytics, q19Rollup, q20Pivot,
-    q21PairCanon, q88RangeJoin, q90CorrStats, q91GroupingSets)
+    q21PairCanon, q88RangeJoin, q90CorrStats, q91GroupingSets,
+    q97Unpivot, q98RankFamily, q99ConstraintAudit)
 }

@@ -228,6 +228,83 @@ object Scale {
         min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM merged GROUP BY source ORDER BY source"""))
 
+  /** CDC table diff: keyed comparison of two table versions into
+    * (key, status ∈ added|removed|changed) — unchanged rows are dropped,
+    * so the output scales with the churn, not the table. One full-outer
+    * join on the key: with both versions bucketed by it (writeBucketed)
+    * the join is co-located and zero-Exchange — at 100 TB the diff reads
+    * both versions once and shuffles nothing. Pairs with mergeUpsert:
+    * diff(old, merge(old, changes)) recovers exactly the effective
+    * changeset (asserted in OperatorSpec). */
+  def tableDiff(oldV: DataFrame, newV: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    def tagged(df: DataFrame, side: String) =
+      df.select(col(key).as(s"${side}_key") +:
+        compareCols.map(c => col(c).as(s"${side}_$c")): _*)
+    val o = tagged(oldV, "o")
+    val n = tagged(newV, "n")
+    val changed = compareCols
+      .map(c => !(col(s"o_$c") <=> col(s"n_$c")))
+      .reduce(_ || _)
+    o.join(n, col("o_key") === col("n_key"), "full_outer")
+      .withColumn("status",
+        when(col("o_key").isNull, "added")
+          .when(col("n_key").isNull, "removed")
+          .when(changed, "changed"))
+      .filter(col("status").isNotNull)
+      .select(coalesce(col("o_key"), col("n_key")).as(key), col("status"))
+  }
+
+  /** q100: diff documents against their q95-merged version — the
+    * update/insert/delete churn report. Deletions are simulated by
+    * dropping every 13th doc from the new version so all three statuses
+    * appear; the oracle replays the same diff in SQL. */
+  val q100TableDiff = GraftQuery(
+    "q100_table_diff",
+    "scale: CDC table diff (churn-bounded output)",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val updates = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("patched"))
+        .withColumn("n_chars", col("n_chars") + 1)
+      val inserts = base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          lit("inserted").as("source"), col("n_chars"))
+      val newV = mergeUpsert(base, updates.unionByName(inserts), "doc_id")
+        .filter(col("doc_id") % 13 =!= 0)
+      tableDiff(base, newV, "doc_id", Seq("lang", "source", "n_chars"))
+        .orderBy(col("doc_id"), col("status"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, lang, source, n_chars FROM documents),
+      changes AS (
+        SELECT doc_id, lang, 'patched' AS source, n_chars + 1 AS n_chars
+        FROM base WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, lang, 'inserted', n_chars
+        FROM base WHERE doc_id % 17 = 0),
+      newv AS (
+        SELECT * FROM (
+          SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM changes)
+          UNION ALL SELECT * FROM changes)
+        WHERE doc_id % 13 <> 0)
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.lang IS DISTINCT FROM n.lang
+               OR o.source IS DISTINCT FROM n.source
+               OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed'
+        END AS status
+      FROM base o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+      WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.lang IS DISTINCT FROM n.lang
+               OR o.source IS DISTINCT FROM n.source
+               OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed'
+        END IS NOT NULL
+      ORDER BY doc_id, status"""))
+
   def queries: Seq[GraftQuery] = Seq(q82SaltedAgg, q87ZOrderRoundTrip,
-    q95MergeUpsert)
+    q95MergeUpsert, q100TableDiff)
 }

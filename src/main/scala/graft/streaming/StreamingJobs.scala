@@ -175,6 +175,45 @@ object StreamingJobs {
     q
   }
 
+  /** STREAM-STREAM interval join: purchases attributed to every view by
+    * the same user in the preceding 24 h — two independent readers over
+    * the event stream, both watermarked, joined on user equality + a
+    * two-sided event-time bound. The time bound is what makes this
+    * runnable unbounded: with purchase_ts ∈ (view_ts, view_ts + 24 h]
+    * and both watermarks at 1 h, Spark can discard a buffered view once
+    * the purchase-side watermark passes view_ts + 24 h (and vice versa),
+    * so join state is a sliding 25 h of per-user activity, not the full
+    * history. Batch twin is q96 (equivalence asserted by StreamingSpec).
+    * Inner join + append mode: rows emit as soon as both sides arrive. */
+  def runStreamingIntervalJoin(spark: SparkSession, dir: String,
+      sinkName: String): StreamingQuery = {
+    val views = eventStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val buys = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val q = views.join(buys,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts")))
+          .as("gap_s"))
+      .writeStream
+      .queryName(sinkName)
+      .format("memory")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming exact dedup: first event per (user_id, event_type), state
     * bounded by a 1-day watermark — dropDuplicates-with-watermark, the
     * streaming form of the batch keep-first window (q72). */

@@ -215,6 +215,20 @@ class OperatorSpec extends SparkSpec {
     assert(merged(1L) == ("a", 10) && merged(3L) == ("c", 30), "pass-through rows")
   }
 
+  test("tableDiff recovers exactly the mergeUpsert changeset (+ deletes), nothing else") {
+    val ss = spark
+    import ss.implicits._
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "v", "n")
+    val changes = Seq((2L, "B", 99), (9L, "z", 1)).toDF("id", "v", "n")
+    val merged = plans.Scale.mergeUpsert(base, changes, "id")
+      .filter(col("id") =!= 3L) // simulate a delete
+    val diff = plans.Scale.tableDiff(base, merged, "id", Seq("v", "n"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == Set((2L, "changed"), (9L, "added"), (3L, "removed")),
+      s"unexpected diff: $diff")
+  }
+
   test("every registered query runs on sf0.001 and the registry is consistent") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length, "duplicate query names")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
@@ -85,6 +86,38 @@ class PlanSpec extends SparkSpec {
     val plan = planString(Registry.byName("q83_similarity_histogram").run(spark, sfTiny))
     assert(!plan.contains("Window"), s"q83 regressed to a window plan:\n$plan")
     assert(plan.contains("HashAggregate"), s"q83 lost its hash-agg top-1:\n$plan")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // At 100 TB the win is real: a selective dimension filter becomes a
+    // bloom filter pushed into the fact scan, skipping row groups before
+    // the join. Local thresholds are far above sf0.001, so lower them for
+    // the assertion — the point is that the engine's declarative joins
+    // are ELIGIBLE for injection (no UDF/odd expression blocks it).
+    val conf = spark.conf
+    // force the shuffle-join shape the rule targets (a broadcast join is
+    // exempt — the dimension rows travel with the task anyway), and drop
+    // the size thresholds below sf0.001
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must be SMALLER than this; application side LARGER
+      // than its scan threshold — hence max/0 to fire at sf0.001
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    try {
+      overrides.foreach { case (k, v) => conf.set(k, v) }
+      val li = Tables.lineitem(spark, sfTiny)
+      val o = Tables.orders(spark, sfTiny)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloom"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
   test("q88 range join plans as a hash equi-join on the bucket, never a nested loop") {

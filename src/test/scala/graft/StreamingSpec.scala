@@ -199,6 +199,19 @@ class StreamingSpec extends SparkSpec {
       s"streamed survivors diverge: ${(streamed -- batch).size} extra, ${(batch -- streamed).size} missing")
   }
 
+  test("stream-stream interval join == batch q96 attribution pairs") {
+    StreamingJobs.runStreamingIntervalJoin(spark, streamDir, "interval_join_test")
+    val streamed = spark.table("interval_join_test")
+      .select(col("view_id"), col("purchase_id"), col("gap_s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = operators.Events.q96IntervalJoin.run(spark, sfTiny)
+      .select(col("view_id"), col("purchase_id"), col("gap_s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"interval join diverges: ${(streamed -- batch).size} extra, ${(batch -- streamed).size} missing")
+  }
+
   test("streaming dedup (dropDuplicates + watermark) == batch keep-first key set") {
     StreamingJobs.runStreamingDedup(spark, streamDir, "dedup_test")
     val streamedKeys = spark.table("dedup_test")
