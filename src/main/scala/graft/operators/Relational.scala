@@ -705,6 +705,62 @@ object Relational {
         CAST(count(CASE WHEN n_chars < 100 THEN 1 END) AS BIGINT) FROM documents
       ORDER BY tbl, constraint_name"""))
 
+  /** q103: sketch aggregates — HyperLogLog++ distinct and t-digest-style
+    * approximate percentiles next to their exact forms. At 100 TB these
+    * are THE way to answer cardinality/quantile questions: both are
+    * partial-aggregatable fixed-size sketches (KB per group, merged on
+    * the reduce side), where exact distinct shuffles every key and an
+    * exact percentile sorts the column. No DuckDB oracle — sketch
+    * estimates are implementation-specific — so the gate is a ScalaTest
+    * error-bound spec (OperatorSpec): HLL within 3× its configured rsd of
+    * the exact count, percentiles within 5% of exact, both computed here
+    * side-by-side so the gate is self-contained in the output. */
+  val q103SketchAgg = GraftQuery(
+    "q103_sketch_agg",
+    "A-ext: approx_count_distinct (HLL++) + approx percentile sketches",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+            .as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000))
+            .as("approx_p50"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(2000))
+            .as("approx_p95"),
+          expr("percentile(l_extendedprice, 0.95)").as("exact_p95"))
+        .orderBy(col("l_returnflag")),
+    None)
+
+  /** q105: k-anonymity audit — equivalence classes over the
+    * quasi-identifier tuple (nation, market segment, account-balance
+    * band) with class size and a `risky` flag for classes below k=5: the
+    * re-identification check run before releasing any person-derived
+    * table. One hash aggregate (partial-agg friendly, shuffle bounded by
+    * distinct QI tuples), so the audit is a single pass at any scale;
+    * pairs with q101's PII scrub (column-level) as the row-level half of
+    * the governance surface. */
+  val q105KAnonymity = GraftQuery(
+    "q105_k_anonymity",
+    "A-ext: k-anonymity equivalence-class audit (governance)",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000.0).cast("long").as("bal_band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+        .withColumn("risky", (col("class_size") < 5).cast("int"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band")),
+    Some("""SELECT c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+        count(*) AS class_size,
+        CAST(count(*) < 5 AS INT) AS risky
+      FROM customer
+      GROUP BY 1, 2, 3
+      ORDER BY c_nationkey, c_mktsegment, bal_band"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02FilterRevenue, q03JoinRevenueByNation,
     q04TopkPerGroup, q05SortLimit, q06NullHandling, q07StringFuncs,
@@ -712,5 +768,6 @@ object Relational {
     q12DistinctCounts, q13SystematicSample, q14UnionDistinct, q15SetOps,
     q16AntiJoin, q17SemiJoin, q18WindowAnalytics, q19Rollup, q20Pivot,
     q21PairCanon, q88RangeJoin, q90CorrStats, q91GroupingSets,
-    q97Unpivot, q98RankFamily, q99ConstraintAudit)
+    q97Unpivot, q98RankFamily, q99ConstraintAudit,
+    q103SketchAgg, q105KAnonymity)
 }

@@ -632,9 +632,142 @@ object TextAnalysis {
         round(score, 4) AS score
       FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** q101: PII redaction — email / phone / IPv4 scrubbing with per-class
+    * counts, the mandatory scrub step before corpus release. Counts come
+    * from `regexp_count` on the raw text; the redacted text is a fixed
+    * replace chain (email → phone → IP, so a later pattern can never
+    * match inside an earlier placeholder) and is emitted as its md5 to
+    * keep the verified row narrow. All codegen'd regexp expressions, one
+    * pass per row, no shuffle before the output sort — scales with scan
+    * bandwidth like q40-q44. The synthetic corpus carries no PII, so the
+    * fixtures are planted deterministically from doc_id (identical
+    * construction in the oracle); the operator itself is the production
+    * shape. Patterns stay in the RE2 ∩ java.util.regex dialect so Spark
+    * and DuckDB compile them identically. */
+  val q101PiiRedact = GraftQuery(
+    "q101_pii_redact",
+    "LLM-pipeline: PII scrubbing (email/phone/IPv4); F-ext",
+    (s, d) => {
+      val emailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+      val phoneRe = """\+1-555-\d{4}"""
+      val ipRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), planted.as("txt"))
+        .select(col("doc_id"),
+          regexp_count(col("txt"), lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(col("txt"), lit(phoneRe)).cast("long").as("n_phone"),
+          regexp_count(col("txt"), lit(ipRe)).cast("long").as("n_ip"),
+          md5(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+                phoneRe, "<PHONE>"),
+              ipRe, "<IP>").cast("binary")).as("red_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@mail.example.com or +1-555-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS txt
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(txt, '\+1-555-\d{4}')) AS BIGINT) AS n_phone,
+        CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        md5(regexp_replace(regexp_replace(regexp_replace(txt,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          '\+1-555-\d{4}', '<PHONE>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS red_md5
+      FROM planted ORDER BY doc_id"""))
+
+  /** q102: URL → domain extraction + per-domain corpus rollup — the
+    * Common-Crawl-style provenance report (domain allow/deny lists,
+    * per-site token budgets). URL fixtures are planted from doc_id (the
+    * word-soup corpus has none); the extraction — anchored
+    * `regexp_extract` capture groups for host and TLD, then a hash agg by
+    * domain — is the production shape: per-row codegen'd regex, one
+    * shuffle bounded by distinct domains. */
+  val q102DomainStats = GraftQuery(
+    "q102_domain_stats",
+    "LLM-pipeline: URL/domain extraction + provenance rollup; F-ext,A-ext",
+    (s, d) => {
+      val host = when(pmod(col("doc_id"), lit(3)) === 0, "news.example.org")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "blog.example.com")
+        .otherwise("docs.example.net")
+      val url = concat(lit("https://"), host, lit("/p/"),
+        col("doc_id").cast("string"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), url.as("url"))
+        .select(col("doc_id"), col("n_chars"),
+          regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("domain"))
+        .withColumn("tld", regexp_extract(col("domain"), """\.([a-z]+)$""", 1))
+        .groupBy(col("domain"), col("tld"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars_total"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("domain"))
+    },
+    Some("""WITH urls AS (
+        SELECT doc_id, n_chars,
+          'https://' || CASE doc_id % 3 WHEN 0 THEN 'news.example.org'
+            WHEN 1 THEN 'blog.example.com' ELSE 'docs.example.net' END
+            || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+      extracted AS (
+        SELECT doc_id, n_chars,
+          regexp_extract(url, '^https?://([^/]+)/', 1) AS domain
+        FROM urls)
+      SELECT domain, regexp_extract(domain, '\.([a-z]+)$', 1) AS tld,
+        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM extracted GROUP BY 1, 2 ORDER BY domain"""))
+
+  /** q104: epoch-repeat upsampling — the other half of corpus mixing
+    * (q49 downsamples; this replicates under-represented sources for N
+    * epochs, the "rare domains seen 3×" recipe). Replication is
+    * `explode(sequence(1, factor))` — per-row generation, zero shuffle,
+    * output size known up front (Σ n_src × factor) — and each copy gets a
+    * deterministic epoch tag so downstream packing/splitting can keep
+    * epochs apart. The oracle replays replication as one UNION ALL per
+    * epoch tier, so the check is engine-portable without lateral joins. */
+  val q104EpochUpsample = GraftQuery(
+    "q104_epoch_upsample",
+    "LLM-pipeline: mixture upsampling (epoch repeat); X1 ext",
+    (s, d) => {
+      val factor = when(col("source") === "src0", 1)
+        .when(col("source") === "src1", 2)
+        .otherwise(3)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), factor.as("factor"))
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), col("factor"))).as("epoch0"))
+        .select(col("doc_id"), col("source"),
+          col("epoch0").cast("long").as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+    Some("""WITH tiers AS (
+        SELECT doc_id, source,
+          CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2 ELSE 3 END AS factor
+        FROM documents)
+      SELECT doc_id, source, CAST(1 AS BIGINT) AS epoch FROM tiers
+      UNION ALL
+      SELECT doc_id, source, 2 FROM tiers WHERE factor >= 2
+      UNION ALL
+      SELECT doc_id, source, 3 FROM tiers WHERE factor >= 3
+      ORDER BY doc_id, epoch"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,
-    q48SequencePacking, q49CorpusMixture, q93TfidfKeywords)
+    q48SequencePacking, q49CorpusMixture, q93TfidfKeywords,
+    q101PiiRedact, q102DomainStats, q104EpochUpsample)
 }

@@ -229,6 +229,50 @@ class OperatorSpec extends SparkSpec {
       s"unexpected diff: $diff")
   }
 
+  test("q103 sketch aggregates stay inside their error bounds vs exact") {
+    val rows = Registry.byName("q103_sketch_agg").run(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approxN, exactN) = (r.getAs[Long]("approx_orders"),
+        r.getAs[Long]("exact_orders"))
+      val relErr = math.abs(approxN - exactN).toDouble / exactN
+      assert(relErr <= 0.06, // 3x the configured rsd=0.02
+        s"HLL distinct off by ${relErr * 100}% for ${r.getString(0)}")
+      Seq(("approx_p50", "exact_p50"), ("approx_p95", "exact_p95")).foreach {
+        case (a, e) =>
+          val (av, ev) = (r.getAs[Double](a), r.getAs[Double](e))
+          assert(math.abs(av - ev) / math.abs(ev) <= 0.05,
+            s"$a=$av vs $e=$ev beyond 5% for ${r.getString(0)}")
+      }
+    }
+  }
+
+  test("q101 redaction removes every planted PII instance") {
+    // Re-run the redaction WITHOUT the md5 narrowing: no email/phone/IP
+    // pattern may survive in the redacted text, and every doc must have
+    // planted counts >= 1 (so the test can't pass vacuously).
+    val emailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+    val counts = Registry.byName("q101_pii_redact").run(spark, sfTiny)
+      .agg(sum(col("n_email")).as("e"), sum(col("n_phone")).as("p"),
+        sum(col("n_ip")).as("i"), count(lit(1)).as("n"))
+      .collect().head
+    assert(counts.getAs[Long]("e") >= counts.getAs[Long]("n"),
+      "every doc must carry at least one planted email")
+    assert(counts.getAs[Long]("p") >= counts.getAs[Long]("n"))
+    assert(counts.getAs[Long]("i") >= counts.getAs[Long]("n"))
+    // a doc whose md5 equals md5 of a text still containing an email
+    // would indicate redaction failure; verify directly on one doc
+    val leaked = Tables.documents(spark, sfTiny)
+      .select(regexp_count(
+        regexp_replace(
+          concat(col("text"), lit(" x"), col("doc_id").cast("string"),
+            lit("@mail.example.com")),
+          emailRe, "<EMAIL>"),
+        lit(emailRe)).as("left_over"))
+      .agg(sum(col("left_over"))).collect().head.getLong(0)
+    assert(leaked == 0L, s"$leaked unredacted emails survived")
+  }
+
   test("every registered query runs on sf0.001 and the registry is consistent") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length, "duplicate query names")
