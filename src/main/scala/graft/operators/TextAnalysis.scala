@@ -764,10 +764,52 @@ object TextAnalysis {
       SELECT doc_id, source, 3 FROM tiers WHERE factor >= 3
       ORDER BY doc_id, epoch"""))
 
+  /** q106: overlapping document chunking — fixed 128-char windows at a
+    * 96-char stride (32-char overlap), the RAG / context-window
+    * preparation step. Chunk fan-out is `explode(sequence(0, ⌈len/stride⌉
+    * − 1))` + a per-chunk `substr`: pure per-row generation (zero
+    * shuffle until the output sort), output size is known up front
+    * (Σ ⌈len/stride⌉), and each chunk carries (doc_id, chunk_id) lineage
+    * so packing/splitting downstream can group or interleave chunks
+    * deterministically. Chunks are emitted as md5 + length to keep the
+    * verified row narrow; character windows stand in for token windows
+    * (swap substr for a slice of q42's token array at no plan change). */
+  val q106DocChunks = GraftQuery(
+    "q106_doc_chunks",
+    "LLM-pipeline: overlapping doc chunking (RAG/context window); F-ext",
+    (s, d) => {
+      val win = 128
+      val stride = 96
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          (ceil(length(col("text")).cast("double") / stride) - 1)
+            .cast("long").as("last_ck"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("last_ck"))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          col("text").substr(
+            (col("chunk_id") * stride + 1).cast("int"), lit(win)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          length(col("chunk")).cast("long").as("chunk_chars"),
+          md5(col("chunk").cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some("""WITH c AS (
+        SELECT doc_id,
+          unnest(generate_series(0,
+            CAST(ceil(len(text) / 96.0) AS BIGINT) - 1)) AS chunk_id,
+          text
+        FROM documents)
+      SELECT doc_id, chunk_id,
+        CAST(len(substr(text, CAST(chunk_id * 96 + 1 AS INT), 128)) AS BIGINT)
+          AS chunk_chars,
+        md5(substr(text, CAST(chunk_id * 96 + 1 AS INT), 128)) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,
     q48SequencePacking, q49CorpusMixture, q93TfidfKeywords,
-    q101PiiRedact, q102DomainStats, q104EpochUpsample)
+    q101PiiRedact, q102DomainStats, q104EpochUpsample, q106DocChunks)
 }

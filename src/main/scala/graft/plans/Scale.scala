@@ -305,6 +305,94 @@ object Scale {
         END IS NOT NULL
       ORDER BY doc_id, status"""))
 
+  /** Partial-aggregate state over (count, sum, min, max) — the mergeable
+    * shape behind incremental/materialized-view maintenance: aggregate
+    * each new delta batch alone, merge it into the running state, and the
+    * merged state equals a full recompute (associativity property-tested
+    * in OperatorSpec, cross-engine in q107). At 100 TB this is the
+    * difference between rescanning history on every refresh and scanning
+    * only the day's delta; avg/derived metrics come off the state at read
+    * time (sum/cnt), never stored (a stored avg doesn't merge). */
+  def aggState(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_v"),
+        min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+
+  /** Merge two aggregate states (same schema as [[aggState]]'s output).
+    * count/sum re-sum; min/max re-min/max — all partial-aggregatable, so
+    * the merge is itself one small shuffle bounded by distinct keys. */
+  def mergeAggStates(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(key))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+
+  /** q107: incremental aggregate maintenance — lineitem split at a
+    * shipdate cutoff into history and delta, aggregated separately and
+    * state-merged; the oracle recomputes in one pass over everything, so
+    * the hash match IS the proof that merge(agg(hist), agg(delta)) ==
+    * agg(hist ∪ delta) cross-engine. */
+  val q107IncrementalAgg = GraftQuery(
+    "q107_incremental_agg",
+    "scale: incremental agg maintenance (partial-state merge)",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cutoff = "1997-01-01"
+      val hist = aggState(li.filter(col("l_shipdate") < lit(cutoff)),
+        "l_returnflag", "l_quantity")
+      val delta = aggState(li.filter(col("l_shipdate") >= lit(cutoff)),
+        "l_returnflag", "l_quantity")
+      mergeAggStates(hist, delta, "l_returnflag")
+        .select(col("l_returnflag"), col("cnt"),
+          round(col("sum_v"), 2).as("sum_qty"),
+          col("min_v").as("min_qty"), col("max_v").as("max_qty"),
+          round(col("sum_v") / col("cnt"), 4).as("avg_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS cnt,
+        round(sum(l_quantity), 2) AS sum_qty,
+        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        round(sum(l_quantity) / count(*), 4) AS avg_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** q108: salted skew equi-join — the join-side twin of q82's salted
+    * aggregation. Skew is synthesized (half of lineitem collapses onto
+    * orderkey 1 — one reducer would take half the table); mitigation is
+    * the standard replicate-and-salt: the small side is exploded into R
+    * salt replicas, the fact side picks a deterministic salt in [0, R),
+    * and the equi-join on (key, salt) spreads the hot key over R tasks.
+    * Salting must not change results, and that is exactly what the
+    * oracle checks: it runs the UNSALTED join. R is a constant here;
+    * in production wire it to spark.graft.salts and salt only keys
+    * flagged hot by a count sketch (or let AQE skew-split handle it —
+    * this operator is the explicit form for engines/plans AQE can't
+    * reach, e.g. a hot build side under broadcast thresholds). */
+  val q108SaltedJoin = GraftQuery(
+    "q108_salted_join",
+    "scale: salted skew equi-join (hot-key mitigation)",
+    (s, d) => {
+      val r = 8
+      val skewKey = when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1L))
+        .otherwise(col("l_orderkey"))
+      val fact = Tables.lineitem(s, d)
+        .select(skewKey.as("k"), col("l_quantity"),
+          pmod(hash(col("l_linenumber"), col("l_partkey")), lit(r)).as("salt"))
+      val dim = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+        .withColumn("salt", explode(sequence(lit(0), lit(r - 1))))
+      fact.join(dim, Seq("k", "salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+        round(sum(l_quantity), 2) AS qty
+      FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1
+                        ELSE l_orderkey END AS k, l_quantity
+            FROM lineitem) f
+      JOIN orders o ON f.k = o.o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
   def queries: Seq[GraftQuery] = Seq(q82SaltedAgg, q87ZOrderRoundTrip,
-    q95MergeUpsert, q100TableDiff)
+    q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin)
 }

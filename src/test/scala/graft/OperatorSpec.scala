@@ -273,6 +273,20 @@ class OperatorSpec extends SparkSpec {
     assert(leaked == 0L, s"$leaked unredacted emails survived")
   }
 
+  test("aggState merge is associative: merge(agg(a), agg(b)) == agg(a ++ b)") {
+    val ss = spark
+    import ss.implicits._
+    val a = Seq(("x", 1.0), ("x", 2.0), ("y", 5.0)).toDF("k", "v")
+    val b = Seq(("x", 7.0), ("z", -1.0)).toDF("k", "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val merged = snap(plans.Scale.mergeAggStates(
+      plans.Scale.aggState(a, "k", "v"), plans.Scale.aggState(b, "k", "v"), "k"))
+    val full = snap(plans.Scale.aggState(a.unionByName(b), "k", "v"))
+    assert(merged == full, s"state merge diverged: $merged vs $full")
+  }
+
   test("every registered query runs on sf0.001 and the registry is consistent") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length, "duplicate query names")

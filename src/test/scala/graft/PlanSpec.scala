@@ -120,6 +120,19 @@ class PlanSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("q108 salted join spreads the hot key: equi-join carries the salt column") {
+    val df = Registry.byName("q108_salted_join").run(spark, sfTiny)
+    df.count()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the dim side must be replicated (Generate/explode of the salt range)
+    assert(optimized.contains("Generate") || optimized.toLowerCase.contains("explode"),
+      s"no salt replication on the dim side:\n$optimized")
+    // and the join keys must include the salt, not just k — otherwise the
+    // hot key still lands on one reducer
+    val joinLine = optimized.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.contains("salt"), s"join does not include salt:\n$joinLine")
+  }
+
   test("q88 range join plans as a hash equi-join on the bucket, never a nested loop") {
     val df = Registry.byName("q88_range_join").run(spark, sfTiny)
     df.count()
