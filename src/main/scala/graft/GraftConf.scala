@@ -148,4 +148,12 @@ object GraftConf {
     * The shard key is md5-derived so the DuckDB oracle replays it. */
   def packShards(s: SparkSession): Int =
     s.conf.get("spark.graft.pack.shards", "8").toInt
+
+  /** Salt fan-out for the explicit replicate-and-salt skew join (q108):
+    * a hot key is spread over this many reducers at the cost of
+    * replicating the dim side the same factor. Salting never changes
+    * results (oracle-checked against the unsalted join), so the knob is
+    * purely a parallelism/replication trade. */
+  def joinSalts(s: SparkSession): Int =
+    s.conf.get("spark.graft.join.salts", "8").toInt
 }

@@ -814,8 +814,81 @@ object Dedup {
       FROM cand WHERE levenshtein(name1, name2) <= 3
       ORDER BY name1, name2"""))
 
+  // ---------------------------------------------------------------------
+  // q109: train/test decontamination (D5 ext — the eval-leak check)
+  // ---------------------------------------------------------------------
+
+  /** q109: benchmark decontamination — flag every test-split document
+    * sharing an 8-word shingle with any train-split document (the
+    * GPT-3/Gopher eval-leak scan). Split is q76's deterministic md5
+    * bucket (train <80, test >=90), so the check is replayable anywhere.
+    * The probe side joins against the DISTINCT train shingle-key set, so
+    * per-probe fan-out is <=1 by construction — no hot-shingle blow-up,
+    * no df-cut needed (contrast q53's doc-level pair join): at 100 TB
+    * this is one dedup of the train shingles (shuffle on an 8-byte key)
+    * + one bounded equi-join. Collision keys are 60-bit md5 prefixes —
+    * both engines hash identically (q53's trick), and 8-word shingles
+    * make accidental collisions require genuinely shared text. */
+  val q109Decontaminate = GraftQuery(
+    "q109_decontaminate",
+    "LLM-pipeline: train/test decontamination (n-gram overlap); D5 ext",
+    (s, d) => {
+      val n = 8
+      val docs = Tables.documents(s, d)
+        .withColumn("b",
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+            16, 10).cast("long") % 100)
+      val ex = docs
+        .select(col("doc_id"), col("b"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), col("b"), shingles(col("t"), n).as("sh"))
+        .select(col("doc_id"), col("b"), size(col("sh")).as("n_sh"),
+          explode(col("sh")).as("s"))
+        .select(col("doc_id"), col("b"), col("n_sh"),
+          conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("k"))
+      val trainKeys = ex.filter(col("b") < 80).select(col("k")).distinct()
+      val testEx = ex.filter(col("b") >= 90)
+      val hits = testEx.join(trainKeys, Seq("k"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      testEx.select(col("doc_id"), col("n_sh")).distinct()
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("contaminated", (col("n_hit") > 0).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH b AS (
+        SELECT doc_id, text,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        FROM documents),
+      tk AS (
+        SELECT doc_id, b, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM b),
+      sh AS (
+        SELECT doc_id, b, list_distinct(list_transform(range(1, len(toks)-6),
+          i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '
+            ||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7])) AS sh
+        FROM tk WHERE len(toks) >= 8),
+      ex AS (
+        SELECT doc_id, b, len(sh) AS n_sh,
+          ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS k
+        FROM sh),
+      train_keys AS (SELECT DISTINCT k FROM ex WHERE b < 80),
+      test_ex AS (SELECT * FROM ex WHERE b >= 90),
+      hits AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM test_ex JOIN train_keys USING (k) GROUP BY 1)
+      SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_sh,
+        coalesce(h.n_hit, 0) AS n_hit,
+        CAST(coalesce(h.n_hit, 0) > 0 AS INT) AS contaminated
+      FROM (SELECT DISTINCT doc_id, n_sh FROM test_ex) t
+      LEFT JOIN hits h USING (doc_id)
+      ORDER BY t.doc_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
     q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup,
-    q64DupClusters, q68DupSpans, q69IncrementalDedup, q92FuzzyDedup)
+    q64DupClusters, q68DupSpans, q69IncrementalDedup, q92FuzzyDedup,
+    q109Decontaminate)
 }

@@ -362,16 +362,17 @@ object Scale {
     * salt replicas, the fact side picks a deterministic salt in [0, R),
     * and the equi-join on (key, salt) spreads the hot key over R tasks.
     * Salting must not change results, and that is exactly what the
-    * oracle checks: it runs the UNSALTED join. R is a constant here;
-    * in production wire it to spark.graft.salts and salt only keys
-    * flagged hot by a count sketch (or let AQE skew-split handle it —
-    * this operator is the explicit form for engines/plans AQE can't
-    * reach, e.g. a hot build side under broadcast thresholds). */
+    * oracle checks: it runs the UNSALTED join. The salt fan-out is
+    * `spark.graft.join.salts` (GraftConfSpec proves the knob moves the
+    * plan); in production salt only keys flagged hot by a count sketch,
+    * or let AQE skew-split handle it — this operator is the explicit
+    * form for plans AQE can't reach, e.g. a hot build side under
+    * broadcast thresholds. */
   val q108SaltedJoin = GraftQuery(
     "q108_salted_join",
     "scale: salted skew equi-join (hot-key mitigation)",
     (s, d) => {
-      val r = 8
+      val r = graft.GraftConf.joinSalts(s)
       val skewKey = when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1L))
         .otherwise(col("l_orderkey"))
       val fact = Tables.lineitem(s, d)

@@ -185,6 +185,48 @@ object StreamingJobs {
     * so join state is a sliding 25 h of per-user activity, not the full
     * history. Batch twin is q96 (equivalence asserted by StreamingSpec).
     * Inner join + append mode: rows emit as soon as both sides arrive. */
+  /** Streaming incremental aggregate maintenance — the q107 state-merge
+    * loop as a standing job: each micro-batch is aggregated alone
+    * (Scale.aggState) and merged into the persistent state table
+    * (Scale.mergeAggStates), so refresh cost per trigger scales with the
+    * batch, never with history. The state table is overwritten per
+    * trigger (it is one row per key — KBs); at 100 TB key cardinality,
+    * write it partitioned/bucketed and MERGE instead. After the stream
+    * drains, the state must equal a one-shot batch aggregate over
+    * everything seen (StreamingSpec proves it — the same associativity
+    * q107's oracle proves cross-engine). */
+  def runStreamingIncrementalAgg(spark: SparkSession, streamDir: String,
+      key: String, valueCol: String, stateDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // read-modify-WRITE-SWAP: the merged state is written to a fresh
+        // path and atomically renamed over the old one, because Spark
+        // cannot overwrite a parquet dir it is reading in the same job
+        // (and a mid-write failure must not destroy the previous state)
+        val hadoopConf = spark.sparkContext.hadoopConfiguration
+        val cur = new org.apache.hadoop.fs.Path(stateDir)
+        val next = new org.apache.hadoop.fs.Path(stateDir + "__next")
+        val fs = cur.getFileSystem(hadoopConf)
+        val deltaState = graft.plans.Scale.aggState(batch, key, valueCol)
+        val merged =
+          if (fs.exists(cur))
+            graft.plans.Scale.mergeAggStates(
+              spark.read.parquet(stateDir), deltaState, key)
+          else deltaState
+        merged.coalesce(1).write.mode("overwrite").parquet(next.toString)
+        fs.delete(cur, true)
+        fs.rename(next, cur)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   def runStreamingIntervalJoin(spark: SparkSession, dir: String,
       sinkName: String): StreamingQuery = {
     val views = eventStream(spark, dir)

@@ -157,6 +157,22 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("spark.graft.join.salts drives the q108 salt fan-out without changing results") {
+    def run() = Registry.byName("q108_salted_join").run(spark, sfTiny)
+    val base = run().collect().map(_.toSeq).toSet
+    withConf("spark.graft.join.salts", "3") {
+      val df = run()
+      assert(df.collect().map(_.toSeq).toSet == base,
+        "salt fan-out changed the join result")
+      // the replicated dim side must now carry exactly 3 salts
+      // the dim-side sequence folds to an opaque array literal, so the
+      // conf-driven fan-out is asserted on the fact side's pmod divisor
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert("pmod\\(hash\\([^)]*\\), 3\\)".r.findFirstIn(plan).isDefined,
+        s"fact-side salt not driven by conf:\n$plan")
+    }
+  }
+
   test("exactPairCutoff routes the auto pair search") {
     // tiny corpus, cutoff 0 -> LSH path; huge cutoff -> exact path.
     // Both must agree on the pair set at this scale (recall gate).

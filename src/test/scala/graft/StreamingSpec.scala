@@ -199,6 +199,36 @@ class StreamingSpec extends SparkSpec {
       s"streamed survivors diverge: ${(streamed -- batch).size} extra, ${(batch -- streamed).size} missing")
   }
 
+  test("streaming incremental agg state == one-shot batch aggState after drain") {
+    // two micro-batches of events, state-merged per trigger; the final
+    // state table must equal aggState over the full table (q107's
+    // associativity, exercised through the streaming read-merge-swap loop)
+    val work = Files.createTempDirectory("graft_incragg").toString
+    val ev = Tables.events(spark, sfTiny)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$work/b1")
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.parquet(s"$work/b2")
+    def firstPart(dir: String): java.nio.file.Path =
+      Files.list(Paths.get(dir)).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val streamDir2 = Files.createTempDirectory("graft_incragg_stream")
+    val g1 = Files.copy(firstPart(s"$work/b1"), streamDir2.resolve("b1.parquet"))
+    val g2 = Files.copy(firstPart(s"$work/b2"), streamDir2.resolve("b2.parquet"))
+    g1.toFile.setLastModified(1000000L)
+    g2.toFile.setLastModified(2000000L)
+    val stateDir = s"$work/state"
+    StreamingJobs.runStreamingIncrementalAgg(
+      spark, streamDir2.toString, "event_type", "value", stateDir)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6), r.getDouble(3), r.getDouble(4))).toSet
+    val streamed = snap(spark.read.parquet(stateDir)
+      .select(col("event_type"), col("cnt"), col("sum_v"), col("min_v"), col("max_v")))
+    val batch = snap(plans.Scale.aggState(ev, "event_type", "value")
+      .select(col("event_type"), col("cnt"), col("sum_v"), col("min_v"), col("max_v")))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, s"state diverges: $streamed vs $batch")
+  }
+
   test("stream-stream interval join == batch q96 attribution pairs") {
     StreamingJobs.runStreamingIntervalJoin(spark, streamDir, "interval_join_test")
     val streamed = spark.table("interval_join_test")
