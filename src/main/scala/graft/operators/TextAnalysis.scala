@@ -806,10 +806,50 @@ object TextAnalysis {
         md5(substr(text, CAST(chunk_id * 96 + 1 AS INT), 128)) AS chunk_md5
       FROM c ORDER BY doc_id, chunk_id"""))
 
+  /** q111: per-source token-budget cap — keep documents (in
+    * deterministic doc_id order) until each source's running token total
+    * reaches its budget: the "at most N tokens per domain" mixture rule,
+    * enforced exactly rather than by sampling rates (q49) or epoch
+    * repeats (q104). One window cumsum per source (single shuffle on
+    * source — at 100 TB shard the key like q48 if sources are few), then
+    * a per-source rollup of what the cap kept. */
+  val q111TokenBudget = GraftQuery(
+    "q111_token_budget",
+    "LLM-pipeline: per-source token budget cap; X1/A-ext",
+    (s, d) => {
+      val budget = 2000L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= budget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).cast("long").as("tok_kept"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tok,
+          sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM t)
+      SELECT source, count(*) AS n_kept,
+        CAST(sum(n_tok) AS BIGINT) AS tok_kept, max(doc_id) AS last_doc
+      FROM c WHERE cum_tok <= 2000
+      GROUP BY source ORDER BY source"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,
     q48SequencePacking, q49CorpusMixture, q93TfidfKeywords,
-    q101PiiRedact, q102DomainStats, q104EpochUpsample, q106DocChunks)
+    q101PiiRedact, q102DomainStats, q104EpochUpsample, q106DocChunks,
+    q111TokenBudget)
 }

@@ -158,7 +158,59 @@ object Sources {
       FROM documents WHERE source IN ('src0','src1','src2')
       GROUP BY source ORDER BY source"""))
 
+  /** q110: `binaryFile` ingest — Spark's built-in whole-file source, the
+    * entry point for raw multimodal payloads (images/audio dumped as one
+    * file per object, the shape q60-q63 consume after ingest). A bounded
+    * fixture set (64 one-file-per-doc ASCII payloads, derived from the
+    * documents table) is laid down once per process; the OPERATOR is the
+    * distributed part: `spark.read.format("binaryFile")` glob scan →
+    * basename/length/md5 projection, one task per file group, no shuffle
+    * before the output sort. The oracle never reads the files — it
+    * recomputes the expected (name, length, md5) from the documents
+    * table, so a hash match proves the file write+scan round trip is
+    * byte-faithful. At 100 TB the same plan reads an object-store glob;
+    * small-file pressure is handled by the q63/Scale.compact step
+    * immediately downstream. */
+  val q110BinaryFileIngest = GraftQuery(
+    "q110_binaryfile_ingest",
+    "S4 ext; binaryFile whole-file multimodal ingest",
+    (s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_binf_$runId"
+      val p = new java.io.File(dir)
+      if (!p.exists()) {
+        p.mkdirs()
+        // fixture write, bounded to 64 files; payloads are ASCII so the
+        // DuckDB oracle can md5 them as VARCHAR byte-for-byte
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            concat(lit("doc:"), col("doc_id").cast("string"), lit(":"),
+              md5(col("text").cast("binary"))).as("payload"))
+          .orderBy(col("doc_id")).limit(64)
+          .collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.txt"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+      }
+      s.read.format("binaryFile").load(s"$dir/*.txt")
+        .select(
+          regexp_extract(col("path"), "([^/]+)\\.txt$", 1).as("fname"),
+          col("length"),
+          md5(col("content")).as("payload_md5"))
+        .orderBy(col("fname"))
+    },
+    Some("""WITH fixture AS (
+        SELECT doc_id,
+          'doc:' || CAST(doc_id AS VARCHAR) || ':' || md5(text) AS payload
+        FROM documents WHERE doc_id % 7 = 0
+        ORDER BY doc_id LIMIT 64)
+      SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS fname,
+        CAST(len(payload) AS BIGINT) AS length,
+        md5(payload) AS payload_md5
+      FROM fixture ORDER BY fname"""))
+
   def queries: Seq[GraftQuery] =
     Seq(q80CsvRoundTrip, q81SchemaPeek, q84JsonlRoundTrip, q85OrcRoundTrip,
-      q86PartitionedRoundTrip)
+      q86PartitionedRoundTrip, q110BinaryFileIngest)
 }
