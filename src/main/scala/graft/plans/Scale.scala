@@ -394,6 +394,50 @@ object Scale {
       JOIN orders o ON f.k = o.o_orderkey
       GROUP BY 1 ORDER BY 1"""))
 
+  /** q112: cascade delete (right-to-be-forgotten) — a deletion-request
+    * list purged from every dependent table by broadcast anti-join, with
+    * a per-table audit of (requested, deleted, kept). The request list is
+    * small by nature, so each purge is one scan of the big table with the
+    * delete set riding along in the task (zero shuffle of the 100 TB
+    * side); the derived artifacts (embeddings here; ANN index tables in
+    * JobPipeline) are purged by the same keys — M5's index-delete
+    * semantics (Pipeline.invalidate) extended to the whole lineage. The
+    * audit makes the purge verifiable: deleted + kept == total row count
+    * per table, and the oracle recomputes all three independently. */
+  val q112CascadeDelete = GraftQuery(
+    "q112_cascade_delete",
+    "scale/governance: cascade delete with per-table audit",
+    (s, d) => {
+      val requests = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") % 23 === 0)
+      def audit(tbl: String, df: DataFrame, key: String): DataFrame = {
+        val keyed = df.select(col(key).as("k"))
+        val kept = keyed.join(
+          broadcast(requests.select(col("doc_id").as("k"))), Seq("k"),
+          "left_anti")
+        keyed.agg(count(lit(1)).as("total"))
+          .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+          .select(lit(tbl).as("tbl"),
+            (col("total") - col("n_kept")).cast("long").as("n_deleted"),
+            col("n_kept").cast("long").as("n_kept"))
+      }
+      audit("documents", Tables.documents(s, d), "doc_id")
+        .unionByName(audit("embeddings", Tables.embeddings(s, d), "vec_id"))
+        .orderBy(col("tbl"))
+    },
+    Some("""WITH req AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 0)
+      SELECT 'documents' AS tbl,
+        CAST(count(CASE WHEN doc_id IN (SELECT doc_id FROM req) THEN 1 END) AS BIGINT) AS n_deleted,
+        CAST(count(CASE WHEN doc_id NOT IN (SELECT doc_id FROM req) THEN 1 END) AS BIGINT) AS n_kept
+      FROM documents
+      UNION ALL
+      SELECT 'embeddings',
+        CAST(count(CASE WHEN vec_id IN (SELECT doc_id FROM req) THEN 1 END) AS BIGINT),
+        CAST(count(CASE WHEN vec_id NOT IN (SELECT doc_id FROM req) THEN 1 END) AS BIGINT)
+      FROM embeddings
+      ORDER BY tbl"""))
+
   def queries: Seq[GraftQuery] = Seq(q82SaltedAgg, q87ZOrderRoundTrip,
-    q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin)
+    q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin,
+    q112CascadeDelete)
 }

@@ -133,6 +133,14 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.contains("salt"), s"join does not include salt:\n$joinLine")
   }
 
+  test("q112 cascade delete purges via broadcast anti-join (no big-side shuffle)") {
+    val df = Registry.byName("q112_cascade_delete").run(spark, sfTiny)
+    df.count()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin") && physical.contains("LeftAnti"),
+      s"purge is not a broadcast anti-join:\n$physical")
+  }
+
   test("q88 range join plans as a hash equi-join on the bucket, never a nested loop") {
     val df = Registry.byName("q88_range_join").run(spark, sfTiny)
     df.count()
