@@ -287,6 +287,42 @@ class OperatorSpec extends SparkSpec {
     assert(merged == full, s"state merge diverged: $merged vs $full")
   }
 
+  test("q106 chunk fan-out equals ceil(len/stride); every chunk within [1,128] chars") {
+    val expected = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), length(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1) + 95) / 96).toLong).toMap
+    val got = Registry.byName("q106_doc_chunks").run(spark, sfTiny)
+    val perDoc = got.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc == expected, "chunk counts diverge from ceil(len/stride)")
+    val bounds = got.agg(min(col("chunk_chars")), max(col("chunk_chars"))).head()
+    assert(bounds.getLong(0) >= 1 && bounds.getLong(1) <= 128,
+      s"chunk length out of bounds: $bounds")
+  }
+
+  test("q109 invariants: hits bounded by shingles, flag consistent, fan-out <= 1 per probe") {
+    val rows = Registry.byName("q109_decontaminate").run(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSh, nHit, flag) = (r.getAs[Long]("n_sh"), r.getAs[Long]("n_hit"),
+        r.getAs[Int]("contaminated"))
+      assert(nHit <= nSh, s"doc ${r.getLong(0)}: more hits than shingles")
+      assert((flag == 1) == (nHit > 0), s"doc ${r.getLong(0)}: flag inconsistent")
+    }
+    assert(rows.exists(_.getAs[Long]("n_hit") > 0),
+      "corpus has planted dups across splits — expected some contamination")
+  }
+
+  test("aggState on empty input merges as identity") {
+    val ss = spark
+    import ss.implicits._
+    val a = Seq(("x", 1.0), ("y", 2.0)).toDF("k", "v")
+    val empty = a.filter(lit(false))
+    val sA = plans.Scale.aggState(a, "k", "v")
+    val merged = plans.Scale.mergeAggStates(sA, plans.Scale.aggState(empty, "k", "v"), "k")
+    assert(merged.collect().map(_.toSeq).toSet == sA.collect().map(_.toSeq).toSet)
+  }
+
   test("every registered query runs on sf0.001 and the registry is consistent") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length, "duplicate query names")
