@@ -761,6 +761,48 @@ object Relational {
       GROUP BY 1, 2, 3
       ORDER BY c_nationkey, c_mktsegment, bal_band"""))
 
+  /** q114: SCD2 interval derivation — compact a change log (each
+    * customer's orders, ordered by date) into slowly-changing-dimension
+    * type-2 history: a new version row only where the tracked attribute
+    * actually changes; effective_from/effective_to from lead(); open
+    * intervals flagged current. Two window passes over ONE partitioning
+    * (custkey) = one shuffle total; at 100 TB custkey is high-cardinality
+    * so the sort is per-key tiny. Tie-break on (date, orderkey) makes
+    * every interval deterministic cross-engine. */
+  val q114Scd2 = GraftQuery(
+    "q114_scd2",
+    "§2.10 ext: SCD2 history compaction (change-log -> intervals)",
+    (s, d) => {
+      val wSeq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val changes = Tables.orders(s, d)
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority").as("prio"))
+        .withColumn("prev", lag(col("prio"), 1).over(wSeq))
+        .filter(col("prev").isNull || col("prev") =!= col("prio"))
+      changes
+        .withColumn("effective_to", lead(col("o_orderdate"), 1).over(wSeq))
+        .select(col("o_custkey"), col("prio"),
+          col("o_orderdate").as("effective_from"), col("effective_to"),
+          col("effective_to").isNull.cast("int").as("is_current"))
+        .orderBy(col("o_custkey"), col("effective_from"))
+    },
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority AS prio,
+          lag(o_orderpriority) OVER w AS prev
+        FROM orders WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      changes AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, prio FROM log
+        WHERE prev IS NULL OR prev <> prio)
+      SELECT o_custkey, prio, o_orderdate AS effective_from,
+        lead(o_orderdate) OVER w AS effective_to,
+        CAST(lead(o_orderdate) OVER w IS NULL AS INT) AS is_current
+      FROM changes
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, effective_from"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02FilterRevenue, q03JoinRevenueByNation,
     q04TopkPerGroup, q05SortLimit, q06NullHandling, q07StringFuncs,
@@ -769,5 +811,5 @@ object Relational {
     q16AntiJoin, q17SemiJoin, q18WindowAnalytics, q19Rollup, q20Pivot,
     q21PairCanon, q88RangeJoin, q90CorrStats, q91GroupingSets,
     q97Unpivot, q98RankFamily, q99ConstraintAudit,
-    q103SketchAgg, q105KAnonymity)
+    q103SketchAgg, q105KAnonymity, q114Scd2)
 }

@@ -210,7 +210,41 @@ object Sources {
         md5(payload) AS payload_md5
       FROM fixture ORDER BY fname"""))
 
+  /** q113: schema-drift ingest — two parquet generations of the same
+    * table (v1 without `source`, v2 with it) read as one relation via
+    * `mergeSchema`: the real-world "a field was added mid-crawl" case.
+    * Spark unions the footers at planning time and fills the missing
+    * column with nulls — no rewrite of the old generation (at 100 TB,
+    * rewriting history to add a column is exactly what must never
+    * happen). The oracle recomputes the expectation from the documents
+    * table: a hash match proves old-generation rows surface with NULL
+    * source and new-generation rows keep theirs. */
+  val q113SchemaDrift = GraftQuery(
+    "q113_schema_drift",
+    "S1 ext; mergeSchema evolution across parquet generations",
+    (s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_drift_$runId"
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/gen1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/gen1", s"$dir/gen2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          count(col("source")).as("n_with_source"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n,
+        CAST(count(CASE WHEN doc_id % 2 <> 0 THEN source END) AS BIGINT) AS n_with_source,
+        CAST(count(DISTINCT CASE WHEN doc_id % 2 <> 0 THEN source END) AS BIGINT) AS n_sources
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   def queries: Seq[GraftQuery] =
     Seq(q80CsvRoundTrip, q81SchemaPeek, q84JsonlRoundTrip, q85OrcRoundTrip,
-      q86PartitionedRoundTrip, q110BinaryFileIngest)
+      q86PartitionedRoundTrip, q110BinaryFileIngest, q113SchemaDrift)
 }
