@@ -803,6 +803,92 @@ object Relational {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, effective_from"""))
 
+  /** q115: star join — lineitem fact against three dimensions
+    * (orders → customer → nation) rolled up by nation and return flag.
+    * The plan that must come out at 100 TB: ONE pass over the fact with
+    * every dimension broadcast (each ≤ MBs after pruning) — zero fact
+    * shuffles before the final rollup. PlanSpec asserts all three joins
+    * broadcast; Catalyst prunes the dimension columns to the join keys +
+    * carried attributes automatically. */
+  val q115StarJoin = GraftQuery(
+    "q115_star_join",
+    "J-ext: star-schema multi-broadcast join",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.orders(s, d)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("n_name"), col("l_returnflag")),
+    Some("""SELECT n_name, l_returnflag, count(*) AS n,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** q116: table statistics collection — the ANALYZE TABLE shape: one
+    * partial-aggregatable pass per table computing rows, per-column
+    * null counts, min/max, and HLL distinct estimates (exact distincts
+    * here so the DuckDB oracle can hash-match; swap count_distinct for
+    * approx_count_distinct at 100 TB — q103 gates that estimator). These
+    * are the inputs a cost-based optimizer needs for join reordering and
+    * broadcast decisions; emitting them as a relation makes stats a
+    * queryable artifact instead of a catalog side effect. */
+  val q116TableStats = GraftQuery(
+    "q116_table_stats",
+    "A-ext: ANALYZE-style column statistics relation",
+    (s, d) => {
+      def stats(tbl: String, df: DataFrame, c: String): DataFrame =
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col(c).isNull, 1)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_v"),
+          max(col(c)).cast("string").as("max_v"))
+          .select(lit(tbl).as("tbl"), lit(c).as("col_name"),
+            col("n_rows"), col("n_null"), col("n_distinct"),
+            col("min_v"), col("max_v"))
+      val o = Tables.orders(s, d)
+      val docs = Tables.documents(s, d)
+      stats("orders", o, "o_custkey")
+        .unionByName(stats("orders", o, "o_orderpriority"))
+        .unionByName(stats("documents", docs, "lang"))
+        .unionByName(stats("documents", docs, "n_chars"))
+        .orderBy(col("tbl"), col("col_name"))
+    },
+    Some("""SELECT 'orders' AS tbl, 'o_custkey' AS col_name,
+        count(*) AS n_rows,
+        CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS n_null,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        CAST(min(o_custkey) AS VARCHAR) AS min_v, CAST(max(o_custkey) AS VARCHAR) AS max_v
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'o_orderpriority', count(*),
+        CAST(count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS BIGINT),
+        CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        min(o_orderpriority), max(o_orderpriority)
+      FROM orders
+      UNION ALL
+      SELECT 'documents', 'lang', count(*),
+        CAST(count(CASE WHEN lang IS NULL THEN 1 END) AS BIGINT),
+        CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang)
+      FROM documents
+      UNION ALL
+      SELECT 'documents', 'n_chars', count(*),
+        CAST(count(CASE WHEN n_chars IS NULL THEN 1 END) AS BIGINT),
+        CAST(count(DISTINCT n_chars) AS BIGINT),
+        CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+      FROM documents
+      ORDER BY tbl, col_name"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02FilterRevenue, q03JoinRevenueByNation,
     q04TopkPerGroup, q05SortLimit, q06NullHandling, q07StringFuncs,
@@ -811,5 +897,5 @@ object Relational {
     q16AntiJoin, q17SemiJoin, q18WindowAnalytics, q19Rollup, q20Pivot,
     q21PairCanon, q88RangeJoin, q90CorrStats, q91GroupingSets,
     q97Unpivot, q98RankFamily, q99ConstraintAudit,
-    q103SketchAgg, q105KAnonymity, q114Scd2)
+    q103SketchAgg, q105KAnonymity, q114Scd2, q115StarJoin, q116TableStats)
 }

@@ -133,6 +133,16 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.contains("salt"), s"join does not include salt:\n$joinLine")
   }
 
+  test("q115 star join broadcasts all three dimensions — zero fact-side join shuffles") {
+    val df = Registry.byName("q115_star_join").run(spark, sfTiny)
+    df.count()
+    val physical = df.queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(physical).length
+    assert(broadcasts == 3, s"expected 3 broadcast joins, got $broadcasts:\n$physical")
+    assert(!physical.contains("SortMergeJoin"),
+      s"fact side was shuffled for a dimension join:\n$physical")
+  }
+
   test("q112 cascade delete purges via broadcast anti-join (no big-side shuffle)") {
     val df = Registry.byName("q112_cascade_delete").run(spark, sfTiny)
     df.count()
