@@ -437,7 +437,123 @@ object Scale {
       FROM embeddings
       ORDER BY tbl"""))
 
+  /** Order-insensitive table fingerprint: md5 each row's key columns,
+    * take the 60-bit prefix, BIT_XOR-aggregate — one partial-
+    * aggregatable pass, no sort, no single reducer, and xor can never
+    * overflow at any row count (a SUM of 60-bit prefixes blows past
+    * BIGINT within a handful of rows under ANSI mode). Equal
+    * fingerprints + equal counts make "did the migration/merge/
+    * compaction preserve the data?" a two-scan question at any size
+    * (the check to run after q95 merges, q87 rewrites, or an engine
+    * swap — which is exactly what the DuckDB oracle simulates). Xor is
+    * commutative/associative so partition, file, and engine iteration
+    * order all cancel out. Caveat: identical duplicate ROWS cancel in
+    * pairs under xor — always include a unique key in `cols` (doc_id
+    * here), which also makes the count check subsume the dup case. */
+  def fingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // the \u0001 separator prevents ("ab","c") == ("a","bc") splices and
+    // is replayed as chr(1) by the DuckDB oracle
+    val rowKey = md5(concat_ws("\u0001",
+      cols.map(c => col(c).cast("string")): _*).cast("binary"))
+    df.select(conv(substring(rowKey, 1, 15), 16, 10).cast("long").as("rk"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(rk)").as("fp"))
+  }
+
+  /** q117: fingerprints of documents before and after a q95-style merge
+    * that only touches a disjoint id range — the untouched-range
+    * fingerprint must survive the merge (and does: the oracle recomputes
+    * both sides independently). */
+  val q117Fingerprint = GraftQuery(
+    "q117_table_fingerprint",
+    "scale: order-insensitive table fingerprint (migration check)",
+    (s, d) => {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val base = Tables.documents(s, d)
+        .select(cols.map(col): _*)
+      val changes = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("patched"))
+      val merged = mergeUpsert(base, changes, "doc_id")
+      def tag(name: String, df: DataFrame) =
+        fingerprint(df, cols).select(lit(name).as("scope"),
+          col("n_rows"), col("fp"))
+      tag("base_all", base)
+        .unionByName(tag("merged_all", merged))
+        .unionByName(tag("base_untouched", base.filter(col("doc_id") % 10 =!= 0)))
+        .unionByName(tag("merged_untouched", merged.filter(col("doc_id") % 10 =!= 0)))
+        .orderBy(col("scope"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, lang, source, n_chars FROM documents),
+      merged AS (
+        SELECT doc_id, lang,
+          CASE WHEN doc_id % 10 = 0 THEN 'patched' ELSE source END AS source,
+          n_chars
+        FROM base),
+      fp AS (
+        SELECT 'base_all' AS scope, count(*) AS n_rows,
+          CAST(bit_xor(('0x' || substr(md5(
+            CAST(doc_id AS VARCHAR) || chr(1) || lang || chr(1) || source
+              || chr(1) || CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT) AS fp
+        FROM base
+        UNION ALL
+        SELECT 'merged_all', count(*),
+          CAST(bit_xor(('0x' || substr(md5(
+            CAST(doc_id AS VARCHAR) || chr(1) || lang || chr(1) || source
+              || chr(1) || CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
+        FROM merged
+        UNION ALL
+        SELECT 'base_untouched', count(*),
+          CAST(bit_xor(('0x' || substr(md5(
+            CAST(doc_id AS VARCHAR) || chr(1) || lang || chr(1) || source
+              || chr(1) || CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
+        FROM base WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT 'merged_untouched', count(*),
+          CAST(bit_xor(('0x' || substr(md5(
+            CAST(doc_id AS VARCHAR) || chr(1) || lang || chr(1) || source
+              || chr(1) || CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
+        FROM merged WHERE doc_id % 10 <> 0)
+      SELECT scope, n_rows, fp FROM fp ORDER BY scope"""))
+
+  /** q118: join-key skew report — the diagnostic run BEFORE choosing
+    * q108's salts or trusting AQE: per-key frequency profile of a join
+    * key (same synthesized hot key as q108), reporting each of the top
+    * keys with its share, plus the max/mean skew ratio every key-based
+    * operator's worst reducer is proportional to. One hash agg + a tiny
+    * top-k — at 100 TB run it on a q13-style systematic sample first. */
+  val q118SkewReport = GraftQuery(
+    "q118_skew_report",
+    "scale: join-key skew diagnostic (pre-salting report)",
+    (s, d) => {
+      val skewKey = when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1L))
+        .otherwise(col("l_orderkey"))
+      val freq = Tables.lineitem(s, d)
+        .select(skewKey.as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val totals = freq.agg(
+        sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"))
+      freq.crossJoin(broadcast(totals))
+        .withColumn("share", round(col("cnt") / col("total"), 4))
+        .withColumn("skew_ratio",
+          round(col("max_cnt") * col("n_keys") / col("total"), 2))
+        .filter(col("cnt") >= col("total") / 20) // keys holding >= 5%
+        .select(col("k"), col("cnt"), col("share"), col("skew_ratio"))
+        .orderBy(col("cnt").desc, col("k"))
+    },
+    Some("""WITH freq AS (
+        SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_orderkey END AS k,
+          count(*) AS cnt
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+              count(*) AS n_keys, max(cnt) AS max_cnt FROM freq)
+      SELECT k, cnt, round(cnt / CAST(total AS DOUBLE), 4) AS share,
+        round(max_cnt * n_keys / CAST(total AS DOUBLE), 2) AS skew_ratio
+      FROM freq, t WHERE cnt >= total / 20.0
+      ORDER BY cnt DESC, k"""))
+
   def queries: Seq[GraftQuery] = Seq(q82SaltedAgg, q87ZOrderRoundTrip,
     q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin,
-    q112CascadeDelete)
+    q112CascadeDelete, q117Fingerprint, q118SkewReport)
 }

@@ -323,6 +323,16 @@ class OperatorSpec extends SparkSpec {
     assert(merged.collect().map(_.toSeq).toSet == sA.collect().map(_.toSeq).toSet)
   }
 
+  test("q117 fingerprint: untouched range survives the merge, touched range differs") {
+    val fp = Registry.byName("q117_table_fingerprint").run(spark, sfTiny)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp("base_untouched") == fp("merged_untouched"),
+      "fingerprint changed on rows the merge never touched")
+    assert(fp("base_all")._1 == fp("merged_all")._1, "merge changed row count")
+    assert(fp("base_all")._2 != fp("merged_all")._2,
+      "fingerprint failed to detect the patched rows")
+  }
+
   test("every registered query runs on sf0.001 and the registry is consistent") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length, "duplicate query names")
