@@ -845,11 +845,71 @@ object TextAnalysis {
       FROM c WHERE cum_tok <= 2000
       GROUP BY source ORDER BY source"""))
 
+  /** q119: distribution-drift report — compare the document-length
+    * distribution of the train and test splits (q76's md5 buckets) over
+    * fixed-width bins, emitting per-bin shares and a symmetric
+    * chi-square-style contribution ((p−q)²/(p+q) — exact integer counts
+    * through one IEEE division, so it hash-matches cross-engine where a
+    * PSI's ln() would not, per the q78 float lesson). The production use
+    * is monitoring: the same report over yesterday's corpus vs today's
+    * catches ingest regressions; one pass (single hash agg on the bin),
+    * output bounded by bin count. */
+  val q119DriftReport = GraftQuery(
+    "q119_drift_report",
+    "LLM-pipeline: split/corpus distribution drift report; A-ext",
+    (s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100
+      val binned = Tables.documents(s, d)
+        .withColumn("b", bucket)
+        .filter(col("b") < 80 || col("b") >= 90)
+        .select(when(col("b") < 80, "train").otherwise("test").as("split"),
+          least(lit(9L), floor(col("n_chars") / 60)).cast("long").as("bin"))
+      val counts = binned.groupBy(col("bin"))
+        .agg(count(when(col("split") === "train", 1)).as("n_train"),
+          count(when(col("split") === "test", 1)).as("n_test"))
+      val totals = counts.agg(sum(col("n_train")).as("t_train"),
+        sum(col("n_test")).as("t_test"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("p", col("n_train") / col("t_train"))
+        .withColumn("q", col("n_test") / col("t_test"))
+        .select(col("bin"), col("n_train"), col("n_test"),
+          round(col("p"), 4).as("share_train"),
+          round(col("q"), 4).as("share_test"),
+          round((col("p") - col("q")) * (col("p") - col("q"))
+            / (col("p") + col("q")), 6).as("drift_contrib"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH b AS (
+        SELECT doc_id, n_chars,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        FROM documents),
+      binned AS (
+        SELECT CASE WHEN b < 80 THEN 'train' ELSE 'test' END AS split,
+          least(9, CAST(floor(n_chars / 60.0) AS BIGINT)) AS bin
+        FROM b WHERE b < 80 OR b >= 90),
+      counts AS (
+        SELECT bin,
+          CAST(count(CASE WHEN split = 'train' THEN 1 END) AS BIGINT) AS n_train,
+          CAST(count(CASE WHEN split = 'test' THEN 1 END) AS BIGINT) AS n_test
+        FROM binned GROUP BY 1),
+      t AS (SELECT CAST(sum(n_train) AS BIGINT) AS t_train,
+              CAST(sum(n_test) AS BIGINT) AS t_test FROM counts),
+      shares AS (
+        SELECT bin, n_train, n_test,
+          n_train / CAST(t_train AS DOUBLE) AS p,
+          n_test / CAST(t_test AS DOUBLE) AS q
+        FROM counts, t)
+      SELECT bin, n_train, n_test,
+        round(p, 4) AS share_train, round(q, 4) AS share_test,
+        round((p - q) * (p - q) / (p + q), 6) AS drift_contrib
+      FROM shares ORDER BY bin"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,
     q48SequencePacking, q49CorpusMixture, q93TfidfKeywords,
     q101PiiRedact, q102DomainStats, q104EpochUpsample, q106DocChunks,
-    q111TokenBudget)
+    q111TokenBudget, q119DriftReport)
 }
