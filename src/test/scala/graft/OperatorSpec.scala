@@ -333,6 +333,40 @@ class OperatorSpec extends SparkSpec {
       "fingerprint failed to detect the patched rows")
   }
 
+  test("q114 SCD2 invariants: contiguous intervals, one open interval per customer, real changes only") {
+    val rows = Registry.byName("q114_scd2").run(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2),
+        Option(r.getAs[java.time.LocalDateTime](3)), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cust, history) =>
+      val h = history.toSeq.sortBy(_._3.toString)
+      // exactly one open (current) interval, and it is the last one
+      assert(h.count(_._4.isEmpty) == 1 && h.last._4.isEmpty,
+        s"cust $cust: open-interval invariant broken")
+      assert(h.forall(r => (r._5 == 1) == r._4.isEmpty), s"cust $cust: is_current flag wrong")
+      // contiguous: each interval ends exactly where the next begins
+      h.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4.contains(b._3), s"cust $cust: gap/overlap between intervals")
+          assert(a._2 != b._2, s"cust $cust: consecutive intervals with same value not compacted")
+        case _ =>
+      }
+    }
+  }
+
+  test("q118 skew report: reported keys hold >=5% each and the hot key dominates") {
+    val rows = Registry.byName("q118_skew_report").run(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("share") >= 0.05 - 1e-9)
+      assert(r.getAs[Double]("skew_ratio") >= 1.0, "max/mean ratio must be >= 1")
+    }
+    // the synthesized hot key (1) must be first with ~half the table
+    assert(rows.head.getAs[Long]("k") == 1L && rows.head.getAs[Double]("share") > 0.4,
+      s"hot key not detected: ${rows.head}")
+  }
+
   test("every registered query runs on sf0.001 and the registry is consistent") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length, "duplicate query names")
