@@ -57,6 +57,30 @@ object StreamingJobs {
     q
   }
 
+  /** Streaming windowed approx-distinct: unique users per tumbling
+    * event-time hour via approx_count_distinct — the production shape
+    * for cardinality over streams, because HLL state is a fixed-size
+    * mergeable sketch per open window (KBs) where exact distinct keeps
+    * every key in state (unbounded per window at 100 TB rates). The
+    * q103 error gate covers the estimator itself; StreamingSpec bounds
+    * the streamed estimate against the batch exact count per window. */
+  def runStreamingWindowedDistinct(spark: SparkSession, dir: String,
+      sinkName: String): StreamingQuery = {
+    val q = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+      .select(col("window.start").as("w_start"), col("approx_users"))
+      .writeStream
+      .queryName(sinkName)
+      .format("memory")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming near-dup detection: embeddings arriving as a stream are
     * hashed with the *already-fitted* LSH model and stream-static joined
     * against the hashed corpus on (hash-table, bucket) — the reference's

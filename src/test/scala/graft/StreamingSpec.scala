@@ -229,6 +229,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"state diverges: $streamed vs $batch")
   }
 
+  test("streaming windowed approx-distinct within HLL error of batch exact per window") {
+    StreamingJobs.runStreamingWindowedDistinct(spark, streamDir, "wdist_test")
+    val streamed = spark.table("wdist_test").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("w_start") ->
+        r.getAs[Long]("approx_users")).toMap
+    val exact = Tables.eventsWithTs(spark, sfTiny)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(col("window.start").as("w_start"), col("n")).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("w_start") -> r.getAs[Long]("n")).toMap
+    assert(streamed.keySet == exact.keySet, "window sets diverge")
+    exact.foreach { case (w, n) =>
+      val a = streamed(w)
+      assert(math.abs(a - n).toDouble / n <= 0.06, // 3x rsd=0.02
+        s"window $w: approx $a vs exact $n")
+    }
+  }
+
   test("stream-stream interval join == batch q96 attribution pairs") {
     StreamingJobs.runStreamingIntervalJoin(spark, streamDir, "interval_join_test")
     val streamed = spark.table("interval_join_test")
