@@ -905,11 +905,80 @@ object TextAnalysis {
         round((p - q) * (p - q) / (p + q), 6) AS drift_contrib
       FROM shares ORDER BY bin"""))
 
+  /** q120: dictionary encoding — map a repeated string key to a dense
+    * integer code via a sorted vocabulary, then prove the encode→decode
+    * round trip lossless by grouping on BOTH code and decoded string
+    * (hash match against the oracle's independent dictionary). At 100 TB
+    * this is the key-compaction step before shuffle-heavy joins/aggs on
+    * string keys: 8-byte codes shuffle instead of arbitrary strings, and
+    * the dictionary is broadcast-sized BY CONSTRUCTION (it is the
+    * distinct set — the single-partition rank window runs on that tiny
+    * set, never on the fact). */
+  val q120DictEncode = GraftQuery(
+    "q120_dict_encode",
+    "LLM-pipeline/A-ext: dictionary key encoding (string -> dense code)",
+    (s, d) => {
+      val w = Window.orderBy(col("source"))
+      val vocab = Tables.documents(s, d).select(col("source")).distinct()
+        .withColumn("code", dense_rank().over(w).cast("long"))
+      Tables.documents(s, d)
+        .join(broadcast(vocab), Seq("source"))
+        .groupBy(col("code"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars_total"))
+        .orderBy(col("code"))
+    },
+    Some("""WITH vocab AS (
+        SELECT source, CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) AS code
+        FROM (SELECT DISTINCT source FROM documents))
+      SELECT v.code, d.source, count(*) AS n_docs,
+        CAST(sum(d.n_chars) AS BIGINT) AS n_chars_total
+      FROM documents d JOIN vocab v USING (source)
+      GROUP BY 1, 2 ORDER BY code"""))
+
+  /** q121: winsorized robust stats — clip document length to its
+    * [p05, p95] band (one exact-percentile aggregate, broadcast as two
+    * doubles — the q77 no-global-sort pattern) and report per-lang
+    * count/mean/min/max of the clipped metric: the outlier-insensitive
+    * summary a corpus dashboard wants, and the clip step a length-based
+    * quality gate applies before averaging. Integer inputs through one
+    * interpolation + one division keep it hash-stable cross-engine. */
+  val q121Winsorize = GraftQuery(
+    "q121_winsorized_stats",
+    "A-ext: winsorized (percentile-clipped) robust statistics",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val cuts = docs.agg(
+        expr("percentile(n_chars, 0.05)").as("lo"),
+        expr("percentile(n_chars, 0.95)").as("hi"))
+      docs.crossJoin(broadcast(cuts))
+        .withColumn("w", least(greatest(col("n_chars").cast("double"),
+          col("lo")), col("hi")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("w")) / count(lit(1)), 4).as("mean_w"),
+          round(min(col("w")), 4).as("min_w"),
+          round(max(col("w")), 4).as("max_w"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH cuts AS (
+        SELECT quantile_cont(n_chars, 0.05) AS lo,
+          quantile_cont(n_chars, 0.95) AS hi
+        FROM documents),
+      w AS (
+        SELECT lang,
+          least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS w
+        FROM documents, cuts)
+      SELECT lang, count(*) AS n,
+        round(sum(w) / count(*), 4) AS mean_w,
+        round(min(w), 4) AS min_w, round(max(w), 4) AS max_w
+      FROM w GROUP BY lang ORDER BY lang"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,
     q48SequencePacking, q49CorpusMixture, q93TfidfKeywords,
     q101PiiRedact, q102DomainStats, q104EpochUpsample, q106DocChunks,
-    q111TokenBudget, q119DriftReport)
+    q111TokenBudget, q119DriftReport, q120DictEncode, q121Winsorize)
 }
