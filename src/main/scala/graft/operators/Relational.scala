@@ -889,6 +889,37 @@ object Relational {
       FROM documents
       ORDER BY tbl, col_name"""))
 
+  /** q122: map-side bounded top-k per group via the typed
+    * [[graft.functions.TopKAggregator]] — same answer as q04's window
+    * row_number form (the oracle IS that window query), radically
+    * different plan: partial ObjectHashAggregate heaps per map task →
+    * Exchange of k rows per (group, partition) → final merge. The window
+    * form shuffles and sorts every row of every group; this shuffles
+    * k×groups×partitions rows and sorts nothing (PlanSpec asserts the
+    * partial/final split). The scale default for top-k per group. */
+  val q122TopkAggregator = GraftQuery(
+    "q122_topk_aggregator",
+    "T3/§2.10 UDAF: partial-aggregatable bounded top-k per group",
+    (s, d) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+          round(col("col._1"), 2).as("o_totalprice"), col("col._2").as("o_orderkey"))
+        .orderBy(col("o_orderpriority"), col("rank"))
+    },
+    Some("""WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice, o_orderkey,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders)
+      SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank,
+        round(o_totalprice, 2) AS o_totalprice, o_orderkey
+      FROM ranked WHERE rank <= 3
+      ORDER BY o_orderpriority, rank"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02FilterRevenue, q03JoinRevenueByNation,
     q04TopkPerGroup, q05SortLimit, q06NullHandling, q07StringFuncs,
@@ -897,5 +928,6 @@ object Relational {
     q16AntiJoin, q17SemiJoin, q18WindowAnalytics, q19Rollup, q20Pivot,
     q21PairCanon, q88RangeJoin, q90CorrStats, q91GroupingSets,
     q97Unpivot, q98RankFamily, q99ConstraintAudit,
-    q103SketchAgg, q105KAnonymity, q114Scd2, q115StarJoin, q116TableStats)
+    q103SketchAgg, q105KAnonymity, q114Scd2, q115StarJoin, q116TableStats,
+    q122TopkAggregator)
 }

@@ -133,6 +133,18 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.contains("salt"), s"join does not include salt:\n$joinLine")
   }
 
+  test("q122 top-k aggregator plans partial->final: heaps merge map-side, no window sort") {
+    val df = Registry.byName("q122_topk_aggregator").run(spark, sfTiny)
+    df.count()
+    val physical = df.queryExecution.executedPlan.toString
+    // partial aggregation must appear (bounded heaps before the Exchange)
+    assert(physical.toLowerCase.contains("partial_topkaggregator")
+      || physical.toLowerCase.contains("partial_topkagg"),
+      s"no partial top-k aggregation:\n$physical")
+    // and the plan must NOT be the window form (full per-group sort)
+    assert(!physical.contains("Window"), s"fell back to a window sort:\n$physical")
+  }
+
   test("q115 star join broadcasts all three dimensions — zero fact-side join shuffles") {
     val df = Registry.byName("q115_star_join").run(spark, sfTiny)
     df.count()
