@@ -154,6 +154,11 @@ object GraftConf {
     * replicating the dim side the same factor. Salting never changes
     * results (oracle-checked against the unsalted join), so the knob is
     * purely a parallelism/replication trade. */
-  def joinSalts(s: SparkSession): Int =
-    s.conf.get("spark.graft.join.salts", "8").toInt
+  def joinSalts(s: SparkSession): Int = {
+    val v = s.conf.get("spark.graft.join.salts", "8").toInt
+    // salts < 1 would make the fact-side pmod NULL and the dim-side
+    // sequence descend — an empty join with no error; fail loudly instead
+    require(v >= 1, s"spark.graft.join.salts must be >= 1, got $v")
+    v
+  }
 }

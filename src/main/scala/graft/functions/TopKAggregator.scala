@@ -33,7 +33,14 @@ class TopKAggregator(k: Int)
   override def zero: TopKBuffer = TopKBuffer(Nil)
 
   override def reduce(b: TopKBuffer, a: (Double, Long)): TopKBuffer =
-    TopKBuffer(keep(a +: b.items))
+    // keep() maintains the buffer sorted best-first, so once it is full
+    // the common case — a row worse than the current k-th — is a single
+    // comparison against items.last instead of a per-row sort
+    if (b.items.length == k && {
+      val worst = b.items.last
+      a._1 < worst._1 || (a._1 == worst._1 && a._2 > worst._2)
+    }) b
+    else TopKBuffer(keep(a +: b.items))
 
   override def merge(x: TopKBuffer, y: TopKBuffer): TopKBuffer =
     TopKBuffer(keep(x.items ++ y.items))

@@ -782,8 +782,13 @@ object TextAnalysis {
       val stride = 96
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
-          (ceil(length(col("text")).cast("double") / stride) - 1)
-            .cast("long").as("last_ck"))
+          // greatest(0, ...) guards the empty document: without it
+          // last_ck = -1 and Spark's sequence(0, -1) DESCENDS ([0, -1])
+          // where DuckDB's generate_series(0, -1) is empty — an empty
+          // doc yields exactly one empty chunk in both engines
+          greatest(lit(0L),
+            (ceil(length(col("text")).cast("double") / stride) - 1)
+              .cast("long")).as("last_ck"))
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0L), col("last_ck"))).as("chunk_id"))
         .select(col("doc_id"), col("chunk_id"),
@@ -797,7 +802,7 @@ object TextAnalysis {
     Some("""WITH c AS (
         SELECT doc_id,
           unnest(generate_series(0,
-            CAST(ceil(len(text) / 96.0) AS BIGINT) - 1)) AS chunk_id,
+            greatest(0, CAST(ceil(len(text) / 96.0) AS BIGINT) - 1))) AS chunk_id,
           text
         FROM documents)
       SELECT doc_id, chunk_id,

@@ -453,8 +453,13 @@ object Scale {
   def fingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     // the \u0001 separator prevents ("ab","c") == ("a","bc") splices and
     // is replayed as chr(1) by the DuckDB oracle
+    // NULLs are coalesced to a \u0002 marker BEFORE concat_ws: concat_ws
+    // silently SKIPS null columns, which would make ('x', NULL, 'y') and
+    // ('x', 'y', NULL) fingerprint-equal and diverge from any || -based
+    // oracle (replay the marker as coalesce(col, chr(2)) there)
     val rowKey = md5(concat_ws("\u0001",
-      cols.map(c => col(c).cast("string")): _*).cast("binary"))
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+      .cast("binary"))
     df.select(conv(substring(rowKey, 1, 15), 16, 10).cast("long").as("rk"))
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(rk)").as("fp"))
   }
@@ -536,8 +541,9 @@ object Scale {
         max(col("cnt")).as("max_cnt"))
       freq.crossJoin(broadcast(totals))
         .withColumn("share", round(col("cnt") / col("total"), 4))
-        .withColumn("skew_ratio",
-          round(col("max_cnt") * col("n_keys") / col("total"), 2))
+        .withColumn("skew_ratio", // cast BEFORE the multiply: long*long
+          // wraps silently at the 10^10-row scale this diagnoses
+          round(col("max_cnt").cast("double") * col("n_keys") / col("total"), 2))
         .filter(col("cnt") >= col("total") / 20) // keys holding >= 5%
         .select(col("k"), col("cnt"), col("share"), col("skew_ratio"))
         .orderBy(col("cnt").desc, col("k"))
@@ -549,7 +555,7 @@ object Scale {
       t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
               count(*) AS n_keys, max(cnt) AS max_cnt FROM freq)
       SELECT k, cnt, round(cnt / CAST(total AS DOUBLE), 4) AS share,
-        round(max_cnt * n_keys / CAST(total AS DOUBLE), 2) AS skew_ratio
+        round(CAST(max_cnt AS DOUBLE) * n_keys / total, 2) AS skew_ratio
       FROM freq, t WHERE cnt >= total / 20.0
       ORDER BY cnt DESC, k"""))
 

@@ -175,7 +175,12 @@ object Sources {
     "q110_binaryfile_ingest",
     "S4 ext; binaryFile whole-file multimodal ingest",
     (s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_binf_$runId"
+      // fixture keyed on the DATA DIR as well as the process: the file
+      // contents derive from `d`, so a second scale factor in the same
+      // JVM must not read the first one's cached fixtures
+      val dirKey = java.lang.Integer.toHexString(d.hashCode)
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_binf_${runId}_$dirKey"
       val p = new java.io.File(dir)
       if (!p.exists()) {
         p.mkdirs()

@@ -60,10 +60,14 @@ object StreamingJobs {
   /** Streaming windowed approx-distinct: unique users per tumbling
     * event-time hour via approx_count_distinct — the production shape
     * for cardinality over streams, because HLL state is a fixed-size
-    * mergeable sketch per open window (KBs) where exact distinct keeps
-    * every key in state (unbounded per window at 100 TB rates). The
-    * q103 error gate covers the estimator itself; StreamingSpec bounds
-    * the streamed estimate against the batch exact count per window. */
+    * mergeable sketch per window (KBs) where exact distinct keeps every
+    * key in state (unbounded per window at 100 TB rates). This demo
+    * runs complete mode into a memory table (the AvailableNow backlog
+    * shape, where the watermark is inert); an unbounded production
+    * deployment uses update/append mode so the watermark EVICTS closed
+    * windows and total state is open-windows × one sketch. The q103
+    * error gate covers the estimator itself; StreamingSpec bounds the
+    * streamed estimate against the batch exact count per window. */
   def runStreamingWindowedDistinct(spark: SparkSession, dir: String,
       sinkName: String): StreamingQuery = {
     val q = eventStream(spark, dir)
@@ -199,16 +203,6 @@ object StreamingJobs {
     q
   }
 
-  /** STREAM-STREAM interval join: purchases attributed to every view by
-    * the same user in the preceding 24 h — two independent readers over
-    * the event stream, both watermarked, joined on user equality + a
-    * two-sided event-time bound. The time bound is what makes this
-    * runnable unbounded: with purchase_ts ∈ (view_ts, view_ts + 24 h]
-    * and both watermarks at 1 h, Spark can discard a buffered view once
-    * the purchase-side watermark passes view_ts + 24 h (and vice versa),
-    * so join state is a sliding 25 h of per-user activity, not the full
-    * history. Batch twin is q96 (equivalence asserted by StreamingSpec).
-    * Inner join + append mode: rows emit as soon as both sides arrive. */
   /** Streaming incremental aggregate maintenance — the q107 state-merge
     * loop as a standing job: each micro-batch is aggregated alone
     * (Scale.aggState) and merged into the persistent state table
@@ -226,13 +220,20 @@ object StreamingJobs {
       .option("maxFilesPerTrigger", "1").parquet(streamDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // read-modify-WRITE-SWAP: the merged state is written to a fresh
-        // path and atomically renamed over the old one, because Spark
-        // cannot overwrite a parquet dir it is reading in the same job
-        // (and a mid-write failure must not destroy the previous state)
+        // read-modify-write-SWAP: the merged state is written to a fresh
+        // path, the old state renamed ASIDE (never deleted first), then
+        // the new one renamed in — a crash at any point leaves either the
+        // old or the new state present, never neither (the Scale.compact
+        // pattern). Spark also cannot overwrite a parquet dir it is
+        // reading in the same job, hence the separate path. NOTE:
+        // foreachBatch is at-least-once — a production deployment keys
+        // the merge on batchId (skip if already applied) to stay
+        // idempotent under replay; the AvailableNow demo processes each
+        // batch exactly once per run.
         val hadoopConf = spark.sparkContext.hadoopConfiguration
         val cur = new org.apache.hadoop.fs.Path(stateDir)
         val next = new org.apache.hadoop.fs.Path(stateDir + "__next")
+        val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
         val fs = cur.getFileSystem(hadoopConf)
         val deltaState = graft.plans.Scale.aggState(batch, key, valueCol)
         val merged =
@@ -241,8 +242,10 @@ object StreamingJobs {
               spark.read.parquet(stateDir), deltaState, key)
           else deltaState
         merged.coalesce(1).write.mode("overwrite").parquet(next.toString)
-        fs.delete(cur, true)
-        fs.rename(next, cur)
+        fs.delete(old, true)
+        if (fs.exists(cur)) require(fs.rename(cur, old), s"state swap: $cur aside failed")
+        require(fs.rename(next, cur), s"state swap: $next -> $cur failed")
+        fs.delete(old, true)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -251,6 +254,16 @@ object StreamingJobs {
     q
   }
 
+  /** STREAM-STREAM interval join: purchases attributed to every view by
+    * the same user in the preceding 24 h — two independent readers over
+    * the event stream, both watermarked, joined on user equality + a
+    * two-sided event-time bound. The time bound is what makes this
+    * runnable unbounded: with purchase_ts ∈ (view_ts, view_ts + 24 h]
+    * and both watermarks at 1 h, Spark can discard a buffered view once
+    * the purchase-side watermark passes view_ts + 24 h (and vice versa),
+    * so join state is a sliding 25 h of per-user activity, not the full
+    * history. Batch twin is q96 (equivalence asserted by StreamingSpec).
+    * Inner join + append mode: rows emit as soon as both sides arrive. */
   def runStreamingIntervalJoin(spark: SparkSession, dir: String,
       sinkName: String): StreamingQuery = {
     val views = eventStream(spark, dir)
