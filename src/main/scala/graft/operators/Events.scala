@@ -348,8 +348,46 @@ object Events {
         AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
       ORDER BY view_id, purchase_id"""))
 
+  /** q123: LEFT OUTER interval join — every view with its attributed
+    * purchases, or NULL purchase columns when none followed within 24 h
+    * (the "unconverted views" report the inner q96 cannot express).
+    * Batch twin of StreamingJobs.runStreamingIntervalJoinLeftOuter;
+    * StreamingSpec asserts the streamed result equals this plan after
+    * the watermark closes. The join key is still user equality — the
+    * time bound rides in the join condition (NOT a post-filter, which
+    * would silently turn left-outer back into inner for late windows). */
+  val q123LeftOuterAttrib = GraftQuery(
+    "q123_leftouter_attrib",
+    "streaming ext: LEFT-OUTER stream-stream interval join (batch twin); J-ext",
+    (s, d) => {
+      val ev = Tables.eventsWithTs(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      views.join(buys,
+          col("user_id") === col("p_user") &&
+          col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"),
+          "left_outer")
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts")))
+            .as("gap_s"))
+        .orderBy(col("view_id"), col("purchase_id"))
+    },
+    Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_s
+      FROM events v LEFT JOIN events p
+        ON v.user_id = p.user_id
+        AND p.event_type = 'purchase'
+        AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+      WHERE v.event_type = 'view'
+      ORDER BY view_id, purchase_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q70EventWindow, q71Sessionize, q72StreamDedup, q73JsonProps, q74Cube,
     q75AsofJoin, q79Funnel, q89RollingStats, q94CohortRetention,
-    q96IntervalJoin)
+    q96IntervalJoin, q123LeftOuterAttrib)
 }

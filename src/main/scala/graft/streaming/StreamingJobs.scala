@@ -203,49 +203,102 @@ object StreamingJobs {
     q
   }
 
+  // -------------------------------------------------------------------
+  // Incremental aggregate state: versioned, batchId-keyed, crash-safe.
+  //
+  // Layout: stateDir/state_b<batchId>/ (parquet). A version COUNTS only
+  // once Spark's job commit has written its _SUCCESS marker; the current
+  // state is the committed version with the highest batchId. This gives
+  // both guarantees the old rename-swap lacked:
+  //   * exactly-once under foreachBatch's at-least-once replay — a
+  //     replayed batchId <= the latest committed version is a no-op, so
+  //     a crashed-and-retried micro-batch can never double-merge;
+  //   * no crash window — the previous state dir is never moved or
+  //     deleted before the new version is fully committed; a crash
+  //     mid-write leaves an uncommitted dir that the next run simply
+  //     overwrites (mode overwrite to the same versioned path).
+  // -------------------------------------------------------------------
+
+  private val StateVersionRe = "state_b(\\d+)".r
+
+  /** Committed (_SUCCESS-marked) state versions under `stateDir` as
+    * (batchId, path), ascending by batchId. */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(stateDir)) Seq.empty
+    else fs.listStatus(stateDir).toSeq.filter(_.isDirectory).flatMap { st =>
+      st.getPath.getName match {
+        case StateVersionRe(b)
+            if fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+          Some((b.toLong, st.getPath))
+        case _ => None
+      }
+    }.sortBy(_._1)
+
+  /** The latest committed aggregate state as (batchId, state relation);
+    * None before any batch has committed. */
+  def latestAggState(spark: SparkSession, stateDir: String): Option[(Long, DataFrame)] = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, dir).lastOption
+      .map { case (b, p) => (b, spark.read.parquet(p.toString)) }
+  }
+
+  /** Merge one micro-batch into the persistent agg state, exactly once
+    * per batchId: skipped (returns false) when a version >= batchId is
+    * already committed — the idempotency key foreachBatch's at-least-once
+    * contract requires. Otherwise aggregates the batch alone
+    * (Scale.aggState), merges it with the latest committed state
+    * (Scale.mergeAggStates), commits the result as state_b<batchId>, and
+    * only then garbage-collects superseded versions (a crash anywhere
+    * leaves a committed predecessor to recover from). */
+  def applyAggBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      key: String, valueCol: String, stateDir: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, dir)
+    if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
+    val delta = graft.plans.Scale.aggState(batch, key, valueCol)
+    val merged = versions.lastOption match {
+      case Some((_, p)) =>
+        graft.plans.Scale.mergeAggStates(spark.read.parquet(p.toString), delta, key)
+      case None => delta
+    }
+    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
+    merged.coalesce(1).write.mode("overwrite").parquet(target.toString)
+    // GC strictly after the new version committed: superseded committed
+    // versions plus any uncommitted leftovers from crashed attempts.
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    true
+  }
+
   /** Streaming incremental aggregate maintenance — the q107 state-merge
     * loop as a standing job: each micro-batch is aggregated alone
     * (Scale.aggState) and merged into the persistent state table
     * (Scale.mergeAggStates), so refresh cost per trigger scales with the
-    * batch, never with history. The state table is overwritten per
-    * trigger (it is one row per key — KBs); at 100 TB key cardinality,
-    * write it partitioned/bucketed and MERGE instead. After the stream
-    * drains, the state must equal a one-shot batch aggregate over
-    * everything seen (StreamingSpec proves it — the same associativity
-    * q107's oracle proves cross-engine). */
+    * batch, never with history. State versions are batchId-keyed and
+    * _SUCCESS-committed (see applyAggBatch), so a replayed batch is a
+    * no-op and a crash at any point leaves a committed state to resume
+    * from. The state is one row per key — KBs; at 100 TB key
+    * cardinality, write it partitioned/bucketed and MERGE instead. After
+    * the stream drains, the state must equal a one-shot batch aggregate
+    * over everything seen (StreamingSpec proves it, along with replay
+    * idempotency — the same associativity q107's oracle proves
+    * cross-engine). */
   def runStreamingIncrementalAgg(spark: SparkSession, streamDir: String,
       key: String, valueCol: String, stateDir: String): StreamingQuery = {
     val schema = spark.read.parquet(streamDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // read-modify-write-SWAP: the merged state is written to a fresh
-        // path, the old state renamed ASIDE (never deleted first), then
-        // the new one renamed in — a crash at any point leaves either the
-        // old or the new state present, never neither (the Scale.compact
-        // pattern). Spark also cannot overwrite a parquet dir it is
-        // reading in the same job, hence the separate path. NOTE:
-        // foreachBatch is at-least-once — a production deployment keys
-        // the merge on batchId (skip if already applied) to stay
-        // idempotent under replay; the AvailableNow demo processes each
-        // batch exactly once per run.
-        val hadoopConf = spark.sparkContext.hadoopConfiguration
-        val cur = new org.apache.hadoop.fs.Path(stateDir)
-        val next = new org.apache.hadoop.fs.Path(stateDir + "__next")
-        val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
-        val fs = cur.getFileSystem(hadoopConf)
-        val deltaState = graft.plans.Scale.aggState(batch, key, valueCol)
-        val merged =
-          if (fs.exists(cur))
-            graft.plans.Scale.mergeAggStates(
-              spark.read.parquet(stateDir), deltaState, key)
-          else deltaState
-        merged.coalesce(1).write.mode("overwrite").parquet(next.toString)
-        fs.delete(old, true)
-        if (fs.exists(cur)) require(fs.rename(cur, old), s"state swap: $cur aside failed")
-        require(fs.rename(next, cur), s"state swap: $next -> $cur failed")
-        fs.delete(old, true)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAggBatch(spark, batch, batchId, key, valueCol, stateDir)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -280,6 +333,48 @@ object StreamingJobs {
         col("user_id") === col("p_user") &&
         col("purchase_ts") > col("view_ts") &&
         col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts")))
+          .as("gap_s"))
+      .writeStream
+      .queryName(sinkName)
+      .format("memory")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** STREAM-STREAM interval join, LEFT OUTER form: every view emits —
+    * joined with each purchase inside its 24 h attribution window as the
+    * purchase arrives, or with NULL purchase columns once the watermark
+    * PROVES no purchase can still arrive (purchase-side watermark past
+    * view_ts + 24 h). That proof is exactly why outer stream-stream
+    * joins require the time bound: without it "no match yet" could be
+    * overturned forever and the null row could never be emitted. Null
+    * rows therefore lag the data by the watermark delay; a drained
+    * AvailableNow run needs one final watermark-advancing batch for the
+    * last views to resolve — StreamingSpec appends a far-future sentinel
+    * file for exactly that, then asserts equivalence against the batch
+    * left join (q123 twin). Inner form: runStreamingIntervalJoin. */
+  def runStreamingIntervalJoinLeftOuter(spark: SparkSession, dir: String,
+      sinkName: String): StreamingQuery = {
+    val views = eventStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val buys = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val q = views.join(buys,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"),
+        "leftOuter")
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts")))
           .as("gap_s"))

@@ -221,12 +221,51 @@ class StreamingSpec extends SparkSpec {
     def snap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getLong(1),
         math.round(r.getDouble(2) * 1e6), r.getDouble(3), r.getDouble(4))).toSet
-    val streamed = snap(spark.read.parquet(stateDir)
+    val (lastBatchId, stateDf) = StreamingJobs.latestAggState(spark, stateDir).get
+    assert(lastBatchId == 1L, s"expected two committed batches, last=$lastBatchId")
+    val streamed = snap(stateDf
       .select(col("event_type"), col("cnt"), col("sum_v"), col("min_v"), col("max_v")))
     val batch = snap(plans.Scale.aggState(ev, "event_type", "value")
       .select(col("event_type"), col("cnt"), col("sum_v"), col("min_v"), col("max_v")))
     assert(streamed.nonEmpty)
     assert(streamed == batch, s"state diverges: $streamed vs $batch")
+  }
+
+  test("applyAggBatch: replayed batchId is a no-op; uncommitted versions invisible") {
+    val work = Files.createTempDirectory("graft_idem").toString
+    val ev = Tables.events(spark, sfTiny)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    val b1 = ev.filter(col("event_id") % 2 =!= 0)
+    val stateDir = s"$work/state"
+    def snap() = {
+      val (bid, df) = StreamingJobs.latestAggState(spark, stateDir).get
+      (bid, df.select(col("event_type"), col("cnt"), col("sum_v"),
+          col("min_v"), col("max_v")).collect()
+        .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e6),
+          r.getDouble(3), r.getDouble(4))).toSet)
+    }
+    assert(StreamingJobs.applyAggBatch(spark, b0, 0L, "event_type", "value", stateDir))
+    assert(StreamingJobs.applyAggBatch(spark, b1, 1L, "event_type", "value", stateDir))
+    val once = snap()
+    // at-least-once replay of the SAME batch: must not double-merge
+    assert(!StreamingJobs.applyAggBatch(spark, b1, 1L, "event_type", "value", stateDir))
+    // replay of an OLDER batch after a newer one committed: also a no-op
+    assert(!StreamingJobs.applyAggBatch(spark, b0, 0L, "event_type", "value", stateDir))
+    assert(snap() == once, "replay changed the state")
+    // crash simulation: a later version dir WITHOUT _SUCCESS (writer died
+    // mid-commit) must be invisible to readers...
+    val junk = Paths.get(stateDir, "state_b7")
+    Files.createDirectories(junk)
+    Files.write(junk.resolve("part-00000-junk.parquet"), Array[Byte](1, 2, 3))
+    assert(StreamingJobs.latestAggState(spark, stateDir).get._1 == 1L,
+      "uncommitted version leaked into reads")
+    // ...and the retried batch overwrites the debris cleanly
+    assert(StreamingJobs.applyAggBatch(
+      spark, ev.filter(lit(false)), 7L, "event_type", "value", stateDir))
+    val after = snap()
+    assert(after._1 == 7L)
+    assert(after._2 == once._2, "empty retried batch changed aggregate values")
   }
 
   test("streaming windowed approx-distinct within HLL error of batch exact per window") {
@@ -258,6 +297,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
     assert(streamed == batch,
       s"interval join diverges: ${(streamed -- batch).size} extra, ${(batch -- streamed).size} missing")
+  }
+
+  test("stream-stream LEFT OUTER interval join == batch q123 after watermark close") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft_events_lo")
+    Files.copy(Paths.get(s"$sfTiny/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir.resolve("events.parquet").toFile.setLastModified(1000000L)
+    // Sentinel micro-batch: one far-future view + purchase (user_id -1)
+    // processed LAST, pushing both watermarks past every real view's
+    // 24 h window so the unmatched-view null rows actually emit before
+    // the AvailableNow run drains.
+    val raw = spark.read.parquet(s"$sfTiny/events.parquet")
+    val maxTs = raw.agg(max(col("ts"))).head.getLong(0)
+    val farNs = maxTs + 40L * 24 * 3600 * 1000L * 1000L * 1000L
+    val one = raw.limit(1)
+    val sent = one.withColumn("event_type", lit("view"))
+      .unionByName(one.withColumn("event_type", lit("purchase")))
+      .withColumn("ts", lit(farNs))
+      .withColumn("user_id", lit(-1L).cast(one.schema("user_id").dataType))
+      .withColumn("event_id", lit(-1L).cast(one.schema("event_id").dataType))
+    val tmp = Files.createTempDirectory("graft_lo_sent").resolve("s").toString
+    sent.coalesce(1).write.parquet(tmp)
+    val part = Files.list(Paths.get(tmp))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(part, dir.resolve("zz_sentinel.parquet"))
+    dir.resolve("zz_sentinel.parquet").toFile.setLastModified(2000000L)
+    StreamingJobs.runStreamingIntervalJoinLeftOuter(spark, dir.toString, "lo_join_test")
+    def shape(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2))
+    val streamed = spark.table("lo_join_test")
+      .filter(col("user_id") >= 0) // drop the sentinel's own unmatched row
+      .select(col("view_id"), col("purchase_id"), col("gap_s")).collect()
+      .map(shape).toSet
+    val batch = operators.Events.q123LeftOuterAttrib.run(spark, sfTiny)
+      .select(col("view_id"), col("purchase_id"), col("gap_s")).collect()
+      .map(shape).toSet
+    assert(batch.exists(_._2 == Long.MinValue),
+      "fixture has no unconverted views — test would not exercise null emission")
+    assert(streamed == batch,
+      s"left-outer join diverges: ${(streamed -- batch).size} extra, ${(batch -- streamed).size} missing")
   }
 
   test("streaming dedup (dropDuplicates + watermark) == batch keep-first key set") {
