@@ -63,7 +63,17 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":\"" + esc(m) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full artifact: the driver's BENCH_r* capture
+    // truncates stdout at 2,000 chars, which loses the per-query map for
+    // most of the suite — the file keeps cross-round per-query
+    // comparison possible. Path override: SPARK_GRAFT_BENCH_OUT.
+    val sfName = new java.io.File(sfDir).getName
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench_$sfName.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     if (results.exists(_._3.isDefined)) System.err.println(
       s"[bench] ${results.count(_._3.isDefined)} queries FAILED — totals are not comparable")
     spark.stop()

@@ -77,6 +77,14 @@ object GraftConf {
   def exactPairCutoff(s: SparkSession): Long =
     s.conf.get("spark.graft.pairs.exactCutoff", "20000").toLong
 
+  /** Max ON-DISK corpus bytes for which the exact all-pairs path is still
+    * admissible (Similarity.nearDupPairsAuto): a corpus can be under the
+    * row cutoff but carry vectors wide enough that N² kernel work is
+    * still the wrong plan. 256 MB default ≈ a corpus every executor can
+    * also hold broadcast. */
+  def exactPairMaxBytes(s: SparkSession): Long =
+    s.conf.get("spark.graft.pairs.exactMaxBytes", (256L << 20).toString).toLong
+
   /** MinHash signature length (seeded hash functions per doc, q51/q59).
     * Longer signatures estimate Jaccard tighter but cost one md5 pass
     * per function; bandRows must divide it. tools.SketchTune sweep on

@@ -803,19 +803,22 @@ object Relational {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, effective_from"""))
 
-  /** q115: star join — lineitem fact against three dimensions
-    * (orders → customer → nation) rolled up by nation and return flag.
-    * The plan that must come out at 100 TB: ONE pass over the fact with
-    * every dimension broadcast (each ≤ MBs after pruning) — zero fact
-    * shuffles before the final rollup. PlanSpec asserts all three joins
-    * broadcast; Catalyst prunes the dimension columns to the join keys +
-    * carried attributes automatically. */
+  /** q115: star join — lineitem fact against orders and the two true
+    * dimensions (customer, nation) rolled up by nation and return flag.
+    * The plan that must come out at 100 TB: customer/nation broadcast
+    * (MBs after pruning), but orders is the SECOND-LARGEST table
+    * (~25 TB at the 100 TB scale) — it must NOT carry a broadcast hint;
+    * lineitem⋈orders is a shuffle join on the orderkey (co-located and
+    * shuffle-free when both are bucketed by it, Scale.writeBucketed),
+    * and Catalyst prunes orders down to (o_orderkey, o_custkey) before
+    * the exchange. PlanSpec pins exactly this shape with auto-broadcast
+    * disabled: one SortMergeJoin on the orderkey, two broadcasts. */
   val q115StarJoin = GraftQuery(
     "q115_star_join",
-    "J-ext: star-schema multi-broadcast join",
+    "J-ext: star-schema join (broadcast dims, shuffle fact-fact)",
     (s, d) =>
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.orders(s, d)),
+        .join(Tables.orders(s, d),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)),
           col("o_custkey") === col("c_custkey"))

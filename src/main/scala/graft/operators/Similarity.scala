@@ -70,17 +70,27 @@ object Similarity {
       .orderBy(col("sim").desc, col("id1"), col("id2"))
   }
 
-  /** Scale-aware near-dup pair search: exact all-pairs below
-    * GraftConf.exactPairCutoff, LSH bucket-join candidates + exact verify
-    * above it — the same trade the reference makes choosing an ANN index
-    * over brute force (app/main.py:201-280; .env:7 `IVF100,Flat`). The
-    * corpus count is parquet-footer metadata, not a scan. */
+  /** Scale-aware near-dup pair search: exact all-pairs only while BOTH
+    * stats say it is safe — row count under GraftConf.exactPairCutoff
+    * AND on-disk corpus bytes under GraftConf.exactPairMaxBytes (a small
+    * corpus of very wide vectors still makes N² kernel work the wrong
+    * plan) — otherwise LSH bucket-join candidates + exact verify. The
+    * same trade the reference makes choosing an ANN index over brute
+    * force (app/main.py:201-280; .env:7 `IVF100,Flat`). Stats come from
+    * the session-cached plans.TableStats relation (parquet footers +
+    * filesystem summary — metadata, never a data scan), and the routing
+    * decision is logged so a plan flip at scale is visible in the driver
+    * log, not silent. */
   def nearDupPairsAuto(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val n = Tables.embeddings(s, d).count()
-    if (n <= GraftConf.exactPairCutoff(s))
-      nearDupPairs(s, d, threshold, prefilterLabel = false)
-    else
-      Ann.lshNearDup(s, d, threshold)
+    val st = graft.plans.TableStats.embeddings(s, d)
+    val rowCutoff = GraftConf.exactPairCutoff(s)
+    val byteCutoff = GraftConf.exactPairMaxBytes(s)
+    val exact = st.rows <= rowCutoff && st.bytes <= byteCutoff
+    println(s"[graft] nearDupPairsAuto: rows=${st.rows} (cutoff $rowCutoff), " +
+      s"bytes=${st.bytes} (cutoff $byteCutoff), avgRowBytes=${st.avgRowBytes.toLong} " +
+      s"-> ${if (exact) "exact all-pairs" else "LSH candidates + verify"}")
+    if (exact) nearDupPairs(s, d, threshold, prefilterLabel = false)
+    else Ann.lshNearDup(s, d, threshold)
   }
 
   /** q30: exact k-NN, k=2, sampled queries — mirrors the pipeline's

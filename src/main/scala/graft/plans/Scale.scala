@@ -189,10 +189,40 @@ object Scale {
     base.join(changes.select(col(key)), Seq(key), "left_anti")
       .unionByName(changes)
 
+  /** Shared synthetic changeset for the q95/q100 pair: every 10th doc
+    * re-sourced (update) plus every 17th doc re-keyed into the NEGATIVE
+    * id space (insert). Negative insert keys (-doc_id - 1) are disjoint
+    * from every real doc_id (>= 0) at ANY scale factor — the old
+    * doc_id + 1000000 scheme collided with base keys once the table
+    * passed 1M rows, silently violating mergeUpsert's one-row-per-key
+    * precondition in a way the oracle (replaying the same construction)
+    * could not catch. Key uniqueness is property-asserted in
+    * OperatorSpec. One definition, used by both queries and (via
+    * [[changesetSql]]) both oracles, so the two can't drift. */
+  def syntheticChangeset(base: DataFrame): DataFrame = {
+    val updates = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("source", lit("patched"))
+      .withColumn("n_chars", col("n_chars") + 1)
+    val inserts = base.filter(col("doc_id") % 17 === 0)
+      .select((-col("doc_id") - 1).as("doc_id"), col("lang"),
+        lit("inserted").as("source"), col("n_chars"))
+    updates.unionByName(inserts)
+  }
+
+  /** SQL twin of [[syntheticChangeset]] (expects a `base` CTE in scope),
+    * interpolated into the q95/q100 oracles. */
+  private val changesetSql: String =
+    """changes AS (
+        SELECT doc_id, lang, 'patched' AS source, n_chars + 1 AS n_chars
+        FROM base WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT -doc_id - 1, lang, 'inserted', n_chars
+        FROM base WHERE doc_id % 17 = 0)"""
+
   /** q94-companion correctness query for MERGE: documents patched by a
-    * derived changeset (every 10th doc re-sourced, plus synthetic new
-    * docs), verified by a post-merge per-source profile. The oracle
-    * replays the same anti-join + union in SQL — hash equality proves
+    * derived changeset ([[syntheticChangeset]]), verified by a
+    * post-merge per-source profile. The oracle replays the same
+    * anti-join + union in SQL — hash equality proves
     * update-wins/insert/pass-through semantics row-for-row. */
   val q95MergeUpsert = GraftQuery(
     "q95_merge_upsert",
@@ -200,26 +230,15 @@ object Scale {
     (s, d) => {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      val updates = base.filter(col("doc_id") % 10 === 0)
-        .withColumn("source", lit("patched"))
-        .withColumn("n_chars", col("n_chars") + 1)
-      val inserts = base.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
-          lit("inserted").as("source"), col("n_chars"))
-      mergeUpsert(base, updates.unionByName(inserts), "doc_id")
+      mergeUpsert(base, syntheticChangeset(base), "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("source"))
     },
-    Some("""WITH base AS (
+    Some(s"""WITH base AS (
         SELECT doc_id, lang, source, n_chars FROM documents),
-      changes AS (
-        SELECT doc_id, lang, 'patched' AS source, n_chars + 1 AS n_chars
-        FROM base WHERE doc_id % 10 = 0
-        UNION ALL
-        SELECT doc_id + 1000000, lang, 'inserted', n_chars
-        FROM base WHERE doc_id % 17 = 0),
+      $changesetSql,
       merged AS (
         SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM changes)
         UNION ALL SELECT * FROM changes)
@@ -265,25 +284,14 @@ object Scale {
     (s, d) => {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      val updates = base.filter(col("doc_id") % 10 === 0)
-        .withColumn("source", lit("patched"))
-        .withColumn("n_chars", col("n_chars") + 1)
-      val inserts = base.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
-          lit("inserted").as("source"), col("n_chars"))
-      val newV = mergeUpsert(base, updates.unionByName(inserts), "doc_id")
+      val newV = mergeUpsert(base, syntheticChangeset(base), "doc_id")
         .filter(col("doc_id") % 13 =!= 0)
       tableDiff(base, newV, "doc_id", Seq("lang", "source", "n_chars"))
         .orderBy(col("doc_id"), col("status"))
     },
-    Some("""WITH base AS (
+    Some(s"""WITH base AS (
         SELECT doc_id, lang, source, n_chars FROM documents),
-      changes AS (
-        SELECT doc_id, lang, 'patched' AS source, n_chars + 1 AS n_chars
-        FROM base WHERE doc_id % 10 = 0
-        UNION ALL
-        SELECT doc_id + 1000000, lang, 'inserted', n_chars
-        FROM base WHERE doc_id % 17 = 0),
+      $changesetSql,
       newv AS (
         SELECT * FROM (
           SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM changes)

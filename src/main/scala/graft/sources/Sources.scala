@@ -183,9 +183,17 @@ object Sources {
         s"${System.getProperty("java.io.tmpdir")}/graft_binf_${runId}_$dirKey"
       val p = new java.io.File(dir)
       if (!p.exists()) {
-        p.mkdirs()
         // fixture write, bounded to 64 files; payloads are ASCII so the
-        // DuckDB oracle can md5 them as VARCHAR byte-for-byte
+        // DuckDB oracle can md5 them as VARCHAR byte-for-byte. Written
+        // into a staging dir and RENAMED into place on success: the bare
+        // existence guard is not atomic with a 64-file write, so a
+        // failure partway through must not leave a dir that later runs
+        // in this JVM would treat as a complete fixture set.
+        val stage = new java.io.File(dir + ".staging")
+        if (stage.exists()) {
+          stage.listFiles().foreach(_.delete()); stage.delete()
+        }
+        stage.mkdirs()
         Tables.documents(s, d)
           .filter(col("doc_id") % 7 === 0)
           .select(col("doc_id"),
@@ -194,9 +202,11 @@ object Sources {
           .orderBy(col("doc_id")).limit(64)
           .collect().foreach { r =>
             java.nio.file.Files.write(
-              java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.txt"),
+              java.nio.file.Paths.get(stage.getPath, s"doc_${r.getLong(0)}.txt"),
               r.getString(1).getBytes("UTF-8"))
           }
+        java.nio.file.Files.move(stage.toPath, p.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       s.read.format("binaryFile").load(s"$dir/*.txt")
         .select(

@@ -188,4 +188,25 @@ class GraftConfSpec extends SparkSpec {
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.99, s"LSH path recall $recall vs exact (${exact.size} pairs)")
   }
+
+  test("auto pair search reads the stats relation: byte cutoff can refuse exact") {
+    // the decision consumes TableStats (footer rows + fs bytes), not a
+    // bare count: with rows far under the row cutoff, shrinking ONLY the
+    // byte cutoff below the corpus size must flip the route to LSH
+    val st = plans.TableStats.embeddings(spark, sfTiny)
+    assert(st.rows > 0 && st.bytes > 0, "stats relation empty")
+    assert(st.avgRowBytes > 0)
+    val cnt = spark.read.parquet(s"$sfTiny/embeddings.parquet").count()
+    assert(st.rows == cnt, "footer row count diverges from scan count")
+    val viaBytes = withConf("spark.graft.pairs.exactCutoff", Long.MaxValue.toString) {
+      withConf("spark.graft.pairs.exactMaxBytes", (st.bytes - 1).toString) {
+        operators.Similarity.nearDupPairsAuto(spark, sfTiny, 0.35)
+          .queryExecution.analyzed.toString
+      }
+    }
+    // the LSH plan hashes into (ht, bucket) relations; the exact plan is
+    // a self-join with no bucket column anywhere
+    assert(viaBytes.contains("bucket"),
+      s"byte cutoff did not flip route to LSH:\n$viaBytes")
+  }
 }

@@ -75,6 +75,22 @@ class OperatorSpec extends SparkSpec {
     assert(sizeOk == 0)
   }
 
+  test("connected components: 1000-node chain converges in O(log n) rounds") {
+    // the adversarial shape for min-label propagation (diameter = n);
+    // large-star/small-star alternation must collapse it in ~log2(n)
+    // rounds — the 100 TB guarantee that one giant straggly component
+    // cannot turn the clustering into a 1000-round job
+    val n = 1000
+    val chain = spark.createDataFrame((0L until (n - 1).toLong).map(i => (i, i + 1)))
+      .toDF("id1", "id2")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), "chain did not collapse to component min 0")
+    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt // ~2*log2(n) = 20
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
   test("degenerate thresholds: no pairs -> all-singleton clusters; empty increment -> empty survivors") {
     // threshold > 1 admits no verified pair: every doc is its own cluster
     val clusters = Dedup.dupClusters(spark, sfTiny, threshold = 1.01)
@@ -213,6 +229,22 @@ class OperatorSpec extends SparkSpec {
     assert(merged(2L) == ("B", 99), "update must win over base")
     assert(merged(9L) == ("z", 1), "insert must appear")
     assert(merged(1L) == ("a", 10) && merged(3L) == ("c", 30), "pass-through rows")
+  }
+
+  test("syntheticChangeset keys are unique and disjoint from every base key") {
+    // the mergeUpsert precondition the q95/q100 oracles can't check
+    // themselves (they replay the same construction): insert keys live
+    // in the negative id space, so no scale factor can collide them
+    val base = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val changes = plans.Scale.syntheticChangeset(base)
+    val n = changes.count()
+    assert(changes.select(col("doc_id")).distinct().count() == n,
+      "changeset keys not unique")
+    val inserts = changes.filter(col("source") === "inserted")
+    assert(inserts.count() > 0)
+    assert(inserts.join(base, Seq("doc_id"), "left_semi").count() == 0,
+      "insert keys collide with base keys")
   }
 
   test("tableDiff recovers exactly the mergeUpsert changeset (+ deletes), nothing else") {
