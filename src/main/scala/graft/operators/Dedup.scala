@@ -525,17 +525,25 @@ object Dedup {
     var rounds = 0
     var converged = fp._1 == 0L
     while (!converged) {
-      val afterLarge = largeStar(edges).localCheckpoint(true)
-      val afterSmall = smallStar(afterLarge).localCheckpoint(true)
+      // one materialization + one fingerprint job per round: the two star
+      // steps compose into a single checkpointed plan (the intermediate
+      // large-star set never needs to exist on its own), and an unchanged
+      // edge set across the FULL round is the candidate fixed point —
+      // Kiveris et al.'s potential argument rules out cycles, and the
+      // half-step is re-validated once below rather than every round
+      val afterSmall = smallStar(largeStar(edges)).localCheckpoint(true)
       rounds += 1
       require(rounds <= 64,
         "connectedComponents failed to converge in 64 rounds") // O(log n) alg; 64 ≈ 2^64 vertices
-      val fpL = edgeFingerprint(afterLarge)
       val fpS = edgeFingerprint(afterSmall)
-      converged = fpL == fp && fpS == fp // both steps were no-ops
+      converged = fpS == fp
       fp = fpS
       edges = afterSmall
     }
+    // validate the fixed point: large-star must also be a no-op (paid
+    // once at convergence, not per round)
+    require(fp._1 == 0L || edgeFingerprint(largeStar(edges)) == fp,
+      "connectedComponents: small-star fixed point is not a large-star fixed point")
     // at the fixed point every edge is (leaf, componentMin); roots only
     // appear on the dst side, and isolated vertices (self-pairs in the
     // input) appear in no edge at all — label both as themselves.

@@ -372,10 +372,14 @@ object Scale {
     * Salting must not change results, and that is exactly what the
     * oracle checks: it runs the UNSALTED join. The salt fan-out is
     * `spark.graft.join.salts` (GraftConfSpec proves the knob moves the
-    * plan); in production salt only keys flagged hot by a count sketch,
-    * or let AQE skew-split handle it — this operator is the explicit
-    * form for plans AQE can't reach, e.g. a hot build side under
-    * broadcast thresholds. */
+    * plan); in production salt only keys flagged hot by a count sketch.
+    * When to prefer which: AQE skew-split (PlanSpec pins it splitting
+    * this same hot key with `skew=true`) wins whenever the plan is a
+    * plain post-shuffle sort-merge join — zero code change, reacts to
+    * the skew actually observed at runtime; explicit salting is for the
+    * shapes AQE can't reach — broadcast-ineligible hot build sides,
+    * skewed AGGREGATIONS (q82's two-phase rewrite), or a fan-out that
+    * must survive re-planning (BucketingSpec's LSH case). */
   val q108SaltedJoin = GraftQuery(
     "q108_salted_join",
     "scale: salted skew equi-join (hot-key mitigation)",
@@ -401,6 +405,69 @@ object Scale {
             FROM lineitem) f
       JOIN orders o ON f.k = o.o_orderkey
       GROUP BY 1 ORDER BY 1"""))
+
+  /** The encode → bucket → join composition behind q124, exposed without
+    * the final output sort so BucketingSpec can assert the shuffle story
+    * on exactly the plan the query runs. This is q120's dictionary
+    * encoding made to PAY: the string key is translated to a dense long
+    * code via the broadcast vocabulary, the encoded fact is written ONCE
+    * bucketed by the code (the per-ingest shuffle a 100 TB pipeline
+    * amortizes over every downstream query), and then BOTH the per-code
+    * aggregate and the fact⋈aggregate join run with ZERO Exchange — the
+    * shuffle that remains moves 8-byte codes, never the original
+    * strings, and the strings only reappear through the broadcast
+    * decode at the very end. */
+  def dictEncodedJoin(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+    val vocab = Tables.documents(s, d).select(col("source")).distinct()
+      .withColumn("code", dense_rank().over(w).cast("long"))
+    val enc = Tables.documents(s, d)
+      .join(broadcast(vocab), Seq("source"))
+      .select(col("code"), col("doc_id"), col("n_chars"))
+    s.sql("DROP TABLE IF EXISTS graft_docs_by_code")
+    // the catalog is in-memory per session but the managed location is
+    // not: a previous JVM's table dir makes saveAsTable refuse even
+    // after the DROP above — clear the leftover location too
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_docs_by_code")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    writeBucketed(enc, "graft_docs_by_code", "code", buckets = 8)
+    val fact = s.table("graft_docs_by_code")
+    val agg = fact.groupBy(col("code"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_total"))
+    fact.join(agg, Seq("code"))
+      .join(broadcast(vocab), Seq("code"))
+      .select(col("doc_id"), col("source"), col("n_docs"),
+        round(col("n_chars").cast("double") / col("chars_total"), 6).as("share"))
+  }
+
+  /** q124: end-to-end dictionary-encoded co-bucketed join — each doc's
+    * share of its source's total chars, computed entirely on the dense
+    * code ([[dictEncodedJoin]]). The oracle rebuilds the dictionary
+    * independently and joins on it in SQL; hash equality proves the
+    * encode → shuffle-free agg+join → decode pipeline is semantically
+    * invisible. BucketingSpec pins the zero-Exchange plan. */
+  val q124DictJoin = GraftQuery(
+    "q124_dict_bucketed_join",
+    "scale/LLM-pipeline: dict-encoded co-bucketed join (zero-Exchange)",
+    (s, d) => dictEncodedJoin(s, d).orderBy(col("doc_id")),
+    Some("""WITH vocab AS (
+        SELECT source, CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) AS code
+        FROM (SELECT DISTINCT source FROM documents)),
+      enc AS (
+        SELECT v.code, d.doc_id, d.n_chars
+        FROM documents d JOIN vocab v USING (source)),
+      agg AS (
+        SELECT code, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS chars_total
+        FROM enc GROUP BY 1)
+      SELECT e.doc_id, v.source, a.n_docs,
+        round(CAST(e.n_chars AS DOUBLE) / a.chars_total, 6) AS share
+      FROM enc e JOIN agg a ON e.code = a.code
+      JOIN vocab v ON e.code = v.code
+      ORDER BY e.doc_id"""))
 
   /** q112: cascade delete (right-to-be-forgotten) — a deletion-request
     * list purged from every dependent table by broadcast anti-join, with
@@ -569,5 +636,5 @@ object Scale {
 
   def queries: Seq[GraftQuery] = Seq(q82SaltedAgg, q87ZOrderRoundTrip,
     q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin,
-    q112CascadeDelete, q117Fingerprint, q118SkewReport)
+    q112CascadeDelete, q117Fingerprint, q118SkewReport, q124DictJoin)
 }

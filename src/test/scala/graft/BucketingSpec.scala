@@ -31,6 +31,54 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q124 dict-encoded join: per-code agg AND fact-agg join plan with zero Exchange") {
+    // the claimed 100 TB win of dictionary encoding, proven on the plan:
+    // once the encoded fact is bucketed by the dense code, the aggregate
+    // and the join back both reuse the bucket partitioning — no shuffle
+    // anywhere, and the only joins touching strings are broadcasts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Scale.dictEncodedJoin(spark, sfTiny)
+      df.collect() // finalize AQE before inspecting the plan
+      // flatten through AQE wrappers (query stages hold their subtree in
+      // .plan, invisible to a plain collect)
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(walk)) ++ (p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case _ => Seq.empty
+        })
+      val nodes = walk(df.queryExecution.executedPlan)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"fact scan not bucketed:\n$plan")
+      // the encoded FACT must never pass through a shuffle: every
+      // ShuffleExchange in the plan belongs to the vocabulary build
+      // (bounded by key cardinality, not corpus size) under a
+      // BroadcastExchange — none may sit above the bucketed scan
+      val factShuffles = nodes.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.toString.contains("Bucketed: true") => e
+      }
+      assert(factShuffles.isEmpty,
+        s"dict-encoded fact still shuffles:\n$plan")
+      // and the fact-agg join itself is exchange-free sort-merge on the
+      // bucket partitioning (Sort yes, Exchange no)
+      val smjs = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smjs.nonEmpty && smjs.forall(j =>
+        !j.toString.contains("Exchange hashpartitioning")),
+        s"fact-agg join re-partitions:\n$plan")
+      // and the pipeline is semantically invisible: shares sum to 1 per source
+      val bySource = df.groupBy(col("source"))
+        .agg(round(sum(col("share")), 2).as("s")).collect()
+      assert(bySource.nonEmpty && bySource.forall(r => math.abs(r.getDouble(1) - 1.0) < 0.02))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("IVF probe join over a centroid-bucketed assignment table: corpus side never re-shuffles") {
     // The 100 TB IVF layout (SCALE.md): the "index add" writes the
     // assignment table bucketed by centroid_id, so every probe query

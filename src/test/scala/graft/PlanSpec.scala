@@ -133,6 +133,56 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.contains("salt"), s"join does not include salt:\n$joinLine")
   }
 
+  test("AQE skew-join splits q108's hot key with no manual salting (skew=true on the join)") {
+    // the OTHER half of the skew story next to q108's explicit salting:
+    // for a plain post-shuffle sort-merge join, AQE alone detects the hot
+    // partition at runtime and splits it — prefer it whenever the plan IS
+    // a shuffle join (no code change, reacts to the skew actually
+    // observed); reach for q108's salting when AQE can't: broadcast-
+    // ineligible hot build sides, skewed aggregations (q82), or an
+    // explicit fan-out that must survive re-planning. 90% of sf0.01's
+    // lineitem lands on one key and the thresholds are lowered so the
+    // detector trips on test data. One test-only artifact: AQE splits a
+    // skewed reduce partition at MAPPER boundaries, and a single small
+    // parquet file scans as one map task (nothing to split) — the
+    // repartition(8) below stands in for the thousands of mappers any
+    // real corpus-sized shuffle has.
+    val overrides = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val conf = spark.conf
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    try {
+      overrides.foreach { case (k, v) => conf.set(k, v) }
+      // q108-style synthesized skew, heavier (9/10 of lineitem on
+      // orderkey 1), UNSALTED
+      val skewKey = when(pmod(col("l_orderkey"), lit(10)) < 9, lit(1L))
+        .otherwise(col("l_orderkey"))
+      val fact = Tables.lineitem(spark, sfSmall)
+        .select(skewKey.as("k"), col("l_quantity"))
+        .repartition(8)
+      val dim = Tables.orders(spark, sfSmall)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      val joined = fact.join(dim, Seq("k"))
+      // collect() (not count()) so THIS QueryExecution runs and AQE
+      // finalizes the inspected plan
+      val n = joined.collect().length.toLong
+      val physical = executed(joined).toString
+      assert(physical.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$physical")
+      // splitting must not change semantics: same row count as the
+      // unsplit logical join
+      val plainN = fact.join(dim.hint("merge"), Seq("k")).count()
+      assert(n == plainN, s"AQE join rows $n != plain join rows $plainN")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("q122 top-k aggregator plans partial->final: heaps merge map-side, no window sort") {
     val df = Registry.byName("q122_topk_aggregator").run(spark, sfTiny)
     df.count()
