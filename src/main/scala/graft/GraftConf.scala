@@ -85,6 +85,14 @@ object GraftConf {
   def exactPairMaxBytes(s: SparkSession): Long =
     s.conf.get("spark.graft.pairs.exactMaxBytes", (256L << 20).toString).toLong
 
+  /** Max edge count for which connected components (q64) runs its
+    * driver-side union-find fast path instead of the distributed
+    * large-star/small-star alternation. 2M edges ≈ 32 MB collected —
+    * comfortably broadcast-sized; above it the O(log n) distributed
+    * rounds take over. Set to 0 to force the distributed path. */
+  def ccLocalEdgeCutoff(s: SparkSession): Long =
+    s.conf.get("spark.graft.cc.localEdgeCutoff", "2000000").toLong
+
   /** MinHash signature length (seeded hash functions per doc, q51/q59).
     * Longer signatures estimate Jaccard tighter but cost one md5 pass
     * per function; bandRows must divide it. tools.SketchTune sweep on

@@ -66,12 +66,17 @@ object JobPipeline {
     }
 
     // Stage 4 — search + reduce: pairs at cos >= threshold, canonical,
-    // deduped, sorted (app/main.py:201-280). Exact all-pairs only below
-    // the conf cutoff; above it, LSH candidate generation keeps the join
-    // bucketed (the count() is parquet-footer metadata on the staged
-    // table, not a scan).
+    // deduped, sorted (app/main.py:201-280). Exact all-pairs only while
+    // the stage-3 table's stats say it is safe — rows under the conf
+    // cutoff AND on-disk bytes under exactMaxBytes (wide vectors can
+    // make N² the wrong plan at a low row count); above either bound,
+    // LSH candidate generation keeps the join bucketed. Stats come from
+    // the cached TableStats relation over the staged parquet (footer
+    // metadata + fs summary, never a data scan).
+    val s3Stats = plans.TableStats.forParquet(spark, s"$workDir/s3_index")
     val pairs = pipe.stage("s4_pairs") {
-      if (indexed.count() <= GraftConf.exactPairCutoff(spark)) {
+      if (s3Stats.rows <= GraftConf.exactPairCutoff(spark) &&
+          s3Stats.bytes <= GraftConf.exactPairMaxBytes(spark)) {
         val a = indexed.select(col("doc_id").as("id1"), col("embedding").as("v1"))
         val b = indexed.select(col("doc_id").as("id2"), col("embedding").as("v2"))
         a.join(b, col("id1") < col("id2"))

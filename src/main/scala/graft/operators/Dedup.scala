@@ -505,17 +505,48 @@ object Dedup {
     * convergence = both steps leave the edge set unchanged (checked via
     * an order-insensitive fingerprint, sound here because labels only
     * ever decrease). localCheckpoint truncates lineage per round (at
-    * production scale use a reliable checkpoint dir). Returns (v, label)
-    * for every vertex that appears in an edge; label = min vertex id of
-    * the component (RoundsSpec property-tests the O(log n) round bound
-    * on a 1,000-node chain; the q64 oracle proves output equality with
-    * a recursive-CTE transitive closure). */
+    * production scale use a reliable checkpoint dir). Below
+    * `spark.graft.cc.localEdgeCutoff` edges the operator instead
+    * collects the (already materialized) edge list and union-finds on
+    * the driver — the same "tiny side doesn't deserve distribution"
+    * call as a broadcast join, saving 2·log n rounds of scheduler
+    * latency; both paths produce identical labels (property-asserted).
+    * Returns (v, label) for every vertex that appears in an edge;
+    * label = min vertex id of the component (OperatorSpec
+    * property-tests the O(log n) round bound on a 1,000-node chain
+    * with the local path disabled; the q64 oracle proves output
+    * equality with a recursive-CTE transitive closure). */
   def connectedComponents(pairs: DataFrame): DataFrame =
     connectedComponentsWithRounds(pairs)._1
 
+  /** Driver-side union-find over a collected edge list (union-by-min:
+    * the smaller root always wins, so find() returns the component
+    * minimum directly). The small-graph twin of a broadcast join: below
+    * the conf cutoff the edge set is broadcast-sized by definition, and
+    * one driver pass beats 2·log n distributed rounds of pure scheduler
+    * latency. Returns the (leaf → componentMin) star edges, the same
+    * fixed-point shape the distributed alternation converges to. */
+  private def localUnionFind(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.iterator.flatMap { case (a, b) => Iterator(a, b) }
+      .toArray.distinct.map(v => (v, find(v))).filter { case (v, m) => v != m }
+  }
+
   /** connectedComponents plus the number of alternation rounds taken
-    * (exposed for the convergence property test). */
+    * (exposed for the convergence property test; 0 = local fast path). */
   def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    val s = pairs.sparkSession
     val verts = pairs.select(col("id1").as("v"))
       .union(pairs.select(col("id2").as("v"))).distinct()
     var edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
@@ -524,6 +555,16 @@ object Dedup {
     var fp = edgeFingerprint(edges)
     var rounds = 0
     var converged = fp._1 == 0L
+    // small-graph fast path (spark.graft.cc.localEdgeCutoff): the edge
+    // set is already materialized, its count is in the fingerprint —
+    // collect + union-find when it fits the driver comfortably, run the
+    // distributed alternation when it doesn't
+    if (!converged && fp._1 <= graft.GraftConf.ccLocalEdgeCutoff(s)) {
+      val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      import s.implicits._
+      edges = localUnionFind(collected).toSeq.toDF("src", "dst")
+      converged = true
+    }
     while (!converged) {
       // one materialization + one fingerprint job per round: the two star
       // steps compose into a single checkpointed plan (the intermediate
@@ -540,9 +581,10 @@ object Dedup {
       fp = fpS
       edges = afterSmall
     }
-    // validate the fixed point: large-star must also be a no-op (paid
-    // once at convergence, not per round)
-    require(fp._1 == 0L || edgeFingerprint(largeStar(edges)) == fp,
+    // validate the distributed fixed point: large-star must also be a
+    // no-op (paid once at convergence, not per round; rounds == 0 means
+    // the local path or an empty edge set — already star-form)
+    require(rounds == 0 || edgeFingerprint(largeStar(edges)) == fp,
       "connectedComponents: small-star fixed point is not a large-star fixed point")
     // at the fixed point every edge is (leaf, componentMin); roots only
     // appear on the dst side, and isolated vertices (self-pairs in the

@@ -47,6 +47,9 @@ final class Pipeline(spark: SparkSession, root: String) {
     val m = doneMarker(name)
     val f = fs(m)
     if (f.exists(m)) f.delete(m, false)
+    // a stage about to be recomputed must not serve stale cached stats
+    // to planner-style consumers (JobPipeline stage 4 routing)
+    TableStats.invalidate(dir(name))
   }
 
   /** Catalog table name for a bucketed stage — root-scoped so two

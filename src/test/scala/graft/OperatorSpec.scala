@@ -79,16 +79,39 @@ class OperatorSpec extends SparkSpec {
     // the adversarial shape for min-label propagation (diameter = n);
     // large-star/small-star alternation must collapse it in ~log2(n)
     // rounds — the 100 TB guarantee that one giant straggly component
-    // cannot turn the clustering into a 1000-round job
+    // cannot turn the clustering into a 1000-round job. Cutoff 0 forces
+    // the distributed path (the local union-find would mask it).
     val n = 1000
     val chain = spark.createDataFrame((0L until (n - 1).toLong).map(i => (i, i + 1)))
       .toDF("id1", "id2")
-    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
-    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(got.length == n)
-    assert(got.forall(_._2 == 0L), "chain did not collapse to component min 0")
-    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt // ~2*log2(n) = 20
-    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+    spark.conf.set("spark.graft.cc.localEdgeCutoff", "0")
+    try {
+      val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+      val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == n)
+      assert(got.forall(_._2 == 0L), "chain did not collapse to component min 0")
+      val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt // ~2*log2(n) = 20
+      assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeCutoff")
+  }
+
+  test("connected components: local union-find path == distributed alternation") {
+    // random graph with chains, cliques and isolated self-pairs; the
+    // conf-gated fast path must be semantically invisible
+    val rnd = new scala.util.Random(42)
+    val es = (0 until 400).map { _ =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong) } ++
+      Seq((500L, 500L), (601L, 602L), (602L, 603L), (603L, 601L))
+    val pairs = spark.createDataFrame(es).toDF("id1", "id2")
+    def run(): Set[(Long, Long)] = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run() // default cutoff: local path
+    spark.conf.set("spark.graft.cc.localEdgeCutoff", "0")
+    try {
+      val (_, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+      assert(rounds > 0, "distributed path not exercised")
+      assert(run() == local, "local and distributed labels differ")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeCutoff")
   }
 
   test("degenerate thresholds: no pairs -> all-singleton clusters; empty increment -> empty survivors") {
