@@ -547,9 +547,13 @@ object Dedup {
     * (exposed for the convergence property test; 0 = local fast path). */
   def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val s = pairs.sparkSession
-    val verts = pairs.select(col("id1").as("v"))
-      .union(pairs.select(col("id2").as("v"))).distinct()
-    var edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    // materialize the input ONCE: pairs is typically an expensive plan
+    // (the whole sketch-dedup candidate pipeline for q64) and both the
+    // vertex set and the edge set derive from it
+    val base = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+    val verts = base.select(col("id1").as("v"))
+      .union(base.select(col("id2").as("v"))).distinct()
+    var edges = base.select(col("id1").as("src"), col("id2").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
     var fp = edgeFingerprint(edges)

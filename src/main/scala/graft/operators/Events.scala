@@ -386,8 +386,54 @@ object Events {
       WHERE v.event_type = 'view'
       ORDER BY view_id, purchase_id"""))
 
+  /** q125: FULL OUTER interval join — q123's unconverted views AND the
+    * orphan purchases no same-user view preceded within 24 h, in one
+    * relation (the complete attribution audit: every view and every
+    * purchase accounted for exactly once, matched or null-extended).
+    * Batch twin of StreamingJobs.runStreamingIntervalJoinFullOuter;
+    * with q96/q123 this completes the stream-stream join-mode matrix.
+    * user_id is coalesced across the two sides so no row loses its key
+    * to null extension. */
+  val q125FullOuterAttrib = GraftQuery(
+    "q125_fullouter_attrib",
+    "streaming ext: FULL-OUTER stream-stream interval join (batch twin); J-ext",
+    (s, d) => {
+      val ev = Tables.eventsWithTs(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      views.join(buys,
+          col("user_id") === col("p_user") &&
+          col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"),
+          "full_outer")
+        .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+          col("view_id"), col("purchase_id"),
+          (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts")))
+            .as("gap_s"))
+        .orderBy(col("view_id"), col("purchase_id"))
+    },
+    Some("""WITH v AS (
+        SELECT user_id, event_id AS view_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'),
+      p AS (
+        SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase')
+      SELECT coalesce(v.user_id, p.p_user) AS user_id,
+        v.view_id, p.purchase_id,
+        CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+          - CAST(floor(epoch(v.view_ts)) AS BIGINT) AS gap_s
+      FROM v FULL JOIN p
+        ON v.user_id = p.p_user
+        AND p.purchase_ts > v.view_ts
+        AND p.purchase_ts <= v.view_ts + INTERVAL 24 HOUR
+      ORDER BY view_id, purchase_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q70EventWindow, q71Sessionize, q72StreamDedup, q73JsonProps, q74Cube,
     q75AsofJoin, q79Funnel, q89RollingStats, q94CohortRetention,
-    q96IntervalJoin, q123LeftOuterAttrib)
+    q96IntervalJoin, q123LeftOuterAttrib, q125FullOuterAttrib)
 }

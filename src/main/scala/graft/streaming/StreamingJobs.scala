@@ -388,6 +388,47 @@ object StreamingJobs {
     q
   }
 
+  /** Streaming FULL OUTER interval join — completes the join-mode
+    * matrix next to the inner (runStreamingIntervalJoin) and left-outer
+    * (runStreamingIntervalJoinLeftOuter) forms: unconverted views AND
+    * orphan purchases (no same-user view in the preceding 24 h) both
+    * emit null-extended once the watermark proves their window closed.
+    * State stays bounded exactly as in the other modes — the two-sided
+    * time condition is what lets the watermark expire BOTH buffers,
+    * which is why Spark requires it for every outer stream-stream join.
+    * Batch twin q125; StreamingSpec asserts equivalence after the
+    * sentinel watermark close. */
+  def runStreamingIntervalJoinFullOuter(spark: SparkSession, dir: String,
+      sinkName: String): StreamingQuery = {
+    val views = eventStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val buys = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val q = views.join(buys,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"),
+        "fullOuter")
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("view_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts")))
+          .as("gap_s"))
+      .writeStream
+      .queryName(sinkName)
+      .format("memory")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming exact dedup: first event per (user_id, event_type), state
     * bounded by a 1-day watermark — dropDuplicates-with-watermark, the
     * streaming form of the batch keep-first window (q72). */

@@ -341,6 +341,50 @@ class StreamingSpec extends SparkSpec {
       s"left-outer join diverges: ${(streamed -- batch).size} extra, ${(batch -- streamed).size} missing")
   }
 
+  test("stream-stream FULL OUTER interval join == batch q125 after watermark close") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft_events_fo")
+    Files.copy(Paths.get(s"$sfTiny/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir.resolve("events.parquet").toFile.setLastModified(1000000L)
+    // same sentinel trick as the left-outer test: a far-future view +
+    // purchase (user -1) processed last pushes both watermarks past
+    // every real event's window so ALL null-extended rows emit
+    val raw = spark.read.parquet(s"$sfTiny/events.parquet")
+    val maxTs = raw.agg(max(col("ts"))).head.getLong(0)
+    val farNs = maxTs + 40L * 24 * 3600 * 1000L * 1000L * 1000L
+    val one = raw.limit(1)
+    val sent = one.withColumn("event_type", lit("view"))
+      .unionByName(one.withColumn("event_type", lit("purchase")))
+      .withColumn("ts", lit(farNs))
+      .withColumn("user_id", lit(-1L).cast(one.schema("user_id").dataType))
+      .withColumn("event_id", lit(-1L).cast(one.schema("event_id").dataType))
+    val tmp = Files.createTempDirectory("graft_fo_sent").resolve("s").toString
+    sent.coalesce(1).write.parquet(tmp)
+    val part = Files.list(Paths.get(tmp))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(part, dir.resolve("zz_sentinel.parquet"))
+    dir.resolve("zz_sentinel.parquet").toFile.setLastModified(2000000L)
+    StreamingJobs.runStreamingIntervalJoinFullOuter(spark, dir.toString, "fo_join_test")
+    def shape(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2))
+    val streamed = spark.table("fo_join_test")
+      .filter(col("user_id") >= 0) // drop the sentinel's own two rows
+      .select(col("view_id"), col("purchase_id"), col("gap_s")).collect()
+      .map(shape).toSet
+    val batch = operators.Events.q125FullOuterAttrib.run(spark, sfTiny)
+      .select(col("view_id"), col("purchase_id"), col("gap_s")).collect()
+      .map(shape).toSet
+    assert(batch.exists(_._1 == Long.MinValue),
+      "fixture has no orphan purchases — full-outer adds nothing over left-outer here")
+    assert(batch.exists(_._2 == Long.MinValue),
+      "fixture has no unconverted views — null emission unexercised")
+    assert(streamed == batch,
+      s"full-outer join diverges: ${(streamed -- batch).size} extra, ${(batch -- streamed).size} missing")
+  }
+
   test("streaming dedup (dropDuplicates + watermark) == batch keep-first key set") {
     StreamingJobs.runStreamingDedup(spark, streamDir, "dedup_test")
     val streamedKeys = spark.table("dedup_test")
