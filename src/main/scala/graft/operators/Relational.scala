@@ -923,6 +923,49 @@ object Relational {
       FROM ranked WHERE rank <= 3
       ORDER BY o_orderpriority, rank"""))
 
+  /** q126: the SAME range join q88 bins by hand — written naively
+    * (BETWEEN, no equi key, the shape Spark plans as an O(N·M)
+    * BroadcastNestedLoopJoin) and made scale-safe automatically by
+    * [[graft.plans.RangeJoinRule]]: the injected optimizer rule bins the
+    * point side and explodes the interval side's bin range into an
+    * equi-key, keeping the original predicate as the exactness filter.
+    * The fn asserts the rewrite happened (a regression fails loudly, not
+    * silently-quadratic) and restores the width conf after forcing
+    * optimization, so the rule stays scoped to this query. Band ±40 /
+    * width 80 ⇒ ≤ 2 bins per interval, same candidate bound as q88. */
+  val q126AutoRangeJoin = GraftQuery(
+    "q126_auto_range_join",
+    "J-ext: optimizer-rule auto-binned range join (RangeJoinRule)",
+    (s, d) => {
+      graft.plans.RangeJoinRule.install(s)
+      val prev = s.conf.get(graft.plans.RangeJoinRule.widthKey, "0")
+      s.conf.set(graft.plans.RangeJoinRule.widthKey, "80.0")
+      try {
+        val pts = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        val ivs = Tables.supplier(s, d).select(
+          col("s_suppkey"),
+          (col("s_acctbal") - 40).as("lo"),
+          (col("s_acctbal") + 40).as("hi"))
+        val df = pts
+          .join(ivs, col("c_acctbal") >= col("lo") && col("c_acctbal") <= col("hi"))
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_matches"),
+            round(sum(col("c_acctbal")), 2).as("sum_match_bal"))
+          .orderBy(col("s_suppkey"))
+        // force optimization NOW (memoized on the QueryExecution) so the
+        // width conf can be restored before the caller executes the plan
+        val optimized = df.queryExecution.optimizedPlan.toString
+        require(optimized.contains("__graft_bin"),
+          "RangeJoinRule did not fire — naive range join would run as a nested loop")
+        df
+      } finally s.conf.set(graft.plans.RangeJoinRule.widthKey, prev)
+    },
+    Some("""SELECT s_suppkey, count(*) AS n_matches,
+      round(sum(c_acctbal), 2) AS sum_match_bal
+      FROM supplier JOIN customer
+        ON c_acctbal >= s_acctbal - 40 AND c_acctbal <= s_acctbal + 40
+      GROUP BY s_suppkey ORDER BY s_suppkey"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02FilterRevenue, q03JoinRevenueByNation,
     q04TopkPerGroup, q05SortLimit, q06NullHandling, q07StringFuncs,
@@ -932,5 +975,5 @@ object Relational {
     q21PairCanon, q88RangeJoin, q90CorrStats, q91GroupingSets,
     q97Unpivot, q98RankFamily, q99ConstraintAudit,
     q103SketchAgg, q105KAnonymity, q114Scd2, q115StarJoin, q116TableStats,
-    q122TopkAggregator)
+    q122TopkAggregator, q126AutoRangeJoin)
 }

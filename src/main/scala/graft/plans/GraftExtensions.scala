@@ -5,20 +5,21 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{AdcDistance, CosineSimilarity, DotProduct, L2DistanceSq, L2NormalizeArray, MinhashSignature, PqDistTable, PqEncode, ShingleArray, Simhash64}
 
-/** SparkSessionExtensions entry point (SURVEY §4 verdict: no custom
-  * Rule/SparkStrategy needed — injectFunction is the one extension the
-  * engine uses): registers the engine's native
+/** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst kernels as SQL functions, so `spark.sql("SELECT
   * graft_cosine(a.embedding, b.embedding) ...")` plans the same codegen'd
   * expressions the DataFrame API wrappers (VectorKernels/SketchFunctions)
-  * use. Activate with
+  * use, and injects [[RangeJoinRule]] — the optimizer rule that rewrites
+  * otherwise-cartesian point-in-interval joins into binned equi-joins
+  * (inert until `spark.graft.rangejoin.binWidth` is set). Activate with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
   * [[GraftExtensions.register]] on a live session.
   *
-  * This is the (c)-tier extension point from the build plan (custom
-  * Expression registered via SparkSessionExtensions); no custom Rule or
-  * SparkStrategy is needed — every operator is expressible as a
-  * composition Catalyst already plans well (SURVEY §4 verdict). */
+  * Every *operator* remains a composition Catalyst already plans well
+  * (SURVEY §4 verdict) — the injected rule is a plan-shape rewrite, not
+  * an operator: it exists so the O(N·M) nested-loop shape can never
+  * reach execution on a naive range join, q88's manual binning made
+  * automatic. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.inject(ext)
@@ -66,13 +67,17 @@ object GraftExtensions {
       info("graft_l2norm", "L2-normalize a numeric array (zero vectors unchanged)"),
       (args: Seq[Expression]) => L2NormalizeArray(args(0), args(0))))
 
-  private def inject(ext: SparkSessionExtensions): Unit =
+  private def inject(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => RangeJoinRule)
+  }
 
   /** Register on an already-built session (test/REPL convenience). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (ident, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         ident.funcName, builder, "scala_udf")
     }
+    RangeJoinRule.install(spark)
+  }
 }
