@@ -177,4 +177,25 @@ object GraftConf {
     require(v >= 1, s"spark.graft.join.salts must be >= 1, got $v")
     v
   }
+
+  /** Graph-ANN (q127/q128) shard count: each shard holds an independent
+    * in-memory NSW graph of ~N/shards points; at cluster scale pick
+    * shards so a shard's adjacency (|shard| x 2M ints) fits an executor
+    * comfortably. 4 exercises multi-shard merge on the test corpus. */
+  def nswShards(s: SparkSession): Int =
+    s.conf.get("spark.graft.nsw.shards", "4").toInt
+
+  /** NSW max out-degree M (adjacency pruned to 2M, HNSW convention).
+    * Reference default HNSW32 (app/main.py:47) uses M=32 at 384-d/90k
+    * rows; 8 holds recall >= 0.98 on the 64-d test corpus. */
+  def nswM(s: SparkSession): Int =
+    s.conf.get("spark.graft.nsw.m", "8").toInt
+
+  /** NSW build-time beam width (efConstruction). */
+  def nswEfConstruct(s: SparkSession): Int =
+    s.conf.get("spark.graft.nsw.efConstruct", "32").toInt
+
+  /** NSW search-time beam width (efSearch); recall/latency dial. */
+  def nswEfSearch(s: SparkSession): Int =
+    s.conf.get("spark.graft.nsw.efSearch", "48").toInt
 }

@@ -24,6 +24,7 @@ object Registry {
     operators.Relational.queries ++
       operators.Similarity.queries ++
       operators.Ann.queries ++
+      operators.Nsw.queries ++
       operators.Embedding.queries ++
       operators.Dedup.queries ++
       operators.TextAnalysis.queries ++

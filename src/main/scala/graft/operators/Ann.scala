@@ -189,7 +189,7 @@ object Ann {
     * found. Reported as data so the driver's rows-only check still
     * certifies the pipeline ran, and the value itself is the quality
     * gate. */
-  private def recallVsExact(ann: DataFrame, exact: DataFrame): DataFrame = {
+  private[graft] def recallVsExact(ann: DataFrame, exact: DataFrame): DataFrame = {
     val hit = exact.select(col("qid"), col("nid"))
       .join(ann.select(col("qid"), col("nid"), lit(1).as("hit")), Seq("qid", "nid"), "left")
     hit.agg(

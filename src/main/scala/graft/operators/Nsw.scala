@@ -1,0 +1,183 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftConf, GraftQuery, Tables}
+
+/** Graph-ANN tier: sharded navigable-small-world (NSW) search — the
+  * structural counterpart of the reference's HNSW index strings
+  * (app/main.py:47 `HNSW32`; factory app/vector_search.py:40-47), which
+  * COVERAGE §2.9 previously mapped by role only.
+  *
+  * HNSW's sequential greedy graph descent is not join-expressible, so
+  * this is the one operator family on the (d) tier of the build plan —
+  * `mapPartitions` — and it uses the same distribution shape every
+  * production graph-ANN deployment uses (Vespa, OpenSearch, Milvus):
+  * SHARD the corpus, build an independent in-memory proximity graph per
+  * shard, scatter each query to every shard, gather and merge per-shard
+  * top-k. Per-shard state is O(|shard| · 2M) adjacency — bounded by
+  * choosing shard count, never by corpus size — and shards build and
+  * search with zero cross-shard traffic; the only shuffle in the plan is
+  * the one hash-repartition that forms the shards, and the merge is a
+  * per-query window over |queries| · shards · k rows.
+  *
+  * The graph is single-layer NSW (Malkov et al.'s precursor; public
+  * algorithm): insert points in vec_id order, connect each to its M
+  * nearest among already-inserted nodes found by greedy best-first
+  * search, keep adjacency bidirectional and pruned to the closest 2M.
+  * Every insertion links to an earlier node, so each shard's graph is
+  * connected by construction (NswSpec asserts it). Layering's log-like
+  * entry shortcut matters at millions of points per shard; at that size
+  * a real deployment also raises efSearch — both are conf knobs here.
+  *
+  * Queries are collected and broadcast: the scatter side of
+  * scatter-gather, identical in role (and size discipline) to the build
+  * side of a broadcast join — bounded by the query batch, never the
+  * corpus. Deterministic end to end: no RNG, ties broken by node id.
+  * No SQL oracle (graph construction is procedural); q128 reports
+  * recall@k vs the exact kernel join as data, gated >= 0.9 in NswSpec.
+  */
+object Nsw {
+
+  /** Build the NSW adjacency for `vecs` (insertion order = array order).
+    * Exposed for NswSpec's structural assertions. */
+  private[graft] def buildGraph(vecs: Array[Array[Double]], m: Int,
+      efConstruct: Int): Array[Array[Int]] = {
+    val n = vecs.length
+    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+    // symmetric shrink: an edge is dropped on BOTH endpoints, keeping
+    // the adjacency an undirected graph (NswSpec asserts bidirectional)
+    def prune(i: Int): Unit = if (adj(i).length > 2 * m) {
+      val ranked = adj(i).toArray.distinct
+        .map(j => (j, cosine(vecs(i), norms(i), vecs(j), norms(j))))
+        .sortBy { case (j, s) => (-s, j) }.map(_._1)
+      val (kept, dropped) = ranked.splitAt(2 * m)
+      adj(i).clear(); adj(i) ++= kept
+      dropped.foreach(x => adj(x) -= i)
+    }
+    var i = 1
+    while (i < n) {
+      val nn = searchGraph(adj, vecs, norms, vecs(i), norms(i),
+        ef = efConstruct, k = m)
+      nn.foreach { case (j, _) =>
+        adj(i) += j; adj(j) += i; prune(j)
+      }
+      prune(i)
+      i += 1
+    }
+    adj.map(_.toArray)
+  }
+
+  private def cosine(a: Array[Double], na: Double, b: Array[Double],
+      nb: Double): Double = {
+    if (na == 0.0 || nb == 0.0) return 0.0
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s / (na * nb)
+  }
+
+  /** Greedy best-first search over the current graph from entry node 0:
+    * expand the best unexpanded candidate, stop when it can no longer
+    * improve the ef-bounded result set. Returns the k best (node, sim),
+    * sim descending, id-tiebroken — deterministic. */
+  private[graft] def searchGraph(adj: IndexedSeq[mutable.ArrayBuffer[Int]],
+      vecs: Array[Array[Double]], norms: Array[Double],
+      q: Array[Double], qn: Double, ef: Int, k: Int): Array[(Int, Double)] = {
+    if (adj.isEmpty) return Array.empty
+    val visited = new java.util.BitSet(vecs.length)
+    // candidates: best sim first; results: worst sim first (bounded ef)
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by { case (s, j) => (s, -j) })
+    val result = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by { case (s, j) => (-s, j) })
+    val s0 = cosine(q, qn, vecs(0), norms(0))
+    visited.set(0); cand.enqueue((s0, 0)); result.enqueue((s0, 0))
+    while (cand.nonEmpty) {
+      val (cs, cj) = cand.dequeue()
+      if (result.size >= ef && cs < result.head._1) { cand.clear() }
+      else adj(cj).foreach { nb =>
+        if (!visited.get(nb)) {
+          visited.set(nb)
+          val s = cosine(q, qn, vecs(nb), norms(nb))
+          if (result.size < ef || s > result.head._1) {
+            cand.enqueue((s, nb)); result.enqueue((s, nb))
+            if (result.size > ef) result.dequeue()
+          }
+        }
+      }
+    }
+    result.toArray.map { case (s, j) => (j, s) }
+      .sortBy { case (j, s) => (-s, j) }.take(k)
+  }
+
+  /** k-NN via sharded NSW: hash-shard the corpus, NSW graph per shard,
+    * every query searches every shard, global per-query top-k merge.
+    * Output shape identical to q30/q34 (qid, rank, nid, sim). */
+  def nswKnn(s: SparkSession, d: String, k: Int, queryMod: Int): DataFrame = {
+    val shards = GraftConf.nswShards(s)
+    val m = GraftConf.nswM(s)
+    val efC = GraftConf.nswEfConstruct(s)
+    val efS = GraftConf.nswEfSearch(s)
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    // scatter side: the query batch is the broadcast-sized side (vec_id %
+    // queryMod sample here; a production batch is equally bounded) — this
+    // collect plays exactly the role of a broadcast join's build side
+    val queryArr = base.filter(col("vec_id") % queryMod === 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bc = s.sparkContext.broadcast(queryArr)
+    import s.implicits._
+    val perShard = base
+      .repartition(shards, pmod(hash(col("vec_id")), lit(shards)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val pts = it.map { case (id, v) => (id, v.toArray) }.toArray.sortBy(_._1)
+        if (pts.isEmpty) Iterator.empty
+        else {
+          val ids = pts.map(_._1)
+          val vecs = pts.map(_._2)
+          val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val adj = buildGraph(vecs, m, efC).map(a => mutable.ArrayBuffer(a: _*))
+          bc.value.iterator.flatMap { case (qid, qv) =>
+            val qn = math.sqrt(qv.map(x => x * x).sum)
+            // k+1 then drop self: the query sample is part of the corpus
+            searchGraph(adj, vecs, norms, qv, qn, ef = efS, k = k + 1)
+              .collect { case (j, sim) if ids(j) != qid => (qid, ids(j), sim) }
+              .take(k)
+          }
+        }
+      }
+      .toDF("qid", "nid", "sim")
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    perShard.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q127: sharded-NSW k-NN, same query shape as exact q30 / IVF q34. */
+  val q127NswKnn = GraftQuery(
+    "q127_nsw_knn",
+    "M2-M4 graph tier; sharded NSW k-NN (no SQL oracle: procedural graph)",
+    (s, d) => nswKnn(s, d, k = 2, queryMod = 10),
+    None)
+
+  /** q128: NSW recall@2 vs the exact join (>= 0.9 gated in NswSpec;
+    * reported here as data, like q35/q67). */
+  val q128NswRecall = GraftQuery(
+    "q128_nsw_recall",
+    "M4 quality gate; J1a vs graph tier",
+    (s, d) => Ann.recallVsExact(
+      nswKnn(s, d, k = 2, queryMod = 10),
+      Similarity.knnExact(s, d, k = 2, queryMod = 10)),
+    None)
+
+  def queries: Seq[GraftQuery] = Seq(q127NswKnn, q128NswRecall)
+}

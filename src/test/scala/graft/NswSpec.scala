@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Nsw, Similarity}
+
+/** Sharded-NSW graph-ANN gates: recall vs the exact kernel join at one
+  * and several shards, end-to-end determinism (no RNG anywhere), and the
+  * structural invariants the build promises — bounded degree and a
+  * connected per-shard graph. */
+class NswSpec extends SparkSpec {
+
+  private def recall(queryMod: Int): Double = {
+    val ann = Nsw.nswKnn(spark, sfTiny, k = 2, queryMod = queryMod)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.knnExact(spark, sfTiny, k = 2, queryMod = queryMod)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.count(ann.contains).toDouble / exact.size
+  }
+
+  test("recall@2 >= 0.9 at default 4 shards") {
+    val r = recall(queryMod = 10)
+    assert(r >= 0.9, s"sharded NSW recall@2 = $r < 0.9")
+  }
+
+  test("recall@2 >= 0.9 with a single shard (pure graph quality)") {
+    spark.conf.set("spark.graft.nsw.shards", "1")
+    try {
+      val r = recall(queryMod = 10)
+      assert(r >= 0.9, s"single-shard NSW recall@2 = $r < 0.9")
+    } finally spark.conf.unset("spark.graft.nsw.shards")
+  }
+
+  test("search is deterministic across runs") {
+    def run() = Nsw.nswKnn(spark, sfTiny, k = 2, queryMod = 10)
+      .collect().map(_.toSeq).toList
+    assert(run() == run(), "two identical nswKnn runs differ")
+  }
+
+  test("graph invariants: degree <= 2M, connected, bidirectional") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Array.fill(300)(Array.fill(16)(rnd.nextGaussian()))
+    val m = 6
+    val adj = Nsw.buildGraph(vecs, m = m, efConstruct = 24)
+    assert(adj.forall(_.length <= 2 * m), "degree bound 2M violated")
+    adj.zipWithIndex.foreach { case (ns, i) =>
+      ns.foreach(j => assert(adj(j).contains(i), s"edge $i->$j not bidirectional"))
+    }
+    // connectivity: every insertion links to an earlier node
+    val seen = scala.collection.mutable.BitSet(0)
+    val stack = scala.collection.mutable.Stack(0)
+    while (stack.nonEmpty) {
+      val v = stack.pop()
+      adj(v).foreach(n => if (!seen(n)) { seen += n; stack.push(n) })
+    }
+    assert(seen.size == vecs.length,
+      s"graph disconnected: reached ${seen.size}/${vecs.length}")
+  }
+
+  test("efSearch knob trades recall (sanity: tiny beam degrades or equals)") {
+    spark.conf.set("spark.graft.nsw.efSearch", "2")
+    try {
+      val low = recall(queryMod = 10)
+      spark.conf.unset("spark.graft.nsw.efSearch")
+      val full = recall(queryMod = 10)
+      assert(full >= low, s"wider beam lost recall: ef=48 $full < ef=2 $low")
+    } finally spark.conf.unset("spark.graft.nsw.efSearch")
+  }
+}
