@@ -114,13 +114,63 @@ object Nsw {
       .sortBy { case (j, s) => (-s, j) }.take(k)
   }
 
+  /** Artifact slot for the persisted shard graphs, if
+    * `spark.graft.index.dir` is set (S6, same mechanics as [[Ann]]). */
+  private[graft] def graphArtifactPath(s: SparkSession, d: String): Option[String] =
+    ModelStore.artifactPath(s, "nsw_graph", d,
+      s"shards=${GraftConf.nswShards(s)},m=${GraftConf.nswM(s)},efc=${GraftConf.nswEfConstruct(s)}")
+
+  /** Build the sharded graphs as a self-contained relation
+    * (shard, vec_id, vec, nbrs by GLOBAL vec_id) — the Spark-native form
+    * of a written faiss index, vectors included, so a later JVM searches
+    * straight from the artifact without touching the corpus table.
+    * Shard membership is pmod(hash(vec_id), shards): deterministic, so
+    * the persisted graph and a fresh build are the same graph. */
+  private def buildGraphsDF(s: SparkSession, d: String): DataFrame = {
+    val shards = GraftConf.nswShards(s)
+    val m = GraftConf.nswM(s)
+    val efC = GraftConf.nswEfConstruct(s)
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(pmod(hash(col("vec_id")), lit(shards)).as("shard"), col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      .repartition(shards, col("shard"))
+      .as[(Int, Long, Seq[Double])]
+      .mapPartitions { it =>
+        // a partition may hold several shard values (hash collisions on
+        // the shard column): group first, one independent graph per shard
+        it.toArray.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          val pts = rows.map { case (_, id, v) => (id, v.toArray) }.sortBy(_._1)
+          val ids = pts.map(_._1)
+          val vecs = pts.map(_._2)
+          val adj = buildGraph(vecs, m, efC)
+          ids.indices.iterator.map { i =>
+            (shard, ids(i), pts(i)._2.toSeq, adj(i).map(ids(_)).toSeq)
+          }
+        }
+      }
+      .toDF("shard", "vec_id", "vec", "nbrs")
+  }
+
+  /** The shard graphs: loaded from the artifact when persistence is on
+    * and a committed (_SUCCESS) copy exists — build-once/search-many —
+    * else built (and saved when persistence is on). */
+  private[graft] def shardGraphs(s: SparkSession, d: String): DataFrame =
+    graphArtifactPath(s, d) match {
+      case Some(p) =>
+        val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker))
+          buildGraphsDF(s, d).write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+      case None => buildGraphsDF(s, d)
+    }
+
   /** k-NN via sharded NSW: hash-shard the corpus, NSW graph per shard,
     * every query searches every shard, global per-query top-k merge.
     * Output shape identical to q30/q34 (qid, rank, nid, sim). */
   def nswKnn(s: SparkSession, d: String, k: Int, queryMod: Int): DataFrame = {
     val shards = GraftConf.nswShards(s)
-    val m = GraftConf.nswM(s)
-    val efC = GraftConf.nswEfConstruct(s)
     val efS = GraftConf.nswEfSearch(s)
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"),
@@ -134,17 +184,20 @@ object Nsw {
       .sortBy(_._1)
     val bc = s.sparkContext.broadcast(queryArr)
     import s.implicits._
-    val perShard = base
-      .repartition(shards, pmod(hash(col("vec_id")), lit(shards)))
-      .as[(Long, Seq[Double])]
+    val perShard = shardGraphs(s, d)
+      .select(col("shard"), col("vec_id"), col("vec"), col("nbrs"))
+      .repartition(shards, col("shard"))
+      .as[(Int, Long, Seq[Double], Seq[Long])]
       .mapPartitions { it =>
-        val pts = it.map { case (id, v) => (id, v.toArray) }.toArray.sortBy(_._1)
-        if (pts.isEmpty) Iterator.empty
-        else {
+        it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val pts = rows.map { case (_, id, v, nb) => (id, v.toArray, nb) }
+            .sortBy(_._1)
           val ids = pts.map(_._1)
+          val pos = ids.zipWithIndex.toMap
           val vecs = pts.map(_._2)
           val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
-          val adj = buildGraph(vecs, m, efC).map(a => mutable.ArrayBuffer(a: _*))
+          val adj: IndexedSeq[mutable.ArrayBuffer[Int]] =
+            pts.map(p => mutable.ArrayBuffer(p._3.flatMap(pos.get): _*)).toIndexedSeq
           bc.value.iterator.flatMap { case (qid, qv) =>
             val qn = math.sqrt(qv.map(x => x * x).sum)
             // k+1 then drop self: the query sample is part of the corpus

@@ -56,6 +56,32 @@ class NswSpec extends SparkSpec {
       s"graph disconnected: reached ${seen.size}/${vecs.length}")
   }
 
+  test("shard graphs persist and are loaded, not rebuilt (S6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsw_index").toString
+    spark.conf.set("spark.graft.index.dir", dir)
+    try {
+      val fresh = Nsw.nswKnn(spark, sfTiny, k = 2, queryMod = 10)
+        .collect().map(_.toSeq).toList
+      val path = Nsw.graphArtifactPath(spark, sfTiny).get
+      assert(new java.io.File(path, "_SUCCESS").exists(), s"artifact missing at $path")
+      // loaded results == built results (same graph either way)
+      assert(Nsw.nswKnn(spark, sfTiny, k = 2, queryMod = 10)
+        .collect().map(_.toSeq).toList == fresh)
+      // tamper: keep only shard 0's graph; if the next call rebuilt from
+      // data it would see all shards, so results drawn from shard 0 alone
+      // prove the artifact was read
+      val shard0 = spark.read.parquet(path).filter(col("shard") === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_nsw_t").toString
+      shard0.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+      val shards = GraftConf.nswShards(spark)
+      val tampered = Nsw.nswKnn(spark, sfTiny, k = 2, queryMod = 10)
+        .withColumn("nid_shard", pmod(hash(col("nid")), lit(shards)))
+      assert(tampered.filter(col("nid_shard") =!= 0).count() == 0,
+        "expected the tampered single-shard artifact to be loaded — a rebuild would return neighbors from every shard")
+    } finally spark.conf.unset("spark.graft.index.dir")
+  }
+
   test("efSearch knob trades recall (sanity: tiny beam degrades or equals)") {
     spark.conf.set("spark.graft.nsw.efSearch", "2")
     try {
