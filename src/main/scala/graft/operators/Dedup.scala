@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GraftConf, GraftQuery, Tables}
 import graft.functions.SketchFunctions._
+import graft.functions.VectorKernels.cosineFast
 
 /** Deduplication operator suite (SURVEY §2.3 D1-D5, north-star dedup
   * family): exact keyed dedup, MinHash+LSH, SimHash, n-gram Jaccard and
@@ -1002,9 +1003,55 @@ object Dedup {
       LEFT JOIN hits h USING (doc_id)
       ORDER BY t.doc_id"""))
 
+  /** SemDeDup survivors (public Abbas et al. 2023 pattern): cluster the
+    * embeddings with the IVF coarse quantizer (single assignment — no
+    * probing), candidate pairs only WITHIN clusters, and in every
+    * above-threshold pair keep the endpoint FARTHEST from its centroid
+    * (the paper's diversity-preserving rule; ties keep the smaller id).
+    * A doc is removed iff some same-cluster doc above the cosine
+    * threshold beats it (lower centroid-cosine, tie smaller id);
+    * survivors are everything else.
+    *
+    * Scale: pair volume is Σ|cell|², bounded by the quantizer's balance
+    * (`spark.graft.ivf.cells`), never corpus²; the within-cell join is
+    * the same salted bucket equi-join every ANN tier uses. Cross-cluster
+    * near-dups are deliberately out of scope — the paper's accepted
+    * recall trade for one-assignment candidate generation. */
+  def semDedupSurvivors(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val (assigned, centroids) = Ann.ivfIndex(s, d)
+    val scored = assigned
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        cosineFast(col("vec"), col("cvec")).as("c_sim"))
+    val pairs = Ann.ivfNearDup(s, d, threshold, nprobe = 1)
+      .select(col("id1"), col("id2"))
+    val directed = pairs.select(col("id1").as("x"), col("id2").as("y"))
+      .union(pairs.select(col("id2").as("x"), col("id1").as("y")))
+    val removed = directed
+      .join(scored.select(col("vec_id").as("x"), col("c_sim").as("xs")), Seq("x"))
+      .join(scored.select(col("vec_id").as("y"), col("c_sim").as("ys")), Seq("y"))
+      .filter(col("ys") < col("xs") ||
+        (col("ys") === col("xs") && col("y") < col("x")))
+      .select(col("x").as("vec_id")).distinct()
+    scored.join(removed, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"),
+        round(col("c_sim"), 4).as("c_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q129: SemDeDup embedding-cluster semantic dedup (no SQL oracle:
+    * k-means clustering is procedural; SemDedupSpec gates dominance
+    * soundness, survivor closure and determinism — closure is the
+    * fixed-point property). */
+  val q129SemDedup = GraftQuery(
+    "q129_semdedup",
+    "D5 ext; SemDeDup cluster-pruned semantic dedup (spec-gated)",
+    (s, d) => semDedupSurvivors(s, d, threshold = 0.35),
+    None)
+
   def queries: Seq[GraftQuery] = Seq(
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
     q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup,
     q64DupClusters, q68DupSpans, q69IncrementalDedup, q92FuzzyDedup,
-    q109Decontaminate)
+    q109Decontaminate, q129SemDedup)
 }

@@ -634,7 +634,60 @@ object Scale {
       FROM freq, t WHERE cnt >= total / 20.0
       ORDER BY cnt DESC, k"""))
 
+  private val compactRunId: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** q130: the [[compact]] maintenance rewrite as a registered query
+    * with a content-identity proof in the driver's correctness gate
+    * (BucketingSpec already pins the structural side: file-count
+    * collapse, rename-swap atomicity, data set equality). The fixture
+    * writes `documents` as 64 deliberately tiny parquet files — the
+    * streaming-sink / over-parallel-writer fragmentation pathology —
+    * compaction rewrites them in place at a quarter-of-total target
+    * size (~4 files), and the query returns per-lang counts +
+    * q117-convention fingerprints read FROM THE COMPACTED FILES. The
+    * oracle recomputes the same aggregates from the original table, so
+    * a hash match proves the rewrite lost and invented nothing. */
+  val q130Compaction = GraftQuery(
+    "q130_compaction",
+    "scale: small-file compaction rewrite with fingerprint identity proof",
+    (s, d) => {
+      val key = java.lang.Integer.toHexString(d.hashCode)
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_compactq_${compactRunId}_$key"
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .repartition(64)
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+      }
+      val bytes = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      }
+      compact(s, dir, targetFileBytes = math.max(1L, bytes / 4))
+      val rowKey = md5(concat_ws("\u0001",
+        Seq("doc_id", "lang", "source", "n_chars")
+          .map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+        .cast("binary"))
+      s.read.parquet(dir)
+        .select(col("lang"),
+          conv(substring(rowKey, 1, 15), 16, 10).cast("long").as("rk"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(rk)").as("fp"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n_rows,
+        CAST(bit_xor(('0x' || substr(md5(
+          coalesce(CAST(doc_id AS VARCHAR), chr(2)) || chr(1)
+            || coalesce(lang, chr(2)) || chr(1)
+            || coalesce(source, chr(2)) || chr(1)
+            || coalesce(CAST(n_chars AS VARCHAR), chr(2))), 1, 15))::BIGINT) AS BIGINT) AS fp
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+
   def queries: Seq[GraftQuery] = Seq(q82SaltedAgg, q87ZOrderRoundTrip,
     q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin,
-    q112CascadeDelete, q117Fingerprint, q118SkewReport, q124DictJoin)
+    q112CascadeDelete, q117Fingerprint, q118SkewReport, q124DictJoin,
+    q130Compaction)
 }
