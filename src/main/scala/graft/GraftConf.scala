@@ -198,4 +198,14 @@ object GraftConf {
   /** NSW search-time beam width (efSearch); recall/latency dial. */
   def nswEfSearch(s: SparkSession): Int =
     s.conf.get("spark.graft.nsw.efSearch", "48").toInt
+
+  /** q131 classifier-filter keep threshold on P(high quality). 0.5 is
+    * the calibrated default; raise it to trade corpus size for quality
+    * (the knob public pipelines sweep per data source). */
+  def qualityMinScore(s: SparkSession): Double = {
+    val v = s.conf.get("spark.graft.quality.minScore", "0.5").toDouble
+    require(v >= 0.0 && v <= 1.0,
+      s"spark.graft.quality.minScore must be in [0,1], got $v")
+    v
+  }
 }

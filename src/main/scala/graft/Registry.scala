@@ -27,6 +27,7 @@ object Registry {
       operators.Nsw.queries ++
       operators.Embedding.queries ++
       operators.Dedup.queries ++
+      operators.QualityFilter.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
       operators.Events.queries ++
