@@ -42,13 +42,13 @@ import graft.{GraftConf, GraftQuery, Tables}
   */
 object Nsw {
 
-  /** Build the NSW adjacency for `vecs` (insertion order = array order).
-    * Exposed for NswSpec's structural assertions. */
-  private[graft] def buildGraph(vecs: Array[Array[Double]], m: Int,
-      efConstruct: Int): Array[Array[Int]] = {
-    val n = vecs.length
-    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
-    val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+  /** Insert points `from` onward into an NSW graph whose nodes before
+    * `from` are already linked (empty `from`=1 state = fresh build;
+    * reconstructed adjacency = incremental add). Insertion order is
+    * array order; nodes at/after `from` must have empty adjacency. */
+  private[graft] def insertPoints(vecs: Array[Array[Double]],
+      norms: Array[Double], adj: Array[mutable.ArrayBuffer[Int]],
+      from: Int, m: Int, efConstruct: Int): Unit = {
     // symmetric shrink: an edge is dropped on BOTH endpoints, keeping
     // the adjacency an undirected graph (NswSpec asserts bidirectional)
     def prune(i: Int): Unit = if (adj(i).length > 2 * m) {
@@ -59,8 +59,8 @@ object Nsw {
       adj(i).clear(); adj(i) ++= kept
       dropped.foreach(x => adj(x) -= i)
     }
-    var i = 1
-    while (i < n) {
+    var i = math.max(from, 1)
+    while (i < vecs.length) {
       val nn = searchGraph(adj, vecs, norms, vecs(i), norms(i),
         ef = efConstruct, k = m)
       nn.foreach { case (j, _) =>
@@ -69,6 +69,15 @@ object Nsw {
       prune(i)
       i += 1
     }
+  }
+
+  /** Build the NSW adjacency for `vecs` (insertion order = array order).
+    * Exposed for NswSpec's structural assertions. */
+  private[graft] def buildGraph(vecs: Array[Array[Double]], m: Int,
+      efConstruct: Int): Array[Array[Int]] = {
+    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val adj = Array.fill(vecs.length)(mutable.ArrayBuffer.empty[Int])
+    insertPoints(vecs, norms, adj, from = 1, m = m, efConstruct = efConstruct)
     adj.map(_.toArray)
   }
 
@@ -126,12 +135,17 @@ object Nsw {
     * straight from the artifact without touching the corpus table.
     * Shard membership is pmod(hash(vec_id), shards): deterministic, so
     * the persisted graph and a fresh build are the same graph. */
-  private def buildGraphsDF(s: SparkSession, d: String): DataFrame = {
+  private def buildGraphsDF(s: SparkSession, d: String): DataFrame =
+    graphsForFrame(Tables.embeddings(s, d))
+
+  /** Build the sharded graphs over any (vec_id, embedding) frame. */
+  private[graft] def graphsForFrame(frame: DataFrame): DataFrame = {
+    val s = frame.sparkSession
     val shards = GraftConf.nswShards(s)
     val m = GraftConf.nswM(s)
     val efC = GraftConf.nswEfConstruct(s)
     import s.implicits._
-    Tables.embeddings(s, d)
+    frame
       .select(pmod(hash(col("vec_id")), lit(shards)).as("shard"), col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("vec"))
       .repartition(shards, col("shard"))
@@ -146,6 +160,58 @@ object Nsw {
           val adj = buildGraph(vecs, m, efC)
           ids.indices.iterator.map { i =>
             (shard, ids(i), pts(i)._2.toSeq, adj(i).map(ids(_)).toSeq)
+          }
+        }
+      }
+      .toDF("shard", "vec_id", "vec", "nbrs")
+  }
+
+  /** M3 "add" for the graph tier: insert a batch of new vectors into
+    * existing shard graphs without rebuilding them. Each new point hashes
+    * to its shard, reaches that shard's partition alongside the stored
+    * graph rows, and is inserted by the same greedy routine the build
+    * uses — per-shard work is O(|batch ∩ shard| · ef · degree), never
+    * O(|shard|²). Batch vec_ids must be disjoint from the index's.
+    *
+    * Exactness property (NswSpec): the NSW build inserts in vec_id
+    * order, so when every batch id sorts after every indexed id the
+    * incremental result is BIT-IDENTICAL to a full rebuild over the
+    * union — the base insertions replay exactly, then the batch
+    * insertions continue the same sequence. Out-of-order ids still
+    * produce a valid graph (insertion order is then index-then-batch),
+    * just not the rebuild-identical one. */
+  private[graft] def addToGraphs(graphs: DataFrame, batch: DataFrame): DataFrame = {
+    val s = graphs.sparkSession
+    val shards = GraftConf.nswShards(s)
+    val m = GraftConf.nswM(s)
+    val efC = GraftConf.nswEfConstruct(s)
+    import s.implicits._
+    val newRows = batch
+      .select(pmod(hash(col("vec_id")), lit(shards)).as("shard"), col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"),
+        lit(null).cast("array<bigint>").as("nbrs"))
+    graphs.select(col("shard"), col("vec_id"), col("vec"), col("nbrs"))
+      .unionByName(newRows)
+      .repartition(shards, col("shard"))
+      .as[(Int, Long, Seq[Double], Seq[Long])]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          val (oldR, newR) = rows.partition(_._4 != null)
+          val pts = oldR.sortBy(_._2) ++ newR.sortBy(_._2)
+          val realIds = pts.map(_._2)
+          val pos = realIds.zipWithIndex.toMap
+          val vecs = pts.map(_._3.toArray)
+          val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val adj = Array.fill(pts.length)(mutable.ArrayBuffer.empty[Int])
+          var i = 0
+          while (i < oldR.length) {
+            adj(i) ++= pts(i)._4.flatMap(pos.get)
+            i += 1
+          }
+          insertPoints(vecs, norms, adj,
+            from = if (oldR.isEmpty) 1 else oldR.length, m = m, efConstruct = efC)
+          realIds.indices.iterator.map { i =>
+            (shard, realIds(i), pts(i)._3, adj(i).map(realIds(_)).toSeq)
           }
         }
       }

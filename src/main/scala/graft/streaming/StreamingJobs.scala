@@ -144,6 +144,69 @@ object StreamingJobs {
     * model.transform) runs unchanged and the sink write can be bucketed
     * by centroid_id at scale (the probe join then stays shuffle-free,
     * see BucketingSpec). */
+  /** Insert one micro-batch of vectors into the persistent NSW graph
+    * index, exactly once per batchId — the graph-tier M3 "add" next to
+    * the IVF assign-and-append below, on the same versioned-state
+    * contract as [[applyAggBatch]]: a replayed batchId is a no-op, a
+    * crash leaves the previous committed version to resume from, and
+    * the first batch bootstraps the index from the corpus. Per-batch
+    * cost is O(|batch| · ef · degree) greedy insertions per shard (the
+    * stored graph rows ride one shuffle to meet their batch points),
+    * never a rebuild. */
+  def applyGraphBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      corpusDir: String, stateDir: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, dir)
+    if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
+    val base = versions.lastOption match {
+      case Some((_, p)) => spark.read.parquet(p.toString)
+      case None =>
+        graft.operators.Nsw.graphsForFrame(graft.Tables.embeddings(spark, corpusDir))
+    }
+    val updated = graft.operators.Nsw.addToGraphs(base,
+      batch.select(col("vec_id"), col("embedding")))
+    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
+    updated.write.mode("overwrite").parquet(target.toString)
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    true
+  }
+
+  /** The latest committed NSW graph state; None before any batch. */
+  def latestGraphState(spark: SparkSession, stateDir: String): Option[(Long, DataFrame)] = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, dir).lastOption
+      .map { case (b, p) => (b, spark.read.parquet(p.toString)) }
+  }
+
+  /** Streaming NSW graph index-add: vector files arriving as a stream
+    * are inserted into the sharded graph index per micro-batch
+    * (exactly-once via [[applyGraphBatch]]'s versioned state). When
+    * stream vec_ids ascend past the corpus ids — the natural arrival
+    * order for crawl ids — the drained state is BIT-IDENTICAL to a
+    * one-shot rebuild over corpus+stream (StreamingSpec proves it). */
+  def runStreamingGraphIndexAdd(spark: SparkSession, streamDir: String,
+      corpusDir: String, stateDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyGraphBatch(spark, batch, batchId, corpusDir, stateDir); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   def runStreamingIndexAdd(spark: SparkSession, streamDir: String, corpusDir: String,
       outDir: String): StreamingQuery = {
     graft.operators.Ann.ivfIndexFull(spark, corpusDir) // fit/load once, up front

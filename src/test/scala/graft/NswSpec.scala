@@ -56,6 +56,24 @@ class NswSpec extends SparkSpec {
       s"graph disconnected: reached ${seen.size}/${vecs.length}")
   }
 
+  test("incremental add == full rebuild when batch ids sort after the index (M3)") {
+    val all = graft.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+    val maxId = all.agg(max(col("vec_id"))).head.getLong(0)
+    val cut = (maxId * 4) / 5
+    val base = all.filter(col("vec_id") <= cut)
+    val inc = all.filter(col("vec_id") > cut)
+    assert(base.count() > 0 && inc.count() > 0, "split produced an empty side")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toList,
+        r.getSeq[Long](3).toList))
+      .sortBy(x => (x._1, x._2)).toList
+    val incremental = Nsw.addToGraphs(Nsw.graphsForFrame(base), inc)
+    val full = Nsw.graphsForFrame(all)
+    assert(canon(incremental) == canon(full),
+      "incremental insertion diverged from the full rebuild")
+  }
+
   test("shard graphs persist and are loaded, not rebuilt (S6)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nsw_index").toString
     spark.conf.set("spark.graft.index.dir", dir)

@@ -163,6 +163,46 @@ class StreamingSpec extends SparkSpec {
       s"streamed assignment diverges from batch (${streamed.size} vs ${batch.size} rows)")
   }
 
+  test("streaming NSW graph index-add == one-shot rebuild; replay is a no-op") {
+    val all = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val maxId = all.agg(max(col("vec_id"))).head.getLong(0)
+    val (cut1, cut2) = ((maxId * 3) / 5, (maxId * 4) / 5)
+    // corpus dir: the base 60% as its own dataset
+    val corpusDir = Files.createTempDirectory("graft_nsw_corpus").toString
+    all.filter(col("vec_id") <= cut1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+    // stream dir: two id-ordered increment files = two micro-batches
+    val streamDir = Files.createTempDirectory("graft_nsw_stream")
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_nsw_part").resolve("p").toString
+      df.coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, streamDir.resolve(name))
+      streamDir.resolve(name).toFile.setLastModified(mtime)
+    }
+    writeFile(all.filter(col("vec_id") > cut1 && col("vec_id") <= cut2), "a_inc1.parquet", 1000000L)
+    writeFile(all.filter(col("vec_id") > cut2), "b_inc2.parquet", 2000000L)
+    val stateDir = Files.createTempDirectory("graft_nsw_state").toString
+    StreamingJobs.runStreamingGraphIndexAdd(spark, streamDir.toString, corpusDir, stateDir)
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toList,
+        r.getSeq[Long](3).toList))
+      .sortBy(x => (x._1, x._2)).toList
+    val Some((lastBatch, state)) = StreamingJobs.latestGraphState(spark, stateDir)
+    val rebuilt = operators.Nsw.graphsForFrame(
+      all.select(col("vec_id"), col("embedding")))
+    assert(canon(state) == canon(rebuilt),
+      "drained streaming index diverges from the one-shot rebuild")
+    // at-least-once replay: re-applying the last committed batch no-ops
+    val replayed = StreamingJobs.applyGraphBatch(spark,
+      all.filter(col("vec_id") > cut2), lastBatch, corpusDir, stateDir)
+    assert(!replayed, "replayed batchId was applied instead of skipped")
+    assert(canon(StreamingJobs.latestGraphState(spark, stateDir).get._2) == canon(rebuilt),
+      "state changed under a replayed batch")
+  }
+
   test("streaming incremental text dedup == batch q69 (id-ordered increments)") {
     // batch q69 shape: corpus = doc_id % 7 != 0, increment = % 7 == 0.
     // Split the increment into two id-ordered files so the equivalence
