@@ -287,6 +287,82 @@ object TextAnalysis {
     * training-data pipeline derives before setting df-cuts (see SCALE.md
     * sketch-dedup section). Shuffle volume is bounded by vocabulary size
     * after the partial aggregate, not token count. */
+  /** EXACT heavy hitters (all terms with count >= ceil(total/denom)) in
+    * two bounded passes — the scale answer to "top frequent tokens" when
+    * the vocabulary itself is too big to shuffle (q45 shuffles one row
+    * per distinct term; at web scale that is billions of rows for a
+    * handful of answers):
+    *
+    *   pass 1 (bounded memory): per-partition Misra-Gries summaries over
+    *   the token stream — k counters, decrement-all on overflow,
+    *   amortized O(1)/token. MG guarantees any term with local count
+    *   > n_p/k survives partition p, so with k > maxNp·parts/minCount a
+    *   term with GLOBAL count >= minCount (which by pigeonhole has local
+    *   count >= minCount/parts somewhere) is guaranteed a candidate —
+    *   k is computed from measured partition sizes, making the guarantee
+    *   a theorem about this run, not a hope. No shuffle; the output is
+    *   the candidate term set, bounded by parts·k.
+    *
+    *   pass 2 (bounded shuffle): exact counts for candidates only —
+    *   broadcast semi-join against the candidate set, then a groupBy
+    *   whose cardinality is the candidate count, never the vocabulary.
+    *
+    * False positives are filtered by the exact threshold; false
+    * negatives are impossible by the k bound — so the result is EXACT
+    * and the DuckDB oracle replays it with a plain GROUP BY/HAVING. */
+  def heavyHitters(s: SparkSession, d: String, denom: Int): DataFrame = {
+    require(denom >= 1, s"denominator must be >= 1, got $denom")
+    import s.implicits._
+    val tok = Tables.documents(s, d).select(explode(toks(col("text"))).as("term"))
+    val termDs = tok.as[String]
+    // pass 0: per-partition token counts (one cheap scan, <= parts rows)
+    val partCounts = termDs.mapPartitions { it =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single(n)
+    }.collect()
+    val total = partCounts.sum
+    val minCount = (total + denom - 1) / denom
+    val parts = math.max(1, partCounts.length)
+    val maxNp = if (partCounts.isEmpty) 0L else partCounts.max
+    val k = math.max(64L, maxNp * parts / math.max(1L, minCount) + 1L).toInt
+    val cands = termDs.mapPartitions { it =>
+      val c = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        c.get(t) match {
+          case Some(v) => c.update(t, v + 1)
+          case None if c.size < k => c.update(t, 1L)
+          case None =>
+            // decrement-all: consumes k+1 units of count mass, so at most
+            // n_p/(k+1) rounds ever run — amortized linear
+            c.keysIterator.toArray.foreach { key =>
+              val v = c(key)
+              if (v == 1L) c.remove(key) else c.update(key, v - 1)
+            }
+        }
+      }
+      c.keysIterator
+    }.toDF("term").distinct()
+    tok.join(broadcast(cands), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
+  /** q132: exact corpus heavy hitters at >= 0.1% of all tokens. */
+  val q132HeavyHitters = GraftQuery(
+    "q132_heavy_hitters",
+    "A ext; exact heavy hitters: Misra-Gries candidates + candidate-only exact pass",
+    (s, d) => heavyHitters(s, d, denom = 1000),
+    Some("""WITH tk AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      t AS (SELECT count(*) AS n FROM tk)
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      FROM tk, t
+      GROUP BY term, n
+      HAVING count(*) >= (n + 999) // 1000
+      ORDER BY cnt DESC, term"""))
+
   val q45TopTerms = GraftQuery(
     "q45_top_terms",
     "A3,A4; vocabulary/Zipf profile, explode + two-level agg",
@@ -985,5 +1061,6 @@ object TextAnalysis {
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,
     q48SequencePacking, q49CorpusMixture, q93TfidfKeywords,
     q101PiiRedact, q102DomainStats, q104EpochUpsample, q106DocChunks,
-    q111TokenBudget, q119DriftReport, q120DictEncode, q121Winsorize)
+    q111TokenBudget, q119DriftReport, q120DictEncode, q121Winsorize,
+    q132HeavyHitters)
 }
