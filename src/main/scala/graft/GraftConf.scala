@@ -108,6 +108,20 @@ object GraftConf {
   def minhashBandRows(s: SparkSession): Int =
     s.conf.get("spark.graft.minhash.bandRows", "2").toInt
 
+  /** Bloom pre-filter sizing (q133): expected distinct keys on the
+    * SMALL (inserted) side. With numBits at the default 8 bits/key the
+    * false-positive rate at full load is ~2%; oversizing is cheap (the
+    * blob is bits/8 bytes regardless of how few keys arrive). */
+  def bloomEstItems(s: SparkSession): Long =
+    s.conf.get("spark.graft.bloom.estItems", "1000000").toLong
+
+  /** Bloom pre-filter bit count (q133). 8M bits = 1 MB blob — the
+    * broadcast cost — for ~2% FPP at 1M keys; scale bits with the
+    * inserted-key count to hold FPP (and with it the big side's
+    * surviving-candidate shuffle) constant. */
+  def bloomNumBits(s: SparkSession): Long =
+    s.conf.get("spark.graft.bloom.numBits", "8388608").toLong
+
   /** SimHash band count (q52): the 64-bit sketch is split into this
     * many equal-width bands (even, and band width must divide 32 so
     * bands nest in the sketch's two 32-bit words: 2, 4, 8, 16).

@@ -935,6 +935,35 @@ object Dedup {
   // q109: train/test decontamination (D5 ext — the eval-leak check)
   // ---------------------------------------------------------------------
 
+  /** One row per (doc, distinct n-word shingle): `(doc_id, b, n_sh, k)`
+    * where `b` is q76's deterministic md5 split bucket, `n_sh` the doc's
+    * shingle count, `k` the 60-bit md5-prefix shingle key (both engines
+    * hash identically — q53's trick; 8-word shingles make accidental
+    * collisions require genuinely shared text). Shared by q109/q133. */
+  private def shingleKeyFrame(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("b",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 100)
+      .select(col("doc_id"), col("b"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("b"), shingles(col("t"), n).as("sh"))
+      .select(col("doc_id"), col("b"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("b"), col("n_sh"),
+        conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("k"))
+
+  /** Per-test-doc contamination report from the test shingle frame and a
+    * per-doc hit count: the shared q109/q133 output shape. */
+  private def contaminationReport(testEx: DataFrame, hits: DataFrame): DataFrame =
+    testEx.select(col("doc_id"), col("n_sh")).distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contaminated", (col("n_hit") > 0).cast("int"))
+      .orderBy(col("doc_id"))
+
   /** q109: benchmark decontamination — flag every test-split document
     * sharing an 8-word shingle with any train-split document (the
     * GPT-3/Gopher eval-leak scan). Split is q76's deterministic md5
@@ -943,37 +972,18 @@ object Dedup {
     * per-probe fan-out is <=1 by construction — no hot-shingle blow-up,
     * no df-cut needed (contrast q53's doc-level pair join): at 100 TB
     * this is one dedup of the train shingles (shuffle on an 8-byte key)
-    * + one bounded equi-join. Collision keys are 60-bit md5 prefixes —
-    * both engines hash identically (q53's trick), and 8-word shingles
-    * make accidental collisions require genuinely shared text. */
+    * + one bounded equi-join. q133 is the same check with the train-side
+    * shuffle removed entirely. */
   val q109Decontaminate = GraftQuery(
     "q109_decontaminate",
     "LLM-pipeline: train/test decontamination (n-gram overlap); D5 ext",
     (s, d) => {
-      val n = 8
-      val docs = Tables.documents(s, d)
-        .withColumn("b",
-          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
-            16, 10).cast("long") % 100)
-      val ex = docs
-        .select(col("doc_id"), col("b"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= n)
-        .select(col("doc_id"), col("b"), shingles(col("t"), n).as("sh"))
-        .select(col("doc_id"), col("b"), size(col("sh")).as("n_sh"),
-          explode(col("sh")).as("s"))
-        .select(col("doc_id"), col("b"), col("n_sh"),
-          conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
-            .cast("long").as("k"))
+      val ex = shingleKeyFrame(s, d, n = 8)
       val trainKeys = ex.filter(col("b") < 80).select(col("k")).distinct()
       val testEx = ex.filter(col("b") >= 90)
       val hits = testEx.join(trainKeys, Seq("k"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-      testEx.select(col("doc_id"), col("n_sh")).distinct()
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-        .withColumn("contaminated", (col("n_hit") > 0).cast("int"))
-        .orderBy(col("doc_id"))
+      contaminationReport(testEx, hits)
     },
     Some("""WITH b AS (
         SELECT doc_id, text,
@@ -1002,6 +1012,56 @@ object Dedup {
       FROM (SELECT DISTINCT doc_id, n_sh FROM test_ex) t
       LEFT JOIN hits h USING (doc_id)
       ORDER BY t.doc_id"""))
+
+  /** q133: the same decontamination check with the train-side shuffle
+    * REMOVED — the shape that matters when the train corpus is the
+    * 100 TB side and the test/benchmark set is the small one (the usual
+    * direction). q109 pays one full distinct over the train shingle keys
+    * (a corpus-sized shuffle) before the bounded join; here the train
+    * side is only ever SCANNED:
+    *
+    *   1. one scalar aggregate builds a Bloom filter over the TEST
+    *      shingle keys ([[graft.functions.BloomFunctions.bloomAgg]],
+    *      Spark's own runtime-filter sketch) — blob size is set by the
+    *      test set (MBs), collected once, embedded as a literal;
+    *   2. the train scan keeps only keys the filter admits — a codegen'd
+    *      scan-stage predicate, NO train shuffle; survivors = true
+    *      overlaps + an FPP-bounded sliver (~2% at full filter load);
+    *   3. the sliver is distinct'd (shuffle ∝ candidates, not corpus)
+    *      and exact-joined back to the broadcast test frame — Bloom has
+    *      no false negatives, and the equi-join kills its false
+    *      positives, so the result is EXACT: the oracle is q109's.
+    *
+    * The moved work: q109 shuffles O(train distinct keys); q133 shuffles
+    * O(overlap + FPP·train distinct) — tunable to ~zero with
+    * `spark.graft.bloom.numBits` sized to the test set. */
+  def decontaminateBloom(s: SparkSession, d: String, n: Int): DataFrame = {
+    val ex = shingleKeyFrame(s, d, n)
+    val trainEx = ex.filter(col("b") < 80)
+    val testEx = ex.filter(col("b") >= 90)
+    val blob = testEx
+      .agg(graft.functions.BloomFunctions.bloomAgg(col("k"),
+        GraftConf.bloomEstItems(s), GraftConf.bloomNumBits(s)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val hits =
+      if (blob == null) // empty test split: nothing can be contaminated
+        testEx.select(col("doc_id")).limit(0)
+          .withColumn("n_hit", lit(0L))
+      else {
+        val candTrain = trainEx.select(col("k"))
+          .filter(graft.functions.BloomFunctions.mightContain(blob, col("k")))
+          .distinct()
+        candTrain.join(broadcast(testEx.select(col("doc_id"), col("k"))), Seq("k"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      }
+    contaminationReport(testEx, hits)
+  }
+
+  val q133DecontaminateBloom = GraftQuery(
+    "q133_bloom_decontaminate",
+    "LLM-pipeline: decontamination via broadcast Bloom pre-filter (scan-only train side); D5 ext",
+    (s, d) => decontaminateBloom(s, d, n = 8),
+    q109Decontaminate.oracle)
 
   /** SemDeDup survivors (public Abbas et al. 2023 pattern): cluster the
     * embeddings with the IVF coarse quantizer (single assignment — no
@@ -1053,5 +1113,5 @@ object Dedup {
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
     q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup,
     q64DupClusters, q68DupSpans, q69IncrementalDedup, q92FuzzyDedup,
-    q109Decontaminate, q129SemDedup)
+    q109Decontaminate, q129SemDedup, q133DecontaminateBloom)
 }

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.{AdcDistance, CosineSimilarity, DotProduct, L2DistanceSq, L2NormalizeArray, MinhashSignature, PqDistTable, PqEncode, ShingleArray, Simhash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -65,7 +66,21 @@ object GraftExtensions {
       (args: Seq[Expression]) => AdcDistance(args(0), args(1))),
     (FunctionIdentifier("graft_l2norm"),
       info("graft_l2norm", "L2-normalize a numeric array (zero vectors unchanged)"),
-      (args: Seq[Expression]) => L2NormalizeArray(args(0), args(0))))
+      (args: Seq[Expression]) => L2NormalizeArray(args(0), args(0))),
+    // Spark's own runtime-filter Bloom pair, surfaced as user-callable SQL
+    // (the analyzer wraps the bare AggregateFunction; might_contain's
+    // filter arg must be a scalar subquery or constant — see
+    // graft.functions.BloomFunctions for the DataFrame-side contract).
+    (FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", "Bloom filter over a LONG key column; optional args: estItems, numBits"),
+      (args: Seq[Expression]) => args.length match {
+        case 1 => new BloomFilterAggregate(args(0))
+        case 2 => new BloomFilterAggregate(args(0), args(1))
+        case _ => new BloomFilterAggregate(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "membership of a LONG key in a Bloom blob (scalar subquery/constant)"),
+      (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))))
 
   private def inject(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
