@@ -363,6 +363,51 @@ object TextAnalysis {
       HAVING count(*) >= (n + 999) // 1000
       ORDER BY cnt DESC, term"""))
 
+  /** q134: q132's answer maintained INCREMENTALLY — the corpus arrives
+    * as batches, each merged into a ≤ k-row Misra-Gries summary on the
+    * engine's versioned batchId-idempotent state contract
+    * ([[graft.streaming.StreamingJobs.applyMgBatch]]; the live-stream
+    * form is runStreamingHeavyHitters, gated in StreamingSpec), then one
+    * candidate-only exact pass turns the summary into the exact answer.
+    * k = denom makes the merged-summary undercount (≤ n/(k+1)) smaller
+    * than the threshold (≥ n/denom), so no true heavy hitter can die in
+    * a reduction — the incremental path provably returns q132's result
+    * and shares its oracle. State and per-batch work stay bounded by k +
+    * batch vocabulary, never corpus vocabulary: this is the form that
+    * survives a corpus that never stops growing. */
+  def streamedHeavyHitters(s: SparkSession, d: String, denom: Int,
+      nBatches: Int): DataFrame = {
+    require(denom >= 1 && nBatches >= 1)
+    val k = denom // k+1 > denom: the catch bound (see scaladoc)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_hh_state").toString
+    val docs = Tables.documents(s, d)
+    (0 until nBatches).foreach { i =>
+      graft.streaming.StreamingJobs.applyMgBatch(s,
+        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+        "text", i.toLong, k, stateDir)
+    }
+    val state = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+    val total = state.agg(max(col("total_n"))).head().getLong(0)
+    val candTerms = state.filter(col("term").isNotNull)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    val sp = new org.apache.hadoop.fs.Path(stateDir)
+    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    val minCount = (total + denom - 1) / denom
+    import s.implicits._
+    val cands = candTerms.toDF("term")
+    docs.select(explode(toks(col("text"))).as("term"))
+      .join(broadcast(cands), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
+  val q134StreamedHeavyHitters = GraftQuery(
+    "q134_streamed_heavy_hitters",
+    "A ext + streaming: incremental Misra-Gries summary -> candidate-only exact pass",
+    (s, d) => streamedHeavyHitters(s, d, denom = 1000, nBatches = 4),
+    q132HeavyHitters.oracle)
+
   val q45TopTerms = GraftQuery(
     "q45_top_terms",
     "A3,A4; vocabulary/Zipf profile, explode + two-level agg",
@@ -1062,5 +1107,5 @@ object TextAnalysis {
     q48SequencePacking, q49CorpusMixture, q93TfidfKeywords,
     q101PiiRedact, q102DomainStats, q104EpochUpsample, q106DocChunks,
     q111TokenBudget, q119DriftReport, q120DictEncode, q121Winsorize,
-    q132HeavyHitters)
+    q132HeavyHitters, q134StreamedHeavyHitters)
 }

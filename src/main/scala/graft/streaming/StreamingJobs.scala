@@ -341,6 +341,90 @@ object StreamingJobs {
     true
   }
 
+  /** Merge one micro-batch of documents into a persistent Misra-Gries
+    * heavy-hitter summary, exactly once per batchId (same versioned
+    * `state_b<id>`/_SUCCESS contract as [[applyAggBatch]]). The state is
+    * AT MOST k counter rows (term, cnt) plus one sentinel row
+    * (term NULL, cnt 0) that keeps the running token total `total_n`
+    * readable even when no counter survives — never the vocabulary:
+    * that bound is the whole point (q132's rationale, made incremental).
+    *
+    * Merge rule (public mergeable-summaries result, Agarwal et al.):
+    * sum the batch's exact term counts into the counters, and if more
+    * than k remain, subtract the (k+1)-th largest count from ALL and
+    * drop the non-positives — at most k survive (ties below the cut die
+    * with it). Each reduction by c* destroys ≥ (k+1)·c* count mass, so
+    * total undercount after any number of merges is ≤ n/(k+1): every
+    * term with true count > n/(k+1) is guaranteed ALIVE in the summary,
+    * and a candidate-only exact pass (q134) turns that into an exact
+    * answer. The (k+1) boundary values are collected to the driver —
+    * bounded by k, the operator's declared memory budget.
+    *
+    * Per-trigger cost: one batch-vocabulary aggregate (bounded by the
+    * batch, never history) + a ≤ (k + batch-vocab)-row merge. */
+  def applyMgBatch(spark: SparkSession, batch: DataFrame, textCol: String,
+      batchId: Long, k: Int, stateDir: String): Boolean = {
+    require(k >= 1, s"counter budget k must be >= 1, got $k")
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, dir)
+    if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
+    val tok = batch.select(
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val delta = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt")).cache()
+    val batchN = delta.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    val prev = versions.lastOption.map { case (_, p) => spark.read.parquet(p.toString) }
+    val prevTotal = prev.map(_.agg(max(col("total_n"))).head().getLong(0)).getOrElse(0L)
+    val prevCounters = prev.map(_.filter(col("term").isNotNull)
+      .select(col("term"), col("cnt"))).getOrElse(delta.limit(0))
+    val merged = prevCounters.unionByName(delta)
+      .groupBy(col("term")).agg(sum(col("cnt")).as("cnt")).cache()
+    val top = merged.select(col("cnt")).orderBy(col("cnt").desc)
+      .limit(k + 1).collect().map(_.getLong(0))
+    val cStar = if (top.length <= k) 0L else top.last
+    val newTotal = prevTotal + batchN
+    val sentinel = spark.range(1).select(
+      lit(null).cast("string").as("term"), lit(0L).as("cnt"))
+    val out = merged.select(col("term"), (col("cnt") - cStar).as("cnt"))
+      .filter(col("cnt") > 0)
+      .unionByName(sentinel)
+      .withColumn("total_n", lit(newTotal))
+    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
+    out.coalesce(1).write.mode("overwrite").parquet(target.toString)
+    delta.unpersist(); merged.unpersist()
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    true
+  }
+
+  /** Streaming heavy-hitter maintenance: the q132 Misra-Gries summary
+    * kept current over an unbounded document stream, one [[applyMgBatch]]
+    * merge per micro-batch. State stays ≤ k rows forever; read it any
+    * time with [[latestAggState]] — counters are term-count UNDERestimates
+    * with error ≤ total_n/(k+1), so `cnt + total_n/(k+1) >= threshold`
+    * selects candidates with zero false negatives (exactify against the
+    * corpus as in q134 when the corpus is at rest). */
+  def runStreamingHeavyHitters(spark: SparkSession, streamDir: String,
+      textCol: String, k: Int, stateDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMgBatch(spark, batch, textCol, batchId, k, stateDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming incremental aggregate maintenance — the q107 state-merge
     * loop as a standing job: each micro-batch is aggregated alone
     * (Scale.aggState) and merged into the persistent state table
