@@ -408,6 +408,86 @@ object TextAnalysis {
     (s, d) => streamedHeavyHitters(s, d, denom = 1000, nBatches = 4),
     q132HeavyHitters.oracle)
 
+  /** q135: inverted index construction — the IR-side artifact a corpus
+    * engine owes its retrieval layer (public shape: Manning et al.,
+    * champion lists). One (term, doc) tf aggregate (shuffle = token
+    * stream, the unavoidable cost), then one per-term aggregate whose
+    * output row is BOUNDED: df is exact over all postings, but the
+    * stored list is capped at `maxPost` entries in doc_id order with a
+    * truncation flag — a hot term (stopword) costs a capped row, never
+    * an unbounded one (the q58 df-cut discipline applied to the payload
+    * instead of the candidate set). Postings serialize as "doc:tf" CSV
+    * so the oracle compares bit-exactly. */
+  def invertedIndex(s: SparkSession, d: String, maxPost: Int): DataFrame = {
+    require(maxPost >= 1)
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term")).agg(
+        count(lit(1)).as("df"),
+        array_join(
+          slice(
+            transform(
+              array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+              x => concat(x.getField("doc_id").cast("string"), lit(":"),
+                x.getField("tf").cast("string"))),
+            1, maxPost),
+          ",").as("postings"),
+        (count(lit(1)) > maxPost).cast("int").as("truncated"))
+      .orderBy(col("term"))
+  }
+
+  val q135InvertedIndex = GraftQuery(
+    "q135_inverted_index",
+    "IR ext: inverted index with capped champion posting lists",
+    (s, d) => invertedIndex(s, d, maxPost = 100),
+    Some("""WITH tk AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT term, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2)
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+        array_to_string((list(doc_id || ':' || tf ORDER BY doc_id))[1:100], ',') AS postings,
+        CAST(count(*) > 100 AS INT) AS truncated
+      FROM tf GROUP BY term ORDER BY term"""))
+
+  /** q136: conjunctive boolean retrieval ranked by total term frequency
+    * — "docs containing ALL query terms". The query-term filter sits
+    * BELOW the (doc, term) aggregate, so only tokens matching the query
+    * vocabulary ever shuffle: at 100 TB the scan discards everything
+    * else at source and the downstream state is O(matching docs). All-
+    * integer scoring (no transcendentals) keeps the ranking bit-stable
+    * cross-engine (the q78 lesson); ties break on doc_id and the top-k
+    * plans as TakeOrderedAndProject, never a global sort. */
+  def retrieveConjunctive(s: SparkSession, d: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    val qt = terms.map(_.toLowerCase).distinct
+    require(qt.nonEmpty && k >= 1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term").isin(qt: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
+      .filter(col("n_terms") === qt.size)
+      .select(col("doc_id"), col("total_tf"))
+      .orderBy(col("total_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val q136BooleanRetrieval = GraftQuery(
+    "q136_boolean_retrieval",
+    "IR ext: conjunctive (AND) retrieval, tf-ranked, filter-below-agg",
+    (s, d) => retrieveConjunctive(s, d, Seq("spark", "join", "window"), k = 10),
+    Some("""WITH tk AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tk
+        WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY doc_id HAVING count(*) = 3
+      ORDER BY total_tf DESC, doc_id LIMIT 10"""))
+
   val q45TopTerms = GraftQuery(
     "q45_top_terms",
     "A3,A4; vocabulary/Zipf profile, explode + two-level agg",
@@ -1107,5 +1187,6 @@ object TextAnalysis {
     q48SequencePacking, q49CorpusMixture, q93TfidfKeywords,
     q101PiiRedact, q102DomainStats, q104EpochUpsample, q106DocChunks,
     q111TokenBudget, q119DriftReport, q120DictEncode, q121Winsorize,
-    q132HeavyHitters, q134StreamedHeavyHitters)
+    q132HeavyHitters, q134StreamedHeavyHitters,
+    q135InvertedIndex, q136BooleanRetrieval)
 }
