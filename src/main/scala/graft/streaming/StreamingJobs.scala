@@ -207,6 +207,30 @@ object StreamingJobs {
     q
   }
 
+  /** True iff `dir/batch_id=<batchId>` carries a _SUCCESS marker — the
+    * committed-partition test the idempotent foreachBatch SINKS key on
+    * (versioned-STATE jobs key on `state_b<id>` via committedVersions). */
+  private def batchPartitionCommitted(spark: SparkSession, dir: String,
+      batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId", "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Assign one micro-batch of vectors to their IVF cells and commit the
+    * result as partition `outDir/batch_id=<batchId>`, exactly once: a
+    * replayed batchId whose partition already committed is a no-op, and
+    * a crashed partial write is simply overwritten by the retry (same
+    * dir, mode overwrite) — the sink-side twin of [[applyAggBatch]]'s
+    * state contract. Readers see batch_id as a discovered partition
+    * column under plain spark.read.parquet(outDir). */
+  def applyIndexAddBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      corpusDir: String, outDir: String): Boolean = {
+    if (batchPartitionCommitted(spark, outDir, batchId)) return false // replay
+    graft.operators.Ann.assignCells(spark, corpusDir, batch)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    true
+  }
+
   def runStreamingIndexAdd(spark: SparkSession, streamDir: String, corpusDir: String,
       outDir: String): StreamingQuery = {
     graft.operators.Ann.ivfIndexFull(spark, corpusDir) // fit/load once, up front
@@ -214,9 +238,8 @@ object StreamingJobs {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Ann.assignCells(spark, corpusDir, batch)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIndexAddBatch(spark, batch, batchId, corpusDir, outDir); ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -239,26 +262,42 @@ object StreamingJobs {
     * q69 answer bit-for-bit (StreamingSpec proves it). At scale the
     * reference's band/shingle relations are materialized bucketed
     * tables appended per trigger, not re-derived from text. */
-  def runStreamingTextDedup(spark: SparkSession, streamDir: String,
-      corpusParquet: String, outDir: String, threshold: Double): StreamingQuery = {
+  /** Dedup one micro-batch of documents against corpus + earlier
+    * batches, exactly once per batchId. Both sinks (survivors, _seen)
+    * are batch_id-partitioned; the COMMIT POINT is the _seen partition's
+    * _SUCCESS (written last), so a crash between the two writes replays
+    * the whole batch: the reference is rebuilt from strictly EARLIER
+    * committed partitions (batch_id < batchId — this also hides any
+    * partial files a crashed attempt of THIS batch left behind), the
+    * survivor set recomputes deterministically, and both partitions are
+    * overwritten in place. */
+  def applyTextDedupBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      corpus: DataFrame, outDir: String, threshold: Double): Boolean = {
     val seenDir = s"$outDir/_seen"
     val survivorsDir = s"$outDir/survivors"
+    if (batchPartitionCommitted(spark, seenDir, batchId)) return false // replay
+    val b = batch.select(col("doc_id"), col("source"), col("text"))
+    val seen =
+      try spark.read.parquet(seenDir)
+        .filter(col("batch_id") < batchId)
+        .select(col("doc_id"), col("source"), col("text"))
+      catch { case _: Exception => b.limit(0) }
+    val ref = corpus.unionByName(seen)
+    graft.operators.Dedup.incrementalDedupFrames(ref, b, threshold)
+      .write.mode("overwrite").parquet(s"$survivorsDir/batch_id=$batchId")
+    b.write.mode("overwrite").parquet(s"$seenDir/batch_id=$batchId")
+    true
+  }
+
+  def runStreamingTextDedup(spark: SparkSession, streamDir: String,
+      corpusParquet: String, outDir: String, threshold: Double): StreamingQuery = {
     val corpus = spark.read.parquet(corpusParquet)
       .select(col("doc_id"), col("source"), col("text"))
-    val schema = corpus.schema
-    val stream = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.select(col("doc_id"), col("source"), col("text"))
-        val seen =
-          try spark.read.parquet(seenDir)
-          catch { case _: Exception => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema) }
-        val ref = corpus.unionByName(seen)
-        graft.operators.Dedup.incrementalDedupFrames(ref, b, threshold)
-          .write.mode("append").parquet(survivorsDir)
-        b.write.mode("append").parquet(seenDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTextDedupBatch(spark, batch, batchId, corpus, outDir, threshold); ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -161,6 +161,12 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(streamed == batch,
       s"streamed assignment diverges from batch (${streamed.size} vs ${batch.size} rows)")
+    // at-least-once replay: the committed batch partition must no-op
+    val replayed = graft.streaming.StreamingJobs.applyIndexAddBatch(
+      spark, spark.read.parquet(s"$streamDir/embeddings.parquet"), 0L, sfTiny, outDir)
+    assert(!replayed, "replayed batchId was applied instead of skipped")
+    assert(spark.read.parquet(outDir).count() == batch.size,
+      "replay changed the committed sink")
   }
 
   test("streaming NSW graph index-add == one-shot rebuild; replay is a no-op") {
@@ -237,6 +243,15 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(streamed == batch,
       s"streamed survivors diverge: ${(streamed -- batch).size} extra, ${(batch -- streamed).size} missing")
+    // at-least-once replay of the last micro-batch (batchId 1 = b2):
+    // committed _seen partition gates it to a no-op
+    val replayed = StreamingJobs.applyTextDedupBatch(spark,
+      docs.filter(col("doc_id") % 7 === 0 && col("doc_id") > maxId / 2), 1L,
+      spark.read.parquet(s"$work/corpus"), outDir, threshold = 0.8)
+    assert(!replayed, "replayed batchId was applied instead of skipped")
+    assert(spark.read.parquet(s"$outDir/survivors")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet == batch,
+      "replay changed the committed survivor set")
   }
 
   test("streaming incremental agg state == one-shot batch aggState after drain") {
