@@ -432,8 +432,51 @@ object Events {
         AND p.purchase_ts <= v.view_ts + INTERVAL 24 HOUR
       ORDER BY view_id, purchase_id"""))
 
+  /** q137: first-order event-transition matrix — for each ordered pair
+    * (from_type, to_type) of CONSECUTIVE events by the same user, the
+    * transition count and mean gap: the Markov-chain counts behind
+    * next-action models and session anomaly detection. One shuffle
+    * total: both window expressions (lead of type, lead of ts) share the
+    * (user_id; ts, event_id) partitioning+sort, and the downstream
+    * aggregate's state is O(|event types|²), map-side combined. The tie
+    * break on event_id makes lead() deterministic under equal
+    * timestamps — without it the oracle comparison would be flaky by
+    * construction. Mean gap is spelled sum/count over exact BIGINT
+    * second-gaps (not avg()) so both engines divide the same two exact
+    * integers — no accumulation-order drift. */
+  val q137EventTransitions = GraftQuery(
+    "q137_event_transitions",
+    "streaming ext: first-order transition matrix (lead window + agg)",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.eventsWithTs(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+        .withColumn("gap_s",
+          unix_timestamp(lead(col("ts"), 1).over(byUser)) - unix_timestamp(col("ts")))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("gap_s")).cast("double") / count(lit(1)), 2)
+            .as("mean_gap_s"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""WITH seq AS (
+        SELECT event_type AS from_type,
+          lead(event_type) OVER w AS to_type,
+          CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
+            - CAST(floor(epoch(ts)) AS BIGINT) AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT from_type, to_type, count(*) AS n,
+        round(CAST(sum(gap_s) AS DOUBLE) / count(*), 2) AS mean_gap_s
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q70EventWindow, q71Sessionize, q72StreamDedup, q73JsonProps, q74Cube,
     q75AsofJoin, q79Funnel, q89RollingStats, q94CohortRetention,
-    q96IntervalJoin, q123LeftOuterAttrib, q125FullOuterAttrib)
+    q96IntervalJoin, q123LeftOuterAttrib, q125FullOuterAttrib,
+    q137EventTransitions)
 }

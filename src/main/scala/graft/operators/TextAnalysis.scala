@@ -488,6 +488,125 @@ object TextAnalysis {
       FROM tf GROUP BY doc_id HAVING count(*) = 3
       ORDER BY total_tf DESC, doc_id LIMIT 10"""))
 
+  /** q139: per-group outlier audit — for each language, how many
+    * documents sit more than 2σ from the group's mean length. Two
+    * stages: one partial-aggregatable pass collecting EXACT integer
+    * moments (count, Σx, Σx²) per group, then a broadcast join-back of
+    * the tiny stats relation so the 100 TB fact side never shuffles.
+    * Mean/σ are derived from the exact integer moments in ONE spelled-
+    * out double expression (x·x products, no power(), Σx cast to double
+    * before squaring so the product cannot wrap BIGINT at corpus
+    * scale) — every FP op is an IEEE exactly-rounded primitive, so both
+    * engines compute bit-identical thresholds and the outlier COUNTS
+    * (integer, hash-fragile) cannot flip on a boundary ulp. */
+  def groupOutliers(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("lang"), col("n_chars"))
+    val stats = docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s"),
+        sum(col("n_chars") * col("n_chars")).as("ss"))
+      .withColumn("mean_c", col("s").cast("double") / col("n"))
+      .withColumn("sd_c", sqrt(
+        (col("ss").cast("double") - col("s").cast("double") * col("s") / col("n"))
+          / (col("n") - 1)))
+    docs.join(broadcast(stats), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("n_chars") - col("mean_c")) > lit(2) * col("sd_c"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(max(col("mean_c")), 4).as("mean_chars"),
+        round(max(col("sd_c")), 4).as("sd_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val q139GroupOutliers = GraftQuery(
+    "q139_group_outliers",
+    "A-ext: per-group 2-sigma outlier audit from exact integer moments",
+    (s, d) => groupOutliers(s, d),
+    Some("""WITH st AS (
+        SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS s,
+          CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+        FROM documents GROUP BY 1),
+      x AS (
+        SELECT lang, n, CAST(s AS DOUBLE) / n AS mean_c,
+          sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS sd_c
+        FROM st)
+      SELECT d.lang, count(*) AS n,
+        CAST(sum(CASE WHEN abs(d.n_chars - x.mean_c) > 2 * x.sd_c
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        round(max(x.mean_c), 4) AS mean_chars,
+        round(max(x.sd_c), 4) AS sd_chars
+      FROM documents d JOIN x ON d.lang = x.lang
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** q140: term co-occurrence with lift — which vocabulary terms appear
+    * in the same documents far more often than independence predicts.
+    * The pair generation is the quadratic danger; it is bounded the
+    * q58 way, by a df-cut BEFORE the self-join: only terms with df in
+    * [max(3, 0.5% of docs), 20% of docs] survive (rare terms carry no
+    * signal, stopwords would each contribute O(corpus) pairs), so the
+    * per-document pair fan-out is quadratic only in the FILTERED
+    * per-doc vocabulary. One shuffle on doc_id for the self-join, one
+    * on the pair key; lift = N·c(a,b)/(c(a)·c(b)) stays a ratio of
+    * exact integers (df product cast to double before multiplying —
+    * no BIGINT wrap, no transcendental log), rounded identically in
+    * both engines. Top-100 by support plans as TakeOrderedAndProject.
+    *
+    * The cut fractions are parameters: a web corpus runs ~(0.005,
+    * 0.2); the registered query uses maxDfFrac=0.85 because the
+    * synthetic corpus has a deliberately FLAT 31-term vocabulary
+    * (most terms sit in ~78% of documents — a 0.2 cap selects almost
+    * nothing and the query would pass vacuously empty; ExtOpsSpec pins
+    * non-emptiness so a generator change resurfaces this). */
+  def cooccurrence(s: SparkSession, d: String, minDfFrac: Double,
+      maxDfFrac: Double, topK: Int): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(toks(col("text")))).as("term"))
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(tot))
+      .filter(col("df") >= greatest(lit(3), col("n_docs") * minDfFrac) &&
+        col("df") <= col("n_docs") * maxDfFrac)
+    val t = tok.join(broadcast(vocab.select(col("term"), col("df"))), Seq("term"))
+    val a = t.select(col("doc_id"), col("term").as("t1"), col("df").as("df_a"))
+    val b = t.select(col("doc_id"), col("term").as("t2"), col("df").as("df_b"))
+    a.join(b, Seq("doc_id")).filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_ab"), max(col("df_a")).as("df_a"),
+        max(col("df_b")).as("df_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("t1"), col("t2"), col("n_ab"),
+        round(col("n_docs").cast("double") * col("n_ab")
+          / (col("df_a").cast("double") * col("df_b")), 4).as("lift"))
+      .orderBy(col("n_ab").desc, col("t1"), col("t2"))
+      .limit(topK)
+  }
+
+  val q140Cooccurrence = GraftQuery(
+    "q140_cooccurrence",
+    "text ext: df-cut co-occurrence pairs with independence lift",
+    (s, d) => cooccurrence(s, d, minDfFrac = 0.005, maxDfFrac = 0.85, topK = 100),
+    Some("""WITH raw AS (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      tk AS (SELECT DISTINCT doc_id, term FROM raw),
+      tot AS (SELECT count(*) AS n_docs FROM documents),
+      vocab AS (
+        SELECT term, count(*) AS df FROM tk GROUP BY 1),
+      v AS (
+        SELECT term, df FROM vocab, tot
+        WHERE df >= greatest(3, n_docs * 0.005) AND df <= n_docs * 0.85),
+      t AS (SELECT tk.doc_id, tk.term, v.df FROM tk JOIN v ON tk.term = v.term)
+      SELECT a.term AS t1, b.term AS t2, count(*) AS n_ab,
+        round(CAST((SELECT n_docs FROM tot) AS DOUBLE) * count(*)
+          / (CAST(max(a.df) AS DOUBLE) * max(b.df)), 4) AS lift
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+      ORDER BY n_ab DESC, t1, t2 LIMIT 100"""))
+
   val q45TopTerms = GraftQuery(
     "q45_top_terms",
     "A3,A4; vocabulary/Zipf profile, explode + two-level agg",
@@ -1188,5 +1307,6 @@ object TextAnalysis {
     q101PiiRedact, q102DomainStats, q104EpochUpsample, q106DocChunks,
     q111TokenBudget, q119DriftReport, q120DictEncode, q121Winsorize,
     q132HeavyHitters, q134StreamedHeavyHitters,
-    q135InvertedIndex, q136BooleanRetrieval)
+    q135InvertedIndex, q136BooleanRetrieval,
+    q139GroupOutliers, q140Cooccurrence)
 }

@@ -686,8 +686,47 @@ object Scale {
       FROM documents GROUP BY lang ORDER BY lang"""))
 
 
+  /** q138: incremental view maintenance for a JOIN view — the delta
+    * algebra Δ(O⋈L) = ΔO⋈L ∪ O_old⋈ΔL (the ΔO⋈ΔL cross term rides
+    * inside the first leg because it joins the FULL L), aggregated and
+    * merged into the stale aggregate exactly like q107 merges agg
+    * states. The view is count + sum(l_quantity) on purpose: the
+    * quantities are integral, every partial sum is EXACT, so merge
+    * order cannot drift the hash. The refresh never recomputes the
+    * base-side join: both maintenance legs broadcast their (small)
+    * delta side, so a refresh at 100 TB reads the base tables once
+    * with zero base-side shuffle — cost scales with |Δ|, not |view|.
+    * The oracle recomputes the view from the FULL tables; hash
+    * equality is the algebraic proof V_old ⊕ ΔV = V(full). */
+  val q138IvmJoin = GraftQuery(
+    "q138_ivm_join",
+    "scale: incremental join-view maintenance (delta algebra + merge)",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      val keyEq = col("o_orderkey") === col("l_orderkey")
+      val oldO = o.filter(col("o_orderkey") % 10 =!= 0)
+      val dO = o.filter(col("o_orderkey") % 10 === 0)
+      val oldL = l.filter(col("l_orderkey") % 7 =!= 0)
+      val dL = l.filter(col("l_orderkey") % 7 === 0)
+      def view(j: DataFrame) = j.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      val vOld = view(oldO.join(oldL, keyEq))
+      val dV = view(
+        broadcast(dO).join(l, keyEq)
+          .unionByName(oldO.join(broadcast(dL), keyEq)))
+      vOld.unionByName(dV)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n"), round(sum(col("qty")), 2).as("qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+        round(sum(l_quantity), 2) AS qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
   def queries: Seq[GraftQuery] = Seq(q82SaltedAgg, q87ZOrderRoundTrip,
     q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin,
     q112CascadeDelete, q117Fingerprint, q118SkewReport, q124DictJoin,
-    q130Compaction)
+    q130Compaction, q138IvmJoin)
 }
