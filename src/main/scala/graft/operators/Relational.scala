@@ -966,6 +966,45 @@ object Relational {
         ON c_acctbal >= s_acctbal - 40 AND c_acctbal <= s_acctbal + 40
       GROUP BY s_suppkey ORDER BY s_suppkey"""))
 
+  /** q143: join-size prediction from per-key count relations — the
+    * CBO companion to q116's column stats: |A ⋈_k B| = Σ_k c_A(k)·c_B(k),
+    * computed from two small grouped-count relations joined on the key,
+    * WITHOUT executing the join. The prediction is exact (it is the
+    * join-cardinality identity, not an estimate), and the query also
+    * RUNS the join to emit predicted next to actual — the oracle's hash
+    * match is the identity's proof on data. Per-key counts are what a
+    * cost-based optimizer sinks into broadcast/shuffle decisions; at
+    * 100 TB the count relations are key-cardinality-sized (and the
+    * exact Σ products would be fed by the q103 sketch tier instead).
+    * The events self-join on user_id is the skew-relevant case: Σ c(u)²
+    * is exactly the blow-up a skew planner (q118's report, q108's
+    * salting) needs to see before running the join. */
+  val q143JoinSize = GraftQuery(
+    "q143_join_size",
+    "A-ext/CBO: exact join-cardinality prediction from count relations",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val predicted = counts
+        .agg(sum(col("c") * col("c")).as("predicted_rows"))
+      val actual = ev.join(ev.withColumnRenamed("user_id", "u2"),
+          col("user_id") === col("u2"))
+        .agg(count(lit(1)).as("actual_rows"))
+      predicted.crossJoin(actual)
+        .select(col("predicted_rows"), col("actual_rows"),
+          (col("predicted_rows") === col("actual_rows")).cast("int")
+            .as("identity_holds"))
+    },
+    Some("""WITH c AS (
+        SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      p AS (SELECT CAST(sum(c * c) AS BIGINT) AS predicted_rows FROM c),
+      a AS (
+        SELECT count(*) AS actual_rows
+        FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id)
+      SELECT predicted_rows, actual_rows,
+        CAST(predicted_rows = actual_rows AS INT) AS identity_holds
+      FROM p, a"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02FilterRevenue, q03JoinRevenueByNation,
     q04TopkPerGroup, q05SortLimit, q06NullHandling, q07StringFuncs,
@@ -975,5 +1014,5 @@ object Relational {
     q21PairCanon, q88RangeJoin, q90CorrStats, q91GroupingSets,
     q97Unpivot, q98RankFamily, q99ConstraintAudit,
     q103SketchAgg, q105KAnonymity, q114Scd2, q115StarJoin, q116TableStats,
-    q122TopkAggregator, q126AutoRangeJoin)
+    q122TopkAggregator, q126AutoRangeJoin, q143JoinSize)
 }

@@ -488,6 +488,149 @@ object TextAnalysis {
       FROM tf GROUP BY doc_id HAVING count(*) = 3
       ORDER BY total_tf DESC, doc_id LIMIT 10"""))
 
+  /** q141: disjunctive (OR) top-k retrieval with a RATIONAL BM25
+    * surrogate — completes the IR trio (q135 index, q136 AND, q141
+    * ranked OR). Per matching term the contribution is
+    * idfR(t) · tf/(tf + k1·(1−b + b·len/avglen)) with
+    * idfR = (N − df + 0.5)/(df + 0.5): BM25's saturation and
+    * length-normalization shape with the log replaced by its rational
+    * argument — a DELIBERATE engine choice so every arithmetic step is
+    * an IEEE exactly-rounded op over exact integers and the ranking is
+    * bit-stable cross-engine (the q78 ln() lesson). Like Lucene's
+    * log(1+r) clamp, idfR stays POSITIVE for terms in >50% of
+    * documents where raw log(r) goes negative and inverts rankings —
+    * for a single term any positive idf induces the identical ranking
+    * (ExtOpsSpec proves equality with positive-log BM25); multi-term
+    * rankings differ from the log form only in cross-term weighting.
+    * The per-document SUM over query terms is hash-fragile if left to
+    * aggregate order, so terms are PIVOTED to fixed columns and added
+    * in one spelled-out left-to-right chain — both engines add the
+    * same doubles in the same order. The query-vocabulary filter sits
+    * below the first aggregate (only matching tokens shuffle) and the
+    * top-k plans as TakeOrderedAndProject, exactly like q136. */
+  def bm25Retrieve(s: SparkSession, d: String, terms: Seq[String],
+      k1: Double, b: Double, k: Int): DataFrame = {
+    val qt = terms.map(_.toLowerCase).distinct
+    require(qt.nonEmpty && k >= 1)
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val lens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val tot = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
+    val tf = tok.filter(col("term").isin(qt: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df_), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("idfr",
+        (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("bl",
+        lit(b) * col("len").cast("double") * col("n_docs") / col("total_len"))
+      .withColumn("c", col("idfr") *
+        (col("tf").cast("double") /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + col("bl")))))
+    // fixed-order pivot: one column per query term, summed left-to-right
+    val termCols = qt.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("term") === t, col("c"))), lit(0.0)).as(s"c$i")
+    }
+    val pivoted = contrib.groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+    val score = qt.indices.map(i => col(s"c$i")).reduceLeft(_ + _)
+    pivoted.select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val q141Bm25 = GraftQuery(
+    "q141_bm25_retrieval",
+    "IR ext: disjunctive top-k, rational-BM25 weighting, pivoted sum",
+    (s, d) => bm25Retrieve(s, d, Seq("spark", "join", "window"),
+      k1 = 1.2, b = 0.75, k = 10),
+    Some("""WITH tk AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      lens AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+      tot AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS total_len
+        FROM lens),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+        WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+      dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      contrib AS (
+        SELECT tf.doc_id, tf.term,
+          ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+          (CAST(tf AS DOUBLE) /
+            (tf + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) * n_docs / total_len)))
+            AS c
+        FROM tf JOIN dfs ON tf.term = dfs.term
+        JOIN lens ON tf.doc_id = lens.doc_id
+        CROSS JOIN tot),
+      piv AS (
+        SELECT doc_id,
+          coalesce(max(CASE WHEN term = 'spark' THEN c END), 0.0) AS c0,
+          coalesce(max(CASE WHEN term = 'join' THEN c END), 0.0) AS c1,
+          coalesce(max(CASE WHEN term = 'window' THEN c END), 0.0) AS c2
+        FROM contrib GROUP BY 1)
+      SELECT doc_id, round(c0 + c1 + c2, 6) AS score
+      FROM piv ORDER BY score DESC, doc_id LIMIT 10"""))
+
+  /** q142: triangle counting on the co-occurrence graph — the density
+    * audit for any pairwise-relation output (dup clusters, similarity
+    * graphs): edges are q140's df-cut pairs at a support floor, kept in
+    * canonical orientation t1 < t2, so every wedge is enumerated
+    * exactly once (a<b<c) and closed by one more equi-join — the
+    * standard two-join triangle plan whose cost is bounded by the
+    * oriented degree, with the df-cut already capping the hottest
+    * vertex. Pure integer counts; one row (n_edges, n_wedges,
+    * n_triangles, closure per mille as an exact integer ratio). */
+  def triangleCensus(s: SparkSession, d: String, minSupport: Long): DataFrame = {
+    val e = cooccurrencePairs(s, d, minDfFrac = 0.005, maxDfFrac = 0.85)
+      .filter(col("n_ab") >= minSupport)
+      .select(col("t1"), col("t2"))
+    val wedges = e.select(col("t1").as("a"), col("t2").as("b"))
+      .join(e.select(col("t1").as("b"), col("t2").as("c")), Seq("b"))
+    val tris = wedges
+      .join(e.select(col("t1").as("a"), col("t2").as("c")), Seq("a", "c"))
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    val nW = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nT = tris.agg(count(lit(1)).as("n_triangles"))
+    nE.crossJoin(nW).crossJoin(nT)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        floor(col("n_triangles") * lit(1000L) / col("n_wedges")).cast("long")
+          .as("closure_pm"))
+  }
+
+  val q142Triangles = GraftQuery(
+    "q142_triangles",
+    "graph ext: oriented wedge-join triangle census over co-occurrence",
+    (s, d) => triangleCensus(s, d, minSupport = 5),
+    Some("""WITH raw AS (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      tk AS (SELECT DISTINCT doc_id, term FROM raw),
+      tot AS (SELECT count(*) AS n_docs FROM documents),
+      vocab AS (SELECT term, count(*) AS df FROM tk GROUP BY 1),
+      v AS (SELECT term FROM vocab, tot
+        WHERE df >= greatest(3, n_docs * 0.005) AND df <= n_docs * 0.85),
+      t AS (SELECT tk.doc_id, tk.term FROM tk JOIN v ON tk.term = v.term),
+      e AS (
+        SELECT a.term AS t1, b.term AS t2
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2 HAVING count(*) >= 5),
+      w AS (
+        SELECT e1.t1 AS a, e1.t2 AS b, e2.t2 AS c
+        FROM e e1 JOIN e e2 ON e1.t2 = e2.t1),
+      tri AS (
+        SELECT w.a, w.b, w.c FROM w
+        JOIN e ON w.a = e.t1 AND w.c = e.t2),
+      ne AS (SELECT count(*) AS n_edges FROM e),
+      nw AS (SELECT count(*) AS n_wedges FROM w),
+      nt AS (SELECT count(*) AS n_triangles FROM tri)
+      SELECT n_edges, n_wedges, n_triangles,
+        CAST(floor(n_triangles * 1000 / n_wedges) AS BIGINT) AS closure_pm
+      FROM ne, nw, nt"""))
+
   /** q139: per-group outlier audit — for each language, how many
     * documents sit more than 2σ from the group's mean length. Two
     * stages: one partial-aggregatable pass collecting EXACT integer
@@ -559,8 +702,11 @@ object TextAnalysis {
     * (most terms sit in ~78% of documents — a 0.2 cap selects almost
     * nothing and the query would pass vacuously empty; ExtOpsSpec pins
     * non-emptiness so a generator change resurfaces this). */
-  def cooccurrence(s: SparkSession, d: String, minDfFrac: Double,
-      maxDfFrac: Double, topK: Int): DataFrame = {
+  /** The df-cut co-occurrence pair relation (t1 < t2, doc support,
+    * per-term dfs) — shared by q140 (lift ranking) and q142 (triangle
+    * counting over the co-occurrence graph). */
+  def cooccurrencePairs(s: SparkSession, d: String, minDfFrac: Double,
+      maxDfFrac: Double): DataFrame = {
     val docs = Tables.documents(s, d)
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(toks(col("text")))).as("term"))
@@ -576,6 +722,13 @@ object TextAnalysis {
       .groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("n_ab"), max(col("df_a")).as("df_a"),
         max(col("df_b")).as("df_b"))
+  }
+
+  def cooccurrence(s: SparkSession, d: String, minDfFrac: Double,
+      maxDfFrac: Double, topK: Int): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    cooccurrencePairs(s, d, minDfFrac, maxDfFrac)
       .crossJoin(broadcast(tot))
       .select(col("t1"), col("t2"), col("n_ab"),
         round(col("n_docs").cast("double") * col("n_ab")
@@ -1308,5 +1461,5 @@ object TextAnalysis {
     q111TokenBudget, q119DriftReport, q120DictEncode, q121Winsorize,
     q132HeavyHitters, q134StreamedHeavyHitters,
     q135InvertedIndex, q136BooleanRetrieval,
-    q139GroupOutliers, q140Cooccurrence)
+    q139GroupOutliers, q140Cooccurrence, q141Bm25, q142Triangles)
 }

@@ -61,6 +61,57 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.values.sum > 0, "vacuous: no outlier anywhere in the corpus")
   }
 
+  test("q141: rational idf preserves single-term BM25 ranking (monotone transform)") {
+    // for a one-term query, score = idfR(df) * norm(tf, len) with idfR a
+    // strictly monotone transform of log-idf in df — so the ranking must
+    // equal the classic log-BM25 ranking recomputed driver-side
+    val got = TextAnalysis.bm25Retrieve(spark, sfTiny, Seq("spark"),
+      k1 = 1.2, b = 0.75, k = 20).collect().map(_.getLong(0)).toList
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    val withTf = docs.map { case (id, toks) =>
+      (id, toks.count(_ == "spark").toLong, toks.length.toLong) }
+      .filter(_._2 > 0)
+    val nDocs = docs.size.toDouble
+    val avgLen = docs.map(_._2.length.toLong).sum / nDocs
+    val df = withTf.size.toDouble
+    // Lucene-style positive idf log(1 + r): raw log(r) goes NEGATIVE for
+    // terms in >50% of docs (this corpus's norm) and inverts the ranking
+    // — the BM25 degeneracy every production engine clamps away. Both
+    // log(1+r) and the rational r are positive constants for a single
+    // term, so they must induce the identical ranking.
+    val logBm25 = withTf.map { case (id, tf, len) =>
+      val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+      (id, idf * tf / (tf + 1.2 * (0.25 + 0.75 * len / avgLen)))
+    }.sortBy { case (id, sc) => (-sc, id) }.map(_._1).take(20).toList
+    assert(got == logBm25,
+      s"single-term rational ranking diverges from log-BM25:\n got $got\n exp $logBm25")
+    assert(got.nonEmpty, "vacuous: no document matched the query term")
+  }
+
+  test("q142: triangle census equals driver-side brute force") {
+    val row = TextAnalysis.triangleCensus(spark, sfTiny, minSupport = 5).head()
+    val edges = TextAnalysis
+      .cooccurrencePairs(spark, sfTiny, minDfFrac = 0.005, maxDfFrac = 0.85)
+      .filter(col("n_ab") >= 5).select(col("t1"), col("t2"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = (for {
+      a <- verts; b <- verts if a < b && edges((a, b))
+      c <- verts if b < c && edges((b, c)) && edges((a, c))
+    } yield (a, b, c)).size.toLong
+    assert(row.getAs[Long]("n_triangles") == tris,
+      s"census ${row.getAs[Long]("n_triangles")} != brute force $tris")
+    assert(tris > 0, "vacuous: no triangle at minSupport=5")
+  }
+
+  test("q143: join-size identity holds on data") {
+    val row = Registry.byName("q143_join_size").run(spark, sfTiny).head()
+    assert(row.getAs[Int]("identity_holds") == 1,
+      s"predicted ${row.getAs[Long]("predicted_rows")} != actual ${row.getAs[Long]("actual_rows")}")
+  }
+
   test("q140: non-vacuous, canonical pair order, support bounded by min df") {
     val rows = TextAnalysis
       .cooccurrence(spark, sfTiny, minDfFrac = 0.005, maxDfFrac = 0.85, topK = 100)
