@@ -725,8 +725,73 @@ object Scale {
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY 1 ORDER BY 1"""))
 
+  /** q144: 2-D skyline (Pareto frontier: min price, max quantity) via
+    * distributed prefix-max — the pattern for ANY "cumulative over a
+    * global order" computation at 100 TB, where the naive plan (one
+    * window over ORDER BY without PARTITION BY) collapses the whole
+    * table into a single task. Decomposition: (1) range-bucket the
+    * order key (fixed 256 bins from min/max — internal only, never
+    * visible in the result); (2) per-bucket maxima → a ≤256-row
+    * relation whose exclusive prefix-max (the only global window,
+    * over 256 rows) is each bucket's carry-in; (3) broadcast-join the
+    * carry-in back and finish with PER-BUCKET windows — every
+    * fact-side window is partitioned, so the deepest sort is one
+    * bucket wide. A row survives iff its qty beats every strictly
+    * cheaper row's qty (carry-in ⊔ within-bucket running max — same
+    * price excluded via a RANGE frame on exact integer cents) and ties
+    * at its own price don't beat it. The oracle states the SAME
+    * semantics as ONE global window: hash equality proves the bucketed
+    * decomposition, not just the answer. ExtOpsSpec adds the O(n²)
+    * NOT-EXISTS brute force as the independent semantic gate. */
+  val q144Skyline = GraftQuery(
+    "q144_skyline",
+    "scale: Pareto frontier via bucketed two-phase prefix-max",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val r = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        col("l_quantity").cast("long").as("qty"))
+      val bounds = r.agg(min(col("price_cents")).as("lo"),
+        max(col("price_cents")).as("hi"))
+      val binned = r.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          ((col("price_cents") - col("lo")) * lit(256L)
+            / (col("hi") - col("lo") + 1)).cast("long"))
+      val carry = binned.groupBy(col("bin")).agg(max(col("qty")).as("bmax"))
+        .withColumn("carry", max(col("bmax")).over(
+          Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("bin"), col("carry"))
+      val byPrice = Window.partitionBy(col("bin")).orderBy(col("price_cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val samePrice = Window.partitionBy(col("bin"), col("price_cents"))
+      val scored = binned.join(broadcast(carry), Seq("bin"))
+        .withColumn("within", max(col("qty")).over(byPrice))
+        .withColumn("samemax", max(col("qty")).over(samePrice))
+        .withColumn("prevmax", greatest(col("carry"), col("within")))
+      scored
+        .filter((col("prevmax").isNull || col("qty") > col("prevmax")) &&
+          col("qty") === col("samemax"))
+        .groupBy(col("price_cents"), col("qty"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("price_cents"))
+    },
+    Some("""WITH r AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+          CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem),
+      w AS (
+        SELECT price_cents, qty,
+          max(qty) OVER (ORDER BY price_cents
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax,
+          max(qty) OVER (PARTITION BY price_cents) AS samemax
+        FROM r)
+      SELECT price_cents, qty, count(*) AS n
+      FROM w
+      WHERE (prevmax IS NULL OR qty > prevmax) AND qty = samemax
+      GROUP BY 1, 2 ORDER BY 1"""))
+
   def queries: Seq[GraftQuery] = Seq(q82SaltedAgg, q87ZOrderRoundTrip,
     q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin,
     q112CascadeDelete, q117Fingerprint, q118SkewReport, q124DictJoin,
-    q130Compaction, q138IvmJoin)
+    q130Compaction, q138IvmJoin, q144Skyline)
 }

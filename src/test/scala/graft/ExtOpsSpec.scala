@@ -112,6 +112,33 @@ class ExtOpsSpec extends SparkSpec {
       s"predicted ${row.getAs[Long]("predicted_rows")} != actual ${row.getAs[Long]("actual_rows")}")
   }
 
+  test("q140/q141 top-k plans as TakeOrderedAndProject (no global sort)") {
+    Seq("q140_cooccurrence", "q141_bm25_retrieval").foreach { name =>
+      val df = Registry.byName(name).run(spark, sfTiny)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name: expected TakeOrderedAndProject in\n$plan")
+    }
+  }
+
+  test("q144: bucketed skyline equals O(n^2) NOT-EXISTS brute force") {
+    val got = Registry.byName("q144_skyline").run(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val rows = Tables.lineitem(spark, sfTiny)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("p"),
+        col("l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val skyline = rows.filter { case (p, q) =>
+      !rows.exists { case (p2, q2) =>
+        (p2 < p && q2 >= q) || (p2 <= p && q2 > q) }
+    }
+    val expect = skyline.groupBy(identity).map { case ((p, q), xs) =>
+      (p, q, xs.size.toLong) }.toList.sortBy(_._1)
+    assert(got == expect, s"skyline diverges:\n got    $got\n expect $expect")
+    assert(got.nonEmpty, "vacuous: empty skyline")
+  }
+
   test("q140: non-vacuous, canonical pair order, support bounded by min df") {
     val rows = TextAnalysis
       .cooccurrence(spark, sfTiny, minDfFrac = 0.005, maxDfFrac = 0.85, topK = 100)
