@@ -493,6 +493,41 @@ object StreamingJobs {
     q
   }
 
+  /** Streaming JOIN-VIEW maintenance — q138's delta algebra as a
+    * standing job for the static-dimension case: fact deltas (lineitem
+    * files) arrive as a stream, each micro-batch is enriched against
+    * the broadcast static dimension (orders) and merged into the
+    * persistent aggregate state via [[applyAggBatch]]'s versioned
+    * batchId-idempotent contract. With one side static the delta
+    * algebra collapses to the single leg Δ(O⋈L) = O⋈ΔL, so per-trigger
+    * cost is one broadcast join over the batch + a state-sized merge —
+    * the base join is never recomputed. After drain the state must
+    * equal the one-shot aggregate over the FULL join (StreamingSpec
+    * proves it, plus replay idempotency inherited from applyAggBatch).
+    * At 100 TB the "broadcast dimension" becomes the bucketed orders
+    * table and the enrich join is co-located (BucketingSpec's shape);
+    * the maintenance algebra is unchanged. */
+  def runStreamingJoinView(spark: SparkSession, streamDir: String,
+      dimParquet: String, stateDir: String): StreamingQuery = {
+    val dim = spark.read.parquet(dimParquet)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val enriched = batch.select(col("l_orderkey"), col("l_quantity"))
+          .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+        applyAggBatch(spark, enriched, batchId,
+          "o_orderpriority", "l_quantity", stateDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** STREAM-STREAM interval join: purchases attributed to every view by
     * the same user in the preceding 24 h — two independent readers over
     * the event stream, both watermarked, joined on user equality + a

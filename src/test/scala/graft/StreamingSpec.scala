@@ -286,6 +286,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"state diverges: $streamed vs $batch")
   }
 
+  test("streaming join-view maintenance == one-shot aggregate over the full join") {
+    val work = Files.createTempDirectory("graft_joinview").toString
+    val li = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val orders = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    orders.coalesce(1).write.parquet(s"$work/orders")
+    li.filter(col("l_orderkey") % 2 === 0).coalesce(1).write.parquet(s"$work/b1")
+    li.filter(col("l_orderkey") % 2 =!= 0).coalesce(1).write.parquet(s"$work/b2")
+    def firstPart(dir: String): java.nio.file.Path =
+      Files.list(Paths.get(dir)).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val streamDir = Files.createTempDirectory("graft_joinview_stream")
+    val h1 = Files.copy(firstPart(s"$work/b1"), streamDir.resolve("b1.parquet"))
+    val h2 = Files.copy(firstPart(s"$work/b2"), streamDir.resolve("b2.parquet"))
+    h1.toFile.setLastModified(1000000L)
+    h2.toFile.setLastModified(2000000L)
+    val stateDir = s"$work/state"
+    StreamingJobs.runStreamingJoinView(
+      spark, streamDir.toString, s"$work/orders", stateDir)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6), r.getDouble(3), r.getDouble(4))).toSet
+    val (lastBatchId, stateDf) = StreamingJobs.latestAggState(spark, stateDir).get
+    assert(lastBatchId == 1L, s"expected two committed batches, last=$lastBatchId")
+    val streamed = snap(stateDf.select(col("o_orderpriority"), col("cnt"),
+      col("sum_v"), col("min_v"), col("max_v")))
+    val batch = snap(plans.Scale.aggState(
+        li.join(orders, col("l_orderkey") === col("o_orderkey")),
+        "o_orderpriority", "l_quantity")
+      .select(col("o_orderpriority"), col("cnt"), col("sum_v"),
+        col("min_v"), col("max_v")))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, s"maintained view diverges: $streamed vs $batch")
+  }
+
   test("applyAggBatch: replayed batchId is a no-op; uncommitted versions invisible") {
     val work = Files.createTempDirectory("graft_idem").toString
     val ev = Tables.events(spark, sfTiny)
