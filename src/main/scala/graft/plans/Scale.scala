@@ -790,8 +790,73 @@ object Scale {
       WHERE (prevmax IS NULL OR qty > prevmax) AND qty = samemax
       GROUP BY 1, 2 ORDER BY 1"""))
 
+  /** q145: EXACT order statistics without a global sort — distributed
+    * selection, the exact complement to q103's approximate percentiles
+    * (error-bounded sketch) and q77's equi-depth bins. The naive exact
+    * plan sorts the table (or routes every row through one percentile
+    * aggregate); the selection plan is two bounded passes: (1) bin the
+    * key into 256 min/max ranges and count per bin — a 256-row
+    * relation whose prefix-sum (window over 256 rows) locates, for
+    * each requested rank k = ceil(p·n), its target bin and residual
+    * rank; (2) rank rows WITHIN target bins only (window partitioned
+    * by bin — the sort is one bin wide, ~n/256 rows) and keep the
+    * residual-th. Ties are harmless: the value at global rank k is
+    * unique regardless of tie permutation, because the within-bin
+    * order key is the VALUE itself. The oracle states the same ranks
+    * with one global row_number — hash equality proves the
+    * decomposition, exactly like q144. */
+  val q145OrderStats = GraftQuery(
+    "q145_order_statistics",
+    "scale: exact quantiles via two-pass distributed selection",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val r = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      val bounds = r.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n"))
+      val binned = r.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          ((col("v") - col("lo")) * lit(256L)
+            / (col("hi") - col("lo") + 1)).cast("long"))
+      val binCounts = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+        .withColumn("cum_prev", coalesce(sum(col("c")).over(
+          Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val ranks = Seq(0.25, 0.5, 0.75, 0.99).toDF("p")
+        .crossJoin(broadcast(bounds.select(col("n"))))
+        .withColumn("k", ceil(col("p") * col("n")).cast("long"))
+      // locate each rank's bin: cum_prev < k <= cum_prev + c (256×4 join)
+      val located = ranks.join(broadcast(binCounts),
+          col("cum_prev") < col("k") && col("k") <= col("cum_prev") + col("c"))
+        .select(col("p"), col("k"), col("bin"),
+          (col("k") - col("cum_prev")).as("residual"))
+      val withinBin = Window.partitionBy(col("bin")).orderBy(col("v"))
+      binned.join(broadcast(located.select(col("bin")).distinct()), Seq("bin"))
+        .withColumn("rn", row_number().over(withinBin))
+        .join(broadcast(located), Seq("bin"))
+        .filter(col("rn") === col("residual"))
+        .select(col("p"), col("k"), col("v").as("value_cents"))
+        .orderBy(col("p"))
+    },
+    Some("""WITH r AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem),
+      o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM r),
+      n AS (SELECT count(*) AS n FROM r),
+      ranks AS (
+        -- p forced to DOUBLE so ceil sees the identical IEEE product in
+        -- both engines (DuckDB's VALUES literal is DECIMAL, whose exact
+        -- p*n can ceil differently from the double product at integers)
+        SELECT CAST(p AS DOUBLE) AS p,
+          CAST(ceil(CAST(p AS DOUBLE) * (SELECT n FROM n)) AS BIGINT) AS k
+        FROM (VALUES (0.25), (0.5), (0.75), (0.99)) t(p))
+      SELECT p, k, v AS value_cents
+      FROM ranks JOIN o ON o.rn = ranks.k
+      ORDER BY p"""))
+
   def queries: Seq[GraftQuery] = Seq(q82SaltedAgg, q87ZOrderRoundTrip,
     q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin,
     q112CascadeDelete, q117Fingerprint, q118SkewReport, q124DictJoin,
-    q130Compaction, q138IvmJoin, q144Skyline)
+    q130Compaction, q138IvmJoin, q144Skyline, q145OrderStats)
 }

@@ -139,6 +139,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "vacuous: empty skyline")
   }
 
+  test("q145: two-pass selection equals a full driver-side sort at every rank") {
+    val got = Registry.byName("q145_order_statistics").run(spark, sfTiny)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toList
+    val vs = Tables.lineitem(spark, sfTiny)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vs.length
+    val expect = List(0.25, 0.5, 0.75, 0.99).map { p =>
+      val k = math.ceil(p * n).toLong
+      (p, k, vs((k - 1).toInt))
+    }
+    assert(got == expect, s"order stats diverge:\n got    $got\n expect $expect")
+  }
+
   test("q140: non-vacuous, canonical pair order, support bounded by min df") {
     val rows = TextAnalysis
       .cooccurrence(spark, sfTiny, minDfFrac = 0.005, maxDfFrac = 0.85, topK = 100)
