@@ -222,4 +222,17 @@ object GraftConf {
       s"spark.graft.quality.minScore must be in [0,1], got $v")
     v
   }
+
+  /** Range-bucket count for the distributed prefix-scan decompositions
+    * (q144 skyline carry-in, q145 two-pass selection). Governs the
+    * parallelism/carry-relation-size trade: per-bucket work is ~n/bins
+    * and the only global window touches `bins` rows. The RESULT is
+    * invariant to this knob by construction — ExtOpsSpec proves
+    * equality across bin counts, which is the correctness property of
+    * the decomposition itself. */
+  def selectionBins(s: SparkSession): Int = {
+    val v = s.conf.get("spark.graft.selection.bins", "256").toInt
+    require(v >= 1, s"spark.graft.selection.bins must be >= 1, got $v")
+    v
+  }
 }

@@ -474,9 +474,62 @@ object Events {
       FROM seq WHERE to_type IS NOT NULL
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q146: time-series resample + forward fill — the gap-repair shape
+    * every downstream rolling/as-of computation assumes: a dense hourly
+    * spine (distinct types × generated hour range, both tiny relations
+    * built from one bounds aggregate — never a driver-side loop) LEFT
+    * joins the hourly sums, and missing hours inherit the last observed
+    * value via last(_, ignoreNulls) over a per-type ordered window,
+    * flagged `was_gap` so imputation stays auditable. Hours before a
+    * type's first observation remain NULL — forward fill only, no
+    * invented history. The per-type window is the honest small-N form;
+    * at 100 TB cardinalities the partition becomes (type, day) with a
+    * per-day carry-in merged exactly like q144's bucketed prefix-max
+    * (same decomposition, max → last-non-null). */
+  val q146ResampleFfill = GraftQuery(
+    "q146_resample_ffill",
+    "timeseries ext: dense resample + audited forward fill",
+    (s, d) => {
+      val ev = Tables.eventsWithTs(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+          col("value"))
+      val hours = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("h"))
+      val types = ev.select(col("event_type")).distinct()
+      val hourly = ev.groupBy(col("h"), col("event_type"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hours.crossJoin(types)
+        .join(hourly, Seq("h", "event_type"), "left")
+        .select(col("event_type"), col("h"),
+          last(col("v"), ignoreNulls = true).over(byType).as("filled"),
+          col("v").isNull.cast("int").as("was_gap"))
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some("""WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+          date_trunc('hour', max(ts)) AS hi FROM events),
+      hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+      types AS (SELECT DISTINCT event_type FROM events),
+      a AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+          round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2)
+      SELECT s.event_type, s.h,
+        last_value(a.v IGNORE NULLS) OVER (
+          PARTITION BY s.event_type ORDER BY s.h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        CAST(a.v IS NULL AS INT) AS was_gap
+      FROM (SELECT h, event_type FROM hours CROSS JOIN types) s
+      LEFT JOIN a ON s.h = a.h AND s.event_type = a.event_type
+      ORDER BY 1, 2"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q70EventWindow, q71Sessionize, q72StreamDedup, q73JsonProps, q74Cube,
     q75AsofJoin, q79Funnel, q89RollingStats, q94CohortRetention,
     q96IntervalJoin, q123LeftOuterAttrib, q125FullOuterAttrib,
-    q137EventTransitions)
+    q137EventTransitions, q146ResampleFfill)
 }

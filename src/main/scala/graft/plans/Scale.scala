@@ -753,9 +753,10 @@ object Scale {
         col("l_quantity").cast("long").as("qty"))
       val bounds = r.agg(min(col("price_cents")).as("lo"),
         max(col("price_cents")).as("hi"))
+      val bins = graft.GraftConf.selectionBins(s).toLong
       val binned = r.crossJoin(broadcast(bounds))
         .withColumn("bin",
-          ((col("price_cents") - col("lo")) * lit(256L)
+          ((col("price_cents") - col("lo")) * lit(bins)
             / (col("hi") - col("lo") + 1)).cast("long"))
       val carry = binned.groupBy(col("bin")).agg(max(col("qty")).as("bmax"))
         .withColumn("carry", max(col("bmax")).over(
@@ -815,9 +816,10 @@ object Scale {
         round(col("l_extendedprice") * 100).cast("long").as("v"))
       val bounds = r.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
         count(lit(1)).as("n"))
+      val bins = graft.GraftConf.selectionBins(s).toLong
       val binned = r.crossJoin(broadcast(bounds))
         .withColumn("bin",
-          ((col("v") - col("lo")) * lit(256L)
+          ((col("v") - col("lo")) * lit(bins)
             / (col("hi") - col("lo") + 1)).cast("long"))
       val binCounts = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
         .withColumn("cum_prev", coalesce(sum(col("c")).over(

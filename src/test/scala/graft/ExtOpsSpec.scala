@@ -153,6 +153,44 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == expect, s"order stats diverge:\n got    $got\n expect $expect")
   }
 
+  test("q146: spine is dense, gaps exist and inherit exactly the last observed value") {
+    val rows = Registry.byName("q146_resample_ffill").run(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getInt(3))).toSeq
+    assert(rows.exists(_._4 == 1), "vacuous: no gap hour in the spine")
+    assert(rows.exists(_._4 == 0), "vacuous: no observed hour")
+    rows.groupBy(_._1).foreach { case (tpe, xs) =>
+      val ordered = xs.sortBy(_._2.getTime)
+      // dense hourly spine
+      ordered.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._2.getTime - a._2.getTime == 3600 * 1000L,
+            s"$tpe: spine not dense at ${a._2} -> ${b._2}")
+        case _ => ()
+      }
+      // forward-fill semantics replayed imperatively
+      var lastSeen: Option[Double] = None
+      ordered.foreach { case (_, h, filled, wasGap) =>
+        if (wasGap == 0) lastSeen = filled
+        assert(filled == lastSeen,
+          s"$tpe @ $h: filled=$filled but last observed=$lastSeen")
+      }
+    }
+  }
+
+  test("q144/q145 results are invariant to spark.graft.selection.bins") {
+    def run(name: String) = Registry.byName(name).run(spark, sfTiny)
+      .collect().map(_.toSeq.toList).toList
+    val defaults = Seq("q144_skyline", "q145_order_statistics").map(n => n -> run(n))
+    try {
+      spark.conf.set("spark.graft.selection.bins", "7")
+      defaults.foreach { case (n, expect) =>
+        assert(run(n) == expect, s"$n changed under bins=7 — decomposition broken")
+      }
+    } finally spark.conf.unset("spark.graft.selection.bins")
+  }
+
   test("q140: non-vacuous, canonical pair order, support bounded by min df") {
     val rows = TextAnalysis
       .cooccurrence(spark, sfTiny, minDfFrac = 0.005, maxDfFrac = 0.85, topK = 100)
