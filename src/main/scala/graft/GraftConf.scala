@@ -58,6 +58,21 @@ object GraftConf {
   def lshNumTables(s: SparkSession): Int =
     s.conf.get("spark.graft.lsh.numHashTables", "8").toInt
 
+  /** Hash-table count for the MULTI-PROBE LSH tier (q149): with ±probes
+    * adjacent-bucket probing each table contributes ~(2·probes+1)
+    * buckets of candidates, so far fewer tables hold the recall —
+    * r6 sweep at threshold 0.35, probes=1: 3 tables -> see BASELINE.md.
+    * The persisted hashed index scales with THIS number, which is the
+    * point: recall per stored table is the multi-probe win. */
+  def lshProbeTables(s: SparkSession): Int =
+    s.conf.get("spark.graft.lsh.probeTables", "3").toInt
+
+  /** Adjacent buckets probed on each side of a vector's own bucket per
+    * table (q149 multi-probe). 1 = probe {-1, 0, +1}. Candidate volume
+    * grows ~linearly in (2·probes+1)·probeTables. */
+  def lshProbes(s: SparkSession): Int =
+    s.conf.get("spark.graft.lsh.probes", "1").toInt
+
   /** Intra-bucket salt fan-out for the LSH candidate self-join: a
     * mega-bucket's O(|bucket|^2) pair generation is split across this
     * many tasks (join *output* skew is invisible to AQE, which splits by

@@ -17,22 +17,31 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read the nanos as LongType (epoch nanos). Use
-      // eventsWithTs for a proper TimestampType column.
+      // older testdata generations store events.ts as parquet
+      // TIMESTAMP(NANOS), which Spark's vectorized reader rejects; this
+      // conf reads those nanos as LongType (no-op for timestamp[us]
+      // generations). Use eventsWithTs for a uniform TimestampType ts.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events with `ts` converted from epoch-nanos long to TimestampType
-    * (microsecond precision — plenty for windowing/watermarks).
-    * `div` (integer division), NOT `/`: SQL `/` on longs goes through
-    * DOUBLE, and epoch nanos (~1.7e18) exceed a double's 2^53 exact
-    * range, so the truncating cast could land a microsecond off. */
+  /** events with `ts` as TimestampType regardless of the testdata
+    * generation: epoch-nanos LONG files convert via integer `div`
+    * (NOT `/`: SQL `/` on longs goes through DOUBLE, and epoch nanos
+    * ~1.7e18 exceed a double's 2^53 exact range, so the truncating
+    * cast could land a microsecond off); timestamp[us] NTZ files cast
+    * NTZ -> TIMESTAMP, value-preserving because every engine session
+    * pins spark.sql.session.timeZone=UTC (the same instant DuckDB's
+    * naive read of the file sees). */
   def eventsWithTs(spark: SparkSession, d: String): DataFrame = {
     val ev = load(spark, d, "events")
-    ev.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        ev.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def region(spark: SparkSession, d: String): DataFrame     = load(spark, d, "region")

@@ -268,11 +268,23 @@ object Ann {
     * cardinality, not input partition bytes.) Same technique as the
     * salted aggregation in plans.Scale (q82). */
   private def nearDupFromBuckets(hashed: DataFrame, idCol: String, embCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, probes: Int = 0): DataFrame = {
     val salts = GraftConf.lshBucketSalts(hashed.sparkSession)
-    val a = hashed.select(col(idCol).as("id1"), col(embCol).as("v1"),
+    val a0 = hashed.select(col(idCol).as("id1"), col(embCol).as("v1"),
       col("ht"), col("bucket"),
       (col(idCol) % salts).cast("int").as("salt"))
+    // Multi-probe (public pattern: Lv et al., VLDB'07): side 1 also
+    // probes the ±probes ADJACENT buckets per table. BRP buckets are
+    // floor(proj/bucketLength), so a near pair split by a bucket
+    // boundary — the dominant LSH miss mode — still meets at |Δ| <= 1;
+    // for fixed (ht, x, y) exactly one offset matches, so no intra-table
+    // duplicate candidates. Buckets are small integers carried as
+    // doubles; adding an integer offset is exact.
+    val a = if (probes == 0) a0
+      else a0
+        .withColumn("dlt", explode(array((-probes to probes).map(o => lit(o.toDouble)): _*)))
+        .withColumn("bucket", col("bucket") + col("dlt"))
+        .drop("dlt")
     val b = hashed.select(col(idCol).as("id2"), col(embCol).as("v2"),
       col("ht"), col("bucket"))
       .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
@@ -383,11 +395,59 @@ object Ann {
     nearDupFromBuckets(probed, "vec_id", "embedding", threshold)
   }
 
+  /** Multi-probe LSH near-dup pairs: same bucket-join-then-verify plan
+    * as [[lshNearDup]], but each vector additionally probes the ±probes
+    * adjacent buckets per table (see nearDupFromBuckets). Why it matters
+    * at 100 TB: recall per STORED TABLE is much higher — probing 3
+    * buckets in each of `numTables` tables buys the recall of ~3× the
+    * tables while the persisted hashed index (the dominant LSH artifact:
+    * one row per vector per table) and the per-vector hash work stay at
+    * `numTables`. The reference reaches the same memory/recall trade
+    * through faiss nprobe (app/vector_search.py:40-47, .env IVF default);
+    * this is the LSH-tier equivalent, index-free on the query side. */
+  def lshMultiProbeNearDup(s: SparkSession, d: String, threshold: Double,
+      bucketLength: Double, numTables: Int, probes: Int): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val hashed = lshHashBuckets(s, d,
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      bucketLength, numTables)
+    nearDupFromBuckets(hashed, "vec_id", "embedding", threshold, probes)
+  }
+
+  /** Conf-default variant (spark.graft.lsh.probeTables/probes). */
+  def lshMultiProbeNearDup(s: SparkSession, d: String, threshold: Double): DataFrame =
+    lshMultiProbeNearDup(s, d, threshold, GraftConf.lshBucketLength(s),
+      GraftConf.lshProbeTables(s), GraftConf.lshProbes(s))
+
   /** q36: LSH-accelerated near-dup pairs (ANN counterpart of exact q31). */
   val q36LshNearDup = GraftQuery(
     "q36_lsh_neardup",
     "J1b,M4,F9; LSH near-dup (no SQL oracle: random projections)",
     (s, d) => lshNearDup(s, d, threshold = 0.35),
+    None)
+
+  /** q149: multi-probe LSH near-dup — the nt-tables-for-3nt-recall form
+    * (index storage and hash work per vector stay at nt; see
+    * lshMultiProbeNearDup). Conf-wired like every sketch knob. */
+  val q149MultiProbeLsh = GraftQuery(
+    "q149_multiprobe_lsh",
+    "J1b ext; multi-probe LSH near-dup (no SQL oracle: random projections)",
+    (s, d) => lshMultiProbeNearDup(s, d, threshold = 0.35),
+    None)
+
+  /** q150: multi-probe recall vs exact q31 — the quality gate shipped as
+    * data, mirroring q37 (single-probe) so the two recalls are directly
+    * comparable per run. */
+  val q150MultiProbeRecall = GraftQuery(
+    "q150_multiprobe_recall",
+    "J1b ext quality gate",
+    (s, d) => {
+      val exact = Similarity.nearDupPairs(s, d, 0.35, prefilterLabel = false)
+        .select(col("id1").as("qid"), col("id2").as("nid"))
+      val ann = lshMultiProbeNearDup(s, d, 0.35)
+        .select(col("id1").as("qid"), col("id2").as("nid"))
+      recallVsExact(ann, exact.select(col("qid"), col("nid")))
+    },
     None)
 
   /** q37: LSH pair recall vs exact q31. */
@@ -584,5 +644,6 @@ object Ann {
 
   def queries: Seq[GraftQuery] = Seq(
     q34IvfKnn, q35IvfRecall, q36LshNearDup, q37LshRecall, q56IvfNearDup,
-    q57IvfPairRecall, q65PqQuantError, q66PqKnn, q67PqRecall)
+    q57IvfPairRecall, q65PqQuantError, q66PqKnn, q67PqRecall,
+    q149MultiProbeLsh, q150MultiProbeRecall)
 }

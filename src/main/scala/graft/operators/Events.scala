@@ -12,8 +12,9 @@ import graft.{GraftQuery, Tables}
   * Streaming query with watermarks — equivalence is asserted by
   * StreamingSpec).
   *
-  * `ts` arrives as parquet TIMESTAMP(NANOS); Tables.eventsWithTs converts
-  * to TimestampType (micros). Window starts group cleanly at scale: the
+  * `ts` normalizes to TimestampType via Tables.eventsWithTs whichever
+  * way the testdata generation stores it (epoch-nanos INT64 or
+  * timestamp[us] NTZ). Window starts group cleanly at scale: the
   * tumbling-window agg is a single hash aggregate on (bucket, type) —
   * partial map-side combine, no row explosion. */
 object Events {

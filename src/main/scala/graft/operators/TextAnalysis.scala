@@ -1452,6 +1452,148 @@ object TextAnalysis {
         round(min(w), 4) AS min_w, round(max(w), 4) AS max_w
       FROM w GROUP BY lang ORDER BY lang"""))
 
+  /** q147: bounded-memory k-per-group priority sample — the reservoir
+    * sample's distributed, DETERMINISTIC equivalent (public bottom-k /
+    * priority-sampling shape: each row gets a uniform pseudo-random
+    * priority, the k smallest per group win, which is exactly a uniform
+    * sample without replacement). Priority is the first 52 bits of
+    * md5(doc_id) — 13 hex chars, so the value is exact in a Double AND
+    * its numeric order equals the hex string's lexicographic order,
+    * which is what lets the DuckDB oracle replay the draw bit-for-bit
+    * (q48's md5-not-murmur3 rule). The plan is the q122 scale shape, not
+    * q47's window: the typed TopKAggregator partial-aggregates per map
+    * task, so each task ships AT MOST k rows per group and no group is
+    * ever sorted — at 100 TB a per-group window sample sorts whole
+    * strata on single reducers, while this shuffles k × groups ×
+    * partitions rows total. Mergeability doubles as the streaming story:
+    * the same buffer is a valid cross-batch sample state. */
+  /** Frame-generic form of q147: k-per-group deterministic priority
+    * sample of `idCol` (long) grouped by `groupCol`. Partial-aggregates
+    * regardless of the input's partitioning — the buffer is a mergeable
+    * sample state (OperatorSpec asserts partition-invariance). */
+  def prioritySample(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    // negate: the aggregator keeps the k LARGEST scores, we want the
+    // k smallest priorities; 52-bit magnitudes negate exactly
+    val negPri = -conv(
+      substring(md5(col(idCol).cast("string").cast("binary")), 1, 13),
+      16, 10).cast("long").cast("double")
+    df.select(col(groupCol), col(idCol), negPri.as("negp"))
+      .groupBy(col(groupCol))
+      .agg(topk(col("negp"), col(idCol)).as("picks"))
+      .select(col(groupCol), posexplode(col("picks")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as(idCol))
+      .orderBy(col(groupCol), col("rank"))
+  }
+
+  val q147PrioritySample = GraftQuery(
+    "q147_priority_sample",
+    "X1/X2 ext + UDAF: map-side bounded k-per-group priority sample",
+    (s, d) => prioritySample(Tables.documents(s, d), "lang", "doc_id", 15),
+    Some("""WITH pr AS (
+        SELECT lang, doc_id,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id)
+            AS rank
+        FROM documents)
+      SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+      FROM pr WHERE rank <= 15 ORDER BY lang, rank"""))
+
+  /** q148: retrieval-quality evaluation — overlap@k, MRR and nDCG for a
+    * fixed query set, the metric layer the IR tier (q135 index, q136 AND,
+    * q141 ranked OR) owes its users: "did the ranking change when I
+    * touched the retriever" must be a QUERY, not a notebook. System
+    * ranking is coordination-level (distinct matching terms, then total
+    * tf — public Manning et al. shape); graded relevance is total tf, so
+    * ideal ranking, DCG and IDCG derive from the same integers and every
+    * ranking decision is an integer sort: bit-stable cross-engine with
+    * no transcendentals (the q78/q141 discipline — the DCG discount is
+    * the HARMONIC 1/(rank+1), not log2, for exactly that reason; same
+    * monotone-discount axioms, exact rationals).
+    *
+    * Scale: one token-stream shuffle bounded by the query vocabulary
+    * filter (only matching tokens move), then per-query windows —
+    * parallel across queries, and a heavy query's top-k routes through
+    * the q147/q122 bounded aggregator if an eval set ever outgrows the
+    * window form. Metrics are per-query rows plus ranks; k bounds
+    * everything downstream. */
+  val q148RetrievalEval = GraftQuery(
+    "q148_retrieval_eval",
+    "IR ext: ranking evaluation metrics (overlap@k, MRR, harmonic nDCG)",
+    (s, d) => {
+      val k = 10
+      val qspec = Seq(
+        "qa" -> Seq("spark", "join"),
+        "qb" -> Seq("window", "sort", "merge"),
+        "qc" -> Seq("vector", "hash"),
+        "qd" -> Seq("stream", "batch", "filter"))
+      import s.implicits._
+      val qrel = qspec.flatMap { case (q, ts) => ts.map(q -> _) }
+        .toDF("qid", "term")
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val matched = tok.join(broadcast(qrel), Seq("term"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(countDistinct(col("term")).as("n_terms"),
+          count(lit(1)).as("rel"))
+      val wSys = Window.partitionBy(col("qid"))
+        .orderBy(col("n_terms").desc, col("rel").desc, col("doc_id"))
+      val wIdeal = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("doc_id"))
+      matched
+        .withColumn("sys_rank", row_number().over(wSys))
+        .withColumn("ideal_rank", row_number().over(wIdeal))
+        .filter(col("sys_rank") <= k || col("ideal_rank") <= k)
+        .groupBy(col("qid"))
+        .agg(
+          round(count(when(col("sys_rank") <= k && col("ideal_rank") <= k,
+            lit(1))) / lit(k * 1.0), 6).as("overlap_at_k"),
+          round(coalesce(max(when(col("ideal_rank") === 1 && col("sys_rank") <= k,
+            lit(1.0) / col("sys_rank"))), lit(0.0)), 6).as("mrr"),
+          round(
+            sum(when(col("sys_rank") <= k,
+              col("rel") / (col("sys_rank") + lit(1.0))).otherwise(lit(0.0))) /
+            sum(when(col("ideal_rank") <= k,
+              col("rel") / (col("ideal_rank") + lit(1.0))).otherwise(lit(0.0))),
+            6).as("ndcg_h"))
+        .orderBy(col("qid"))
+    },
+    Some("""WITH qrel(qid, term) AS (VALUES
+        ('qa', 'spark'), ('qa', 'join'),
+        ('qb', 'window'), ('qb', 'sort'), ('qb', 'merge'),
+        ('qc', 'vector'), ('qc', 'hash'),
+        ('qd', 'stream'), ('qd', 'batch'), ('qd', 'filter')),
+      tk AS (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      m AS (
+        SELECT qid, doc_id, count(DISTINCT tk.term) AS n_terms,
+          count(*) AS rel
+        FROM tk JOIN qrel USING (term) GROUP BY 1, 2),
+      r AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY n_terms DESC, rel DESC, doc_id) AS sys_rank,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY rel DESC, doc_id) AS ideal_rank
+        FROM m)
+      SELECT qid,
+        round(count(CASE WHEN sys_rank <= 10 AND ideal_rank <= 10
+          THEN 1 END) / 10.0, 6) AS overlap_at_k,
+        round(coalesce(max(CASE WHEN ideal_rank = 1 AND sys_rank <= 10
+          THEN 1.0 / sys_rank END), 0.0), 6) AS mrr,
+        round(
+          sum(CASE WHEN sys_rank <= 10
+            THEN rel / (sys_rank + 1.0) ELSE 0.0 END) /
+          sum(CASE WHEN ideal_rank <= 10
+            THEN rel / (ideal_rank + 1.0) ELSE 0.0 END), 6) AS ndcg_h
+      FROM r WHERE sys_rank <= 10 OR ideal_rank <= 10
+      GROUP BY qid ORDER BY qid"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
@@ -1461,5 +1603,6 @@ object TextAnalysis {
     q111TokenBudget, q119DriftReport, q120DictEncode, q121Winsorize,
     q132HeavyHitters, q134StreamedHeavyHitters,
     q135InvertedIndex, q136BooleanRetrieval,
-    q139GroupOutliers, q140Cooccurrence, q141Bm25, q142Triangles)
+    q139GroupOutliers, q140Cooccurrence, q141Bm25, q142Triangles,
+    q147PrioritySample, q148RetrievalEval)
 }

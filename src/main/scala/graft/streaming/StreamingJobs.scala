@@ -30,16 +30,23 @@ object StreamingJobs {
 
   /** Events as an unbounded stream from a parquet directory (one file =
     * one micro-batch here; on a cluster this is the landing zone dir).
-    * ts arrives as TIMESTAMP(NANOS) -> read as epoch-nano long, converted
-    * exactly like the batch path (Tables.eventsWithTs). */
+    * `ts` normalizes to TimestampType whichever way the files store it —
+    * epoch-nanos LONG (old testdata generation) via exact integer `div`,
+    * timestamp[us] NTZ (current generation) via a UTC-session-safe cast —
+    * mirroring the batch path (Tables.eventsWithTs). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // exact int division (see Tables.eventsWithTs)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Run the windowed agg over the directory's backlog with a 1-hour

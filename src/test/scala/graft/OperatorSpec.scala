@@ -160,6 +160,30 @@ class OperatorSpec extends SparkSpec {
       s"${(lsh -- exact).size} spurious survivors")
   }
 
+  test("q150 multi-probe LSH: recall >= 0.99 with fewer tables than single-probe") {
+    val mp = Ann.q150MultiProbeRecall.run(spark, sfTiny).head()
+    val (exactN, foundN) = (mp.getLong(0), mp.getLong(1))
+    val r = foundN.toDouble / exactN
+    assert(exactN > 0 && r >= 0.99,
+      s"multi-probe recall $r ($foundN/$exactN) at " +
+        s"${GraftConf.lshProbeTables(spark)} tables, " +
+        s"probes=${GraftConf.lshProbes(spark)}")
+    assert(GraftConf.lshProbeTables(spark) < GraftConf.lshNumTables(spark),
+      "multi-probe tier must use fewer stored tables than the single-probe tier")
+  }
+
+  test("q147 priority sample is partition-invariant (mergeable sample state)") {
+    import graft.operators.TextAnalysis.prioritySample
+    def run(df: org.apache.spark.sql.DataFrame) =
+      prioritySample(df, "lang", "doc_id", 7).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val docs = Tables.documents(spark, sfTiny)
+    val one = run(docs.coalesce(1))
+    val many = run(docs.repartition(13, col("doc_id")))
+    assert(one.nonEmpty && one == many,
+      s"sample differs across partitionings: ${one.take(3)} vs ${many.take(3)}")
+  }
+
   test("IVF knn recall >= 0.9 vs exact (tiny)") {
     val exact = Similarity.knnExact(spark, sfTiny, k = 2, queryMod = 10)
       .select(col("qid"), col("nid"))

@@ -389,6 +389,20 @@ class StreamingSpec extends SparkSpec {
       s"interval join diverges: ${(streamed -- batch).size} extra, ${(batch -- streamed).size} missing")
   }
 
+  /** Far-future (max ts + 40 days) sentinel literal in the events file's
+    * own ts representation — epoch-nanos LONG for the old testdata
+    * generation, timestamp[us] NTZ for the current one — so the sentinel
+    * file unions/streams against the real file without a schema clash. */
+  private def farFutureTs(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        lit(raw.agg(max(col("ts"))).head.getLong(0) +
+          40L * 24 * 3600 * 1000L * 1000L * 1000L)
+      case _ =>
+        lit(raw.agg(max(col("ts"))).head
+          .getAs[java.time.LocalDateTime](0).plusDays(40))
+    }
+
   test("stream-stream LEFT OUTER interval join == batch q123 after watermark close") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = Files.createTempDirectory("graft_events_lo")
@@ -400,12 +414,10 @@ class StreamingSpec extends SparkSpec {
     // 24 h window so the unmatched-view null rows actually emit before
     // the AvailableNow run drains.
     val raw = spark.read.parquet(s"$sfTiny/events.parquet")
-    val maxTs = raw.agg(max(col("ts"))).head.getLong(0)
-    val farNs = maxTs + 40L * 24 * 3600 * 1000L * 1000L * 1000L
     val one = raw.limit(1)
     val sent = one.withColumn("event_type", lit("view"))
       .unionByName(one.withColumn("event_type", lit("purchase")))
-      .withColumn("ts", lit(farNs))
+      .withColumn("ts", farFutureTs(raw))
       .withColumn("user_id", lit(-1L).cast(one.schema("user_id").dataType))
       .withColumn("event_id", lit(-1L).cast(one.schema("event_id").dataType))
     val tmp = Files.createTempDirectory("graft_lo_sent").resolve("s").toString
@@ -441,12 +453,10 @@ class StreamingSpec extends SparkSpec {
     // purchase (user -1) processed last pushes both watermarks past
     // every real event's window so ALL null-extended rows emit
     val raw = spark.read.parquet(s"$sfTiny/events.parquet")
-    val maxTs = raw.agg(max(col("ts"))).head.getLong(0)
-    val farNs = maxTs + 40L * 24 * 3600 * 1000L * 1000L * 1000L
     val one = raw.limit(1)
     val sent = one.withColumn("event_type", lit("view"))
       .unionByName(one.withColumn("event_type", lit("purchase")))
-      .withColumn("ts", lit(farNs))
+      .withColumn("ts", farFutureTs(raw))
       .withColumn("user_id", lit(-1L).cast(one.schema("user_id").dataType))
       .withColumn("event_id", lit(-1L).cast(one.schema("event_id").dataType))
     val tmp = Files.createTempDirectory("graft_fo_sent").resolve("s").toString
