@@ -1109,9 +1109,48 @@ object Dedup {
     (s, d) => semDedupSurvivors(s, d, threshold = 0.35),
     None)
 
+  /** q153: the q64 transitive dup clusters computed INCREMENTALLY — the
+    * verified near-dup edge set is split into `nBatches` increments and
+    * folded through the streaming CC state contract
+    * (StreamingJobs.applyCcBatch: O(vertices) star-relation state, each
+    * batch merges new edges with the prior stars, batchId-idempotent).
+    * Carries q64's full recursive-CTE oracle: the incremental fold must
+    * reproduce the one-shot transitive closure bit-for-bit, which is
+    * exactly the guarantee a standing "which cluster does this new
+    * posting join" job needs. Mirrors q134's streamed/batch pairing. */
+  def streamedDupClusters(s: SparkSession, d: String, threshold: Double,
+      nBatches: Int): DataFrame = {
+    require(nBatches >= 1)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_cc_state").toString
+    val pairs = sketchVerifiedPairs(s, d, threshold)
+      .select(col("id1"), col("id2")).localCheckpoint(true)
+    (0 until nBatches).foreach { i =>
+      graft.streaming.StreamingJobs.applyCcBatch(s,
+        pairs.filter(pmod(col("id1"), lit(nBatches)) === i), i.toLong, stateDir)
+    }
+    val comp = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+      .withColumnRenamed("v", "doc_id").localCheckpoint(true)
+    val sp = new org.apache.hadoop.fs.Path(stateDir)
+    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    val labeled = Tables.documents(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q153StreamedCc = GraftQuery(
+    "q153_streamed_dup_clusters",
+    "D5 ext + streaming: incremental connected components on versioned state",
+    (s, d) => streamedDupClusters(s, d, threshold = 0.8, nBatches = 3),
+    q64DupClusters.oracle)
+
   def queries: Seq[GraftQuery] = Seq(
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
     q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup,
     q64DupClusters, q68DupSpans, q69IncrementalDedup, q92FuzzyDedup,
-    q109Decontaminate, q129SemDedup, q133DecontaminateBloom)
+    q109Decontaminate, q129SemDedup, q133DecontaminateBloom, q153StreamedCc)
 }

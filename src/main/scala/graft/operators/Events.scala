@@ -528,9 +528,69 @@ object Events {
       LEFT JOIN a ON s.h = a.h AND s.event_type = a.event_type
       ORDER BY 1, 2"""))
 
+  /** q152: interval union ("gaps and islands") — each event opens a
+    * 30-minute activity interval; per user, merge every overlapping
+    * interval chain into islands and report island count + total covered
+    * seconds. The classic span-coverage operator (ad attribution windows,
+    * crawler politeness windows, GPU-occupancy accounting) that naive
+    * summing double-counts. One pass: a running max(end) over preceding
+    * rows marks island starts (strictly-after ⇒ new island), a running
+    * sum of the marks numbers islands, then two bounded aggregates.
+    * Shuffle = one window per user (parallel across users, the q71/q89
+    * shape); all arithmetic is integer epoch-seconds, so the oracle
+    * replays it exactly. */
+  val q152IntervalUnion = GraftQuery(
+    "q152_interval_union",
+    "Event-time ext: gaps-and-islands interval union / coverage",
+    (s, d) => {
+      val sess = 1800L
+      val ev = Tables.eventsWithTs(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("st"))
+        .withColumn("en", col("st") + sess)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("st"), col("event_id"))
+      val prevMaxEnd = max(col("en"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      ev
+        .withColumn("ni",
+          when(prevMaxEnd.isNull || col("st") > prevMaxEnd, 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("ien") - col("ist")).as("covered_s"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS st,
+          CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en
+        FROM events),
+      m AS (
+        SELECT user_id, event_id, st, en,
+          CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            OR st > max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          THEN 1 ELSE 0 END AS ni
+        FROM ev),
+      isl AS (
+        SELECT user_id, st, en,
+          sum(ni) OVER (PARTITION BY user_id ORDER BY st, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM m),
+      per_island AS (
+        SELECT user_id, island, min(st) AS ist, max(en) AS ien
+        FROM isl GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_islands,
+        CAST(sum(ien - ist) AS BIGINT) AS covered_s
+      FROM per_island GROUP BY user_id ORDER BY user_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q70EventWindow, q71Sessionize, q72StreamDedup, q73JsonProps, q74Cube,
     q75AsofJoin, q79Funnel, q89RollingStats, q94CohortRetention,
     q96IntervalJoin, q123LeftOuterAttrib, q125FullOuterAttrib,
-    q137EventTransitions, q146ResampleFfill)
+    q137EventTransitions, q146ResampleFfill, q152IntervalUnion)
 }

@@ -1594,7 +1594,121 @@ object TextAnalysis {
       FROM r WHERE sys_rank <= 10 OR ideal_rank <= 10
       GROUP BY qid ORDER BY qid"""))
 
+  /** q151: Count-Min sketch — the OVERestimating mergeable frequency
+    * summary next to q132's UNDERestimating Misra-Gries (together they
+    * sandwich every true count; public mergeable-summaries results,
+    * Cormode-Muthukrishnan / Agarwal et al.). The sketch is d×w cells of
+    * exact integer adds: each token occurrence increments one cell per
+    * row j at md5-derived column cell_j(term), a point estimate is the
+    * MIN over its d cells — never below the true count, above it by at
+    * most n/w per row with prob ≥ 1−2^−d. The hashes are md5-derived
+    * (not murmur3) so the DuckDB oracle replays the ENTIRE sketch and
+    * the estimates bit-for-bit — a fully oracle-checked sketch.
+    *
+    * Scale story: the build is one aggregate whose partial state is
+    * capped at d×w rows PER PARTITION no matter the vocabulary — the
+    * shuffle is O(d·w·partitions) where exact term counting shuffles
+    * the vocabulary. That fixed size is also the streaming story: the
+    * cell relation is additive across batches (same merge contract as
+    * applyAggBatch state). Probe terms here are the exact top-15 (the
+    * q45 display side, which doubles as the est ≥ exact verification). */
+  /** The CMS hash: md5-derived (oracle-replayable) column index of
+    * `term` in sketch row `j`. */
+  private def cmsCell(term: Column, j: Column, width: Int): Column =
+    conv(substring(md5(concat(lit("cms"), j.cast("string"), lit(":"), term)
+      .cast("binary")), 1, 13), 16, 10).cast("long") % width
+
+  /** Count-Min cell relation (j, cell, cnt) of a document frame — the
+    * sketch AS DATA. Partial-agg state is capped at depth×width rows per
+    * partition whatever the vocabulary, and the relation is ADDITIVE:
+    * summing two frames' cells is the sketch of their union, which is
+    * both the merge story and the streaming story (applyCmsBatch). */
+  def cmsCells(df: DataFrame, textCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1)
+    df.select(explode(toks(col(textCol))).as("term"))
+      .withColumn("j", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("cell", cmsCell(col("term"), col("j"), width))
+      .groupBy(col("j"), col("cell")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the exact top-15 corpus terms against `sketch`
+    * (min over each term's depth cells) — the shared display/verify
+    * side of q151 and its streamed twin q154. */
+  private def cmsProbe(s: SparkSession, d: String, sketch: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val top = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(15)
+    top
+      .withColumn("j", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("cell", cmsCell(col("term"), col("j"), width))
+      .join(sketch, Seq("j", "cell"))
+      .groupBy(col("term"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+  }
+
+  val q151CountMinSketch = GraftQuery(
+    "q151_countmin_sketch",
+    "A ext: Count-Min frequency sketch, fully oracle-replayable",
+    (s, d) => cmsProbe(s, d,
+      cmsCells(Tables.documents(s, d), "text", depth = 4, width = 1024),
+      depth = 4, width = 1024),
+    Some("""WITH tk AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      js AS (SELECT unnest(range(0, 4)) AS j),
+      sketch AS (
+        SELECT j,
+          ('0x' || substr(md5('cms' || j || ':' || term), 1, 13))::BIGINT
+            % 1024 AS cell,
+          count(*) AS cnt
+        FROM tk CROSS JOIN js GROUP BY 1, 2),
+      top AS (
+        SELECT term, count(*) AS exact_cnt FROM tk GROUP BY 1
+        ORDER BY exact_cnt DESC, term LIMIT 15),
+      probe AS (
+        SELECT t.term, t.exact_cnt, j,
+          ('0x' || substr(md5('cms' || j || ':' || t.term), 1, 13))::BIGINT
+            % 1024 AS cell
+        FROM top t CROSS JOIN js)
+      SELECT p.term, p.exact_cnt, CAST(min(s.cnt) AS BIGINT) AS cms_est
+      FROM probe p JOIN sketch s USING (j, cell)
+      GROUP BY 1, 2 ORDER BY exact_cnt DESC, term"""))
+
+  /** q154: the q151 sketch maintained INCREMENTALLY — documents split
+    * into batches and folded through the streaming CMS state contract
+    * (StreamingJobs.applyCmsBatch: ≤ depth×width-row additive state,
+    * batchId-idempotent versioned commits), then probed identically.
+    * Carries q151's full oracle: the drained stream's sketch must be
+    * bit-identical to the one-shot batch sketch — additivity proven
+    * cross-engine, the q134/q132 and q153/q64 pairing applied to CMS. */
+  def streamedCms(s: SparkSession, d: String, nBatches: Int): DataFrame = {
+    require(nBatches >= 1)
+    val depth = 4; val width = 1024
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_cms_state").toString
+    val docs = Tables.documents(s, d)
+    (0 until nBatches).foreach { i =>
+      graft.streaming.StreamingJobs.applyCmsBatch(s,
+        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), "text",
+        i.toLong, depth, width, stateDir)
+    }
+    val sketch = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+      .localCheckpoint(true)
+    val sp = new org.apache.hadoop.fs.Path(stateDir)
+    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    cmsProbe(s, d, sketch, depth, width)
+  }
+
+  val q154StreamedCms = GraftQuery(
+    "q154_streamed_cms",
+    "A ext + streaming: incremental Count-Min sketch (additive state)",
+    (s, d) => streamedCms(s, d, nBatches = 3),
+    q151CountMinSketch.oracle)
+
   def queries: Seq[GraftQuery] = Seq(
+    q151CountMinSketch, q154StreamedCms,
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,

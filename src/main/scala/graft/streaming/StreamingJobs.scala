@@ -500,6 +500,116 @@ object StreamingJobs {
     q
   }
 
+  /** Merge one micro-batch of documents into a persistent Count-Min
+    * cell relation, exactly once per batchId (the [[applyAggBatch]]
+    * versioned contract). The CMS is ADDITIVE — summing cell counts of
+    * two corpora is the sketch of their union — so the merge is one
+    * ≤ depth×width-row union+sum; state stays ≤ depth×width rows
+    * forever. The streamed sketch is bit-identical to the one-shot
+    * batch sketch (q154 carries q151's full oracle to prove it). */
+  def applyCmsBatch(spark: SparkSession, batch: DataFrame, textCol: String,
+      batchId: Long, depth: Int, width: Int, stateDir: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, dir)
+    if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
+    val delta = graft.operators.TextAnalysis.cmsCells(batch, textCol, depth, width)
+    val merged = versions.lastOption match {
+      case Some((_, p)) =>
+        spark.read.parquet(p.toString).unionByName(delta)
+          .groupBy(col("j"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+      case None => delta
+    }
+    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
+    merged.coalesce(1).write.mode("overwrite").parquet(target.toString)
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    true
+  }
+
+  /** Streaming Count-Min maintenance: document files arriving as a
+    * stream keep the q151 frequency sketch current, one [[applyCmsBatch]]
+    * merge per micro-batch; read it any time with [[latestAggState]]. */
+  def runStreamingCms(spark: SparkSession, streamDir: String, textCol: String,
+      depth: Int, width: Int, stateDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCmsBatch(spark, batch, textCol, batchId, depth, width, stateDir); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Merge one micro-batch of (id1, id2) edges into a persistent
+    * connected-components labeling, exactly once per batchId (the
+    * [[applyAggBatch]] versioned `state_b<id>`/_SUCCESS contract). State
+    * is the (v, label) star relation — O(vertices), never the edge
+    * history: prior components re-enter the next round AS their star
+    * edges (v → label; singletons as self-pairs, which the CC vertex
+    * set keeps and labels as themselves), so components of
+    * (stars ∪ new edges) equal components of (all edges ever seen) and
+    * the per-trigger alternation converges in O(1) rounds when the
+    * batch merges few components — the prior part is already star-form.
+    * Cost per trigger: CC over |state| + |batch| edges, never the
+    * accumulated edge stream. */
+  def applyCcBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      stateDir: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, dir)
+    if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
+    val edges = batch.select(col("id1"), col("id2"))
+    val comb = versions.lastOption match {
+      case Some((_, p)) =>
+        spark.read.parquet(p.toString)
+          .select(col("v").as("id1"), col("label").as("id2"))
+          .unionByName(edges)
+      case None => edges
+    }
+    val labels = graft.operators.Dedup.connectedComponents(comb)
+    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
+    labels.coalesce(1).write.mode("overwrite").parquet(target.toString)
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    true
+  }
+
+  /** Streaming connected-components maintenance: edge files arriving as
+    * a stream keep the dup-cluster labeling current (q64 as a standing
+    * job — "which cluster does this new posting join" without re-running
+    * CC over history). Read the labeling any time with [[latestAggState]];
+    * drained state == one-shot batch CC over every edge (StreamingSpec
+    * proves it, plus replay idempotency). */
+  def runStreamingCc(spark: SparkSession, streamDir: String,
+      stateDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCcBatch(spark, batch, batchId, stateDir); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming JOIN-VIEW maintenance — q138's delta algebra as a
     * standing job for the static-dimension case: fact deltas (lineitem
     * files) arrive as a stream, each micro-batch is enriched against

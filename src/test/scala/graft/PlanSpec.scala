@@ -195,6 +195,16 @@ class PlanSpec extends SparkSpec {
     assert(!physical.contains("Window"), s"fell back to a window sort:\n$physical")
   }
 
+  test("q147 priority sample plans partial->final like q122: no per-stratum sort") {
+    val df = Registry.byName("q147_priority_sample").run(spark, sfTiny)
+    df.count()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.toLowerCase.contains("partial_topkaggregator")
+      || physical.toLowerCase.contains("partial_topkagg"),
+      s"no partial sample aggregation:\n$physical")
+    assert(!physical.contains("Window"), s"fell back to a window sort:\n$physical")
+  }
+
   test("q115 star join: dims broadcast, fact-fact join shuffles (the 100 TB shape)") {
     // auto-broadcast off = the regime where orders is genuinely too big
     // to broadcast (it is ~25% of a 100 TB TPC-H); the explicit hints on

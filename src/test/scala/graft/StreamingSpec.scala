@@ -485,6 +485,29 @@ class StreamingSpec extends SparkSpec {
       s"full-outer join diverges: ${(streamed -- batch).size} extra, ${(batch -- streamed).size} missing")
   }
 
+  test("applyCcBatch: chain merges across batches; replay is a no-op; == one-shot CC") {
+    val ss = spark
+    import ss.implicits._
+    val stateDir = Files.createTempDirectory("graft_cc_idem").toString
+    // batch 0: two separate 2-chains; batch 1 bridges them and adds an
+    // isolated self-pair vertex
+    val b0 = Seq((0L, 1L), (2L, 3L)).toDF("id1", "id2")
+    val b1 = Seq((1L, 2L), (7L, 7L)).toDF("id1", "id2")
+    def snap() = StreamingJobs.latestAggState(spark, stateDir).get._2
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(StreamingJobs.applyCcBatch(spark, b0, 0L, stateDir))
+    assert(snap() == Set((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L)))
+    assert(StreamingJobs.applyCcBatch(spark, b1, 1L, stateDir))
+    val once = snap()
+    val oneShot = graft.operators.Dedup.connectedComponents(b0.unionByName(b1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(once == oneShot, s"incremental $once != one-shot $oneShot")
+    assert(once == Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (7L, 7L)))
+    // replayed batchId: no-op, state unchanged
+    assert(!StreamingJobs.applyCcBatch(spark, b0, 1L, stateDir))
+    assert(snap() == once)
+  }
+
   test("streaming dedup (dropDuplicates + watermark) == batch keep-first key set") {
     StreamingJobs.runStreamingDedup(spark, streamDir, "dedup_test")
     val streamedKeys = spark.table("dedup_test")
