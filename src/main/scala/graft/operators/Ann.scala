@@ -158,7 +158,13 @@ object Ann {
     * centroids (tiny broadcast cross join), keep the nprobe nearest cells,
     * then equi-join the cell assignment and take per-query top-k by
     * cosine. */
-  def ivfKnn(s: SparkSession, d: String, k: Int, nprobe: Int, queryMod: Int): DataFrame = {
+  /** Scored IVF candidates (qid, nid, sim) shared by the window form
+    * (ivfKnn) and the aggregator form (ivfKnnAgg): probe the nprobe
+    * nearest cells per query (centroid ranking is over the BROADCAST
+    * centroid set — bounded by ncells, not the corpus), join candidates
+    * within probed cells, score with the codegen cosine kernel. */
+  private def ivfScoredCandidates(s: SparkSession, d: String, nprobe: Int,
+      queryMod: Int): DataFrame = {
     val (assigned, centroids) = ivfIndex(s, d)
     val queries = assigned
       .filter(col("vec_id") % queryMod === 0)
@@ -171,16 +177,38 @@ object Ann {
         row_number().over(Window.partitionBy(col("qid")).orderBy(col("cdist"), col("centroid_id"))))
       .filter(col("crank") <= nprobe)
       .select(col("qid"), col("qvec"), col("centroid_id"))
-    val scored = probed
+    probed
       .join(assigned.select(col("centroid_id"), col("vec_id").as("nid"), col("vec").as("nvec")),
         Seq("centroid_id"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosineFast(col("qvec"), col("nvec")).as("sim"))
-    scored
+  }
+
+  def ivfKnn(s: SparkSession, d: String, k: Int, nprobe: Int, queryMod: Int): DataFrame =
+    ivfScoredCandidates(s, d, nprobe, queryMod)
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+
+  /** Window-free IVF kNN: identical candidates and tie-breaks as
+    * [[ivfKnn]], but the per-query top-k runs through the bounded
+    * [[graft.functions.TopKAggregator]] (partial→final heaps) instead of
+    * a row_number window. The window form SORTS every candidate of every
+    * query behind one exchange; this ships ≤ k rows per query per map
+    * task and sorts nothing — at 100 TB query batches (nprobe·N/cells
+    * candidates per query) that is the q122 argument applied to the ANN
+    * search path itself. OperatorSpec pins result equality with q34;
+    * PlanSpec pins the partial aggregation. */
+  def ivfKnnAgg(s: SparkSession, d: String, k: Int, nprobe: Int, queryMod: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    ivfScoredCandidates(s, d, nprobe, queryMod)
+      .groupBy(col("qid"))
+      .agg(topk(col("sim"), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("nid"), round(col("col._1"), 4).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -642,8 +670,17 @@ object Ann {
       Similarity.knnExact(s, d, k = 2, queryMod = 10)),
     None)
 
+  /** q156: the aggregator-form IVF kNN registered next to q34's window
+    * form — same answer (OperatorSpec), scale-preferable plan (see
+    * ivfKnnAgg). */
+  val q156IvfKnnAgg = GraftQuery(
+    "q156_ivf_knn_agg",
+    "J1c/T3 UDAF: window-free IVF kNN via bounded partial top-k heaps",
+    (s, d) => ivfKnnAgg(s, d, k = 2, nprobe = GraftConf.ivfNprobe(s), queryMod = 10),
+    None)
+
   def queries: Seq[GraftQuery] = Seq(
     q34IvfKnn, q35IvfRecall, q36LshNearDup, q37LshRecall, q56IvfNearDup,
     q57IvfPairRecall, q65PqQuantError, q66PqKnn, q67PqRecall,
-    q149MultiProbeLsh, q150MultiProbeRecall)
+    q149MultiProbeLsh, q150MultiProbeRecall, q156IvfKnnAgg)
 }

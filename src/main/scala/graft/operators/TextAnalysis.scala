@@ -1614,7 +1614,7 @@ object TextAnalysis {
     * q45 display side, which doubles as the est ≥ exact verification). */
   /** The CMS hash: md5-derived (oracle-replayable) column index of
     * `term` in sketch row `j`. */
-  private def cmsCell(term: Column, j: Column, width: Int): Column =
+  private[graft] def cmsCell(term: Column, j: Column, width: Int): Column =
     conv(substring(md5(concat(lit("cms"), j.cast("string"), lit(":"), term)
       .cast("binary")), 1, 13), 16, 10).cast("long") % width
 
@@ -1707,8 +1707,38 @@ object TextAnalysis {
     (s, d) => streamedCms(s, d, nBatches = 3),
     q151CountMinSketch.oracle)
 
+  /** q155: the q147 sample maintained INCREMENTALLY — documents folded
+    * through the streaming sample state contract
+    * (StreamingJobs.applySampleBatch: ≤ k-row-per-group bottom-k state,
+    * batchId-idempotent versioned commits). Bottom-k by data-derived
+    * priority is a mergeable summary, so the drained sample IS the
+    * one-shot draw — q155 carries q147's oracle to prove it bit-for-bit
+    * (the reservoir-sample-over-a-stream answer, deterministic). */
+  def streamedPrioritySample(s: SparkSession, d: String, k: Int,
+      nBatches: Int): DataFrame = {
+    require(nBatches >= 1)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_samp_state").toString
+    val docs = Tables.documents(s, d)
+    (0 until nBatches).foreach { i =>
+      graft.streaming.StreamingJobs.applySampleBatch(s,
+        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), i.toLong,
+        "lang", "doc_id", k, stateDir)
+    }
+    val state = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+      .localCheckpoint(true)
+    val sp = new org.apache.hadoop.fs.Path(stateDir)
+    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    prioritySample(state, "lang", "doc_id", k)
+  }
+
+  val q155StreamedSample = GraftQuery(
+    "q155_streamed_sample",
+    "X ext + streaming: incremental bottom-k priority sample (mergeable state)",
+    (s, d) => streamedPrioritySample(s, d, k = 15, nBatches = 3),
+    q147PrioritySample.oracle)
+
   def queries: Seq[GraftQuery] = Seq(
-    q151CountMinSketch, q154StreamedCms,
+    q151CountMinSketch, q154StreamedCms, q155StreamedSample,
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,

@@ -550,6 +550,40 @@ object StreamingJobs {
     q
   }
 
+  /** Merge one micro-batch into a persistent k-per-group priority
+    * sample, exactly once per batchId ([[applyAggBatch]] contract).
+    * State is (group, id) — ≤ k rows per group forever. Bottom-k by a
+    * data-derived priority is MERGEABLE: the k smallest of (prior
+    * bottom-k ∪ batch) equal the k smallest of everything ever seen,
+    * so the drained sample is bit-identical to the one-shot draw (q155
+    * carries q147's oracle to prove it) — the distributed, deterministic
+    * equivalent of maintaining a reservoir sample over a stream. */
+  def applySampleBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      groupCol: String, idCol: String, k: Int, stateDir: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, dir)
+    if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
+    val delta = batch.select(col(groupCol), col(idCol))
+    val comb = versions.lastOption match {
+      case Some((_, p)) => spark.read.parquet(p.toString).unionByName(delta)
+      case None => delta
+    }
+    val picks = graft.operators.TextAnalysis
+      .prioritySample(comb, groupCol, idCol, k)
+      .select(col(groupCol), col(idCol))
+    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
+    picks.coalesce(1).write.mode("overwrite").parquet(target.toString)
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    true
+  }
+
   /** Merge one micro-batch of (id1, id2) edges into a persistent
     * connected-components labeling, exactly once per batchId (the
     * [[applyAggBatch]] versioned `state_b<id>`/_SUCCESS contract). State

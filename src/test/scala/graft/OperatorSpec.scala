@@ -172,6 +172,15 @@ class OperatorSpec extends SparkSpec {
       "multi-probe tier must use fewer stored tables than the single-probe tier")
   }
 
+  test("q156 aggregator-form IVF kNN == q34 window form, row for row") {
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val win = shape(Ann.q34IvfKnn.run(spark, sfTiny))
+    val agg = shape(Ann.q156IvfKnnAgg.run(spark, sfTiny))
+    assert(win.nonEmpty && win == agg,
+      s"forms diverge: window ${win.take(3)} vs aggregator ${agg.take(3)}")
+  }
+
   test("q147 priority sample is partition-invariant (mergeable sample state)") {
     import graft.operators.TextAnalysis.prioritySample
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -205,6 +205,15 @@ class PlanSpec extends SparkSpec {
     assert(!physical.contains("Window"), s"fell back to a window sort:\n$physical")
   }
 
+  test("q156 IVF kNN aggregator form partial-aggregates the search top-k") {
+    val df = Registry.byName("q156_ivf_knn_agg").run(spark, sfTiny)
+    df.count()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.toLowerCase.contains("partial_topkaggregator")
+      || physical.toLowerCase.contains("partial_topkagg"),
+      s"no partial top-k aggregation in the search stage:\n$physical")
+  }
+
   test("q115 star join: dims broadcast, fact-fact join shuffles (the 100 TB shape)") {
     // auto-broadcast off = the regime where orders is genuinely too big
     // to broadcast (it is ~25% of a 100 TB TPC-H); the explicit hints on
