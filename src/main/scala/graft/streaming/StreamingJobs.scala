@@ -161,29 +161,13 @@ object StreamingJobs {
     * stored graph rows ride one shuffle to meet their batch points),
     * never a rebuild. */
   def applyGraphBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      corpusDir: String, stateDir: String): Boolean = {
-    val dir = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = committedVersions(fs, dir)
-    if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
-    val base = versions.lastOption match {
-      case Some((_, p)) => spark.read.parquet(p.toString)
-      case None =>
-        graft.operators.Nsw.graphsForFrame(graft.Tables.embeddings(spark, corpusDir))
+      corpusDir: String, stateDir: String): Boolean =
+    withStateVersion(spark, stateDir, batchId, coalesceOne = false) { prev =>
+      val base = prev.getOrElse(
+        graft.operators.Nsw.graphsForFrame(graft.Tables.embeddings(spark, corpusDir)))
+      graft.operators.Nsw.addToGraphs(base,
+        batch.select(col("vec_id"), col("embedding")))
     }
-    val updated = graft.operators.Nsw.addToGraphs(base,
-      batch.select(col("vec_id"), col("embedding")))
-    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
-    updated.write.mode("overwrite").parquet(target.toString)
-    fs.listStatus(dir).foreach { st =>
-      st.getPath.getName match {
-        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
-          fs.delete(st.getPath, true)
-        case _ => ()
-      }
-    }
-    true
-  }
 
   /** The latest committed NSW graph state; None before any batch. */
   def latestGraphState(spark: SparkSession, stateDir: String): Option[(Long, DataFrame)] = {
@@ -330,6 +314,38 @@ object StreamingJobs {
 
   private val StateVersionRe = "state_b(\\d+)".r
 
+  /** The versioned state-commit contract EVERY apply*Batch shares (one
+    * definition, so the crash-safety guarantees cannot drift apart):
+    * no-op (false) when a version >= batchId is already committed;
+    * otherwise hand the latest committed state (None on bootstrap) to
+    * `merge`, commit its result as `state_b<batchId>` (the parquet
+    * job's _SUCCESS is the commit point), and only then GC superseded
+    * versions plus uncommitted leftovers of crashed attempts — a crash
+    * anywhere leaves a committed predecessor to recover from.
+    * `coalesceOne` packs small state relations into one file; pass
+    * false for corpus-sized state (the NSW graphs). */
+  private def withStateVersion(spark: SparkSession, stateDir: String,
+      batchId: Long, coalesceOne: Boolean = true)
+      (merge: Option[DataFrame] => DataFrame): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, dir)
+    if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
+    val prev = versions.lastOption.map { case (_, p) => spark.read.parquet(p.toString) }
+    val out = merge(prev)
+    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
+    (if (coalesceOne) out.coalesce(1) else out)
+      .write.mode("overwrite").parquet(target.toString)
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    true
+  }
+
   /** Committed (_SUCCESS-marked) state versions under `stateDir` as
     * (batchId, path), ascending by batchId. */
   private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
@@ -362,30 +378,12 @@ object StreamingJobs {
     * only then garbage-collects superseded versions (a crash anywhere
     * leaves a committed predecessor to recover from). */
   def applyAggBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      key: String, valueCol: String, stateDir: String): Boolean = {
-    val dir = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = committedVersions(fs, dir)
-    if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
-    val delta = graft.plans.Scale.aggState(batch, key, valueCol)
-    val merged = versions.lastOption match {
-      case Some((_, p)) =>
-        graft.plans.Scale.mergeAggStates(spark.read.parquet(p.toString), delta, key)
-      case None => delta
+      key: String, valueCol: String, stateDir: String): Boolean =
+    withStateVersion(spark, stateDir, batchId) { prev =>
+      val delta = graft.plans.Scale.aggState(batch, key, valueCol)
+      prev.map(p => graft.plans.Scale.mergeAggStates(p, delta, key))
+        .getOrElse(delta)
     }
-    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
-    merged.coalesce(1).write.mode("overwrite").parquet(target.toString)
-    // GC strictly after the new version committed: superseded committed
-    // versions plus any uncommitted leftovers from crashed attempts.
-    fs.listStatus(dir).foreach { st =>
-      st.getPath.getName match {
-        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
-          fs.delete(st.getPath, true)
-        case _ => ()
-      }
-    }
-    true
-  }
 
   /** Merge one micro-batch of documents into a persistent Misra-Gries
     * heavy-hitter summary, exactly once per batchId (same versioned
@@ -411,41 +409,33 @@ object StreamingJobs {
   def applyMgBatch(spark: SparkSession, batch: DataFrame, textCol: String,
       batchId: Long, k: Int, stateDir: String): Boolean = {
     require(k >= 1, s"counter budget k must be >= 1, got $k")
-    val dir = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = committedVersions(fs, dir)
-    if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
-    val tok = batch.select(
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-    val delta = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt")).cache()
-    val batchN = delta.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
-    val prev = versions.lastOption.map { case (_, p) => spark.read.parquet(p.toString) }
-    val prevTotal = prev.map(_.agg(max(col("total_n"))).head().getLong(0)).getOrElse(0L)
-    val prevCounters = prev.map(_.filter(col("term").isNotNull)
-      .select(col("term"), col("cnt"))).getOrElse(delta.limit(0))
-    val merged = prevCounters.unionByName(delta)
-      .groupBy(col("term")).agg(sum(col("cnt")).as("cnt")).cache()
-    val top = merged.select(col("cnt")).orderBy(col("cnt").desc)
-      .limit(k + 1).collect().map(_.getLong(0))
-    val cStar = if (top.length <= k) 0L else top.last
-    val newTotal = prevTotal + batchN
-    val sentinel = spark.range(1).select(
-      lit(null).cast("string").as("term"), lit(0L).as("cnt"))
-    val out = merged.select(col("term"), (col("cnt") - cStar).as("cnt"))
-      .filter(col("cnt") > 0)
-      .unionByName(sentinel)
-      .withColumn("total_n", lit(newTotal))
-    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
-    out.coalesce(1).write.mode("overwrite").parquet(target.toString)
-    delta.unpersist(); merged.unpersist()
-    fs.listStatus(dir).foreach { st =>
-      st.getPath.getName match {
-        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
-          fs.delete(st.getPath, true)
-        case _ => ()
-      }
+    // cached intermediates outlive the merge closure so they can be
+    // unpersisted after the state write materializes them
+    var cached: Seq[DataFrame] = Nil
+    val applied = withStateVersion(spark, stateDir, batchId) { prev =>
+      val tok = batch.select(
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      val delta = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt")).cache()
+      val batchN = delta.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      val prevTotal = prev.map(_.agg(max(col("total_n"))).head().getLong(0)).getOrElse(0L)
+      val prevCounters = prev.map(_.filter(col("term").isNotNull)
+        .select(col("term"), col("cnt"))).getOrElse(delta.limit(0))
+      val merged = prevCounters.unionByName(delta)
+        .groupBy(col("term")).agg(sum(col("cnt")).as("cnt")).cache()
+      cached = Seq(delta, merged)
+      val top = merged.select(col("cnt")).orderBy(col("cnt").desc)
+        .limit(k + 1).collect().map(_.getLong(0))
+      val cStar = if (top.length <= k) 0L else top.last
+      val newTotal = prevTotal + batchN
+      val sentinel = spark.range(1).select(
+        lit(null).cast("string").as("term"), lit(0L).as("cnt"))
+      merged.select(col("term"), (col("cnt") - cStar).as("cnt"))
+        .filter(col("cnt") > 0)
+        .unionByName(sentinel)
+        .withColumn("total_n", lit(newTotal))
     }
-    true
+    cached.foreach(_.unpersist())
+    applied
   }
 
   /** Streaming heavy-hitter maintenance: the q132 Misra-Gries summary
@@ -508,29 +498,15 @@ object StreamingJobs {
     * forever. The streamed sketch is bit-identical to the one-shot
     * batch sketch (q154 carries q151's full oracle to prove it). */
   def applyCmsBatch(spark: SparkSession, batch: DataFrame, textCol: String,
-      batchId: Long, depth: Int, width: Int, stateDir: String): Boolean = {
-    val dir = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = committedVersions(fs, dir)
-    if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
-    val delta = graft.operators.TextAnalysis.cmsCells(batch, textCol, depth, width)
-    val merged = versions.lastOption match {
-      case Some((_, p)) =>
-        spark.read.parquet(p.toString).unionByName(delta)
+      batchId: Long, depth: Int, width: Int, stateDir: String): Boolean =
+    withStateVersion(spark, stateDir, batchId) { prev =>
+      val delta = graft.operators.TextAnalysis.cmsCells(batch, textCol, depth, width)
+      prev match {
+        case Some(p) => p.unionByName(delta)
           .groupBy(col("j"), col("cell")).agg(sum(col("cnt")).as("cnt"))
-      case None => delta
-    }
-    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
-    merged.coalesce(1).write.mode("overwrite").parquet(target.toString)
-    fs.listStatus(dir).foreach { st =>
-      st.getPath.getName match {
-        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
-          fs.delete(st.getPath, true)
-        case _ => ()
+        case None => delta
       }
     }
-    true
-  }
 
   /** Streaming Count-Min maintenance: document files arriving as a
     * stream keep the q151 frequency sketch current, one [[applyCmsBatch]]
@@ -559,30 +535,19 @@ object StreamingJobs {
     * carries q147's oracle to prove it) — the distributed, deterministic
     * equivalent of maintaining a reservoir sample over a stream. */
   def applySampleBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      groupCol: String, idCol: String, k: Int, stateDir: String): Boolean = {
-    val dir = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = committedVersions(fs, dir)
-    if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
-    val delta = batch.select(col(groupCol), col(idCol))
-    val comb = versions.lastOption match {
-      case Some((_, p)) => spark.read.parquet(p.toString).unionByName(delta)
-      case None => delta
+      groupCol: String, idCol: String, k: Int, stateDir: String): Boolean =
+    withStateVersion(spark, stateDir, batchId) { prev =>
+      val delta = batch.select(col(groupCol), col(idCol))
+      // SET union, not bag union: an id re-delivered in a later batch
+      // (at-least-once upstream, overlapping landing files — the batchId
+      // guard only stops exact replays) would otherwise enter the state
+      // twice with the same priority, tie itself into the bottom-k
+      // forever, and displace a legitimately distinct pick
+      val comb = prev.map(_.unionByName(delta)).getOrElse(delta)
+        .dropDuplicates(groupCol, idCol)
+      graft.operators.TextAnalysis.prioritySample(comb, groupCol, idCol, k)
+        .select(col(groupCol), col(idCol))
     }
-    val picks = graft.operators.TextAnalysis
-      .prioritySample(comb, groupCol, idCol, k)
-      .select(col(groupCol), col(idCol))
-    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
-    picks.coalesce(1).write.mode("overwrite").parquet(target.toString)
-    fs.listStatus(dir).foreach { st =>
-      st.getPath.getName match {
-        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
-          fs.delete(st.getPath, true)
-        case _ => ()
-      }
-    }
-    true
-  }
 
   /** Merge one micro-batch of (id1, id2) edges into a persistent
     * connected-components labeling, exactly once per batchId (the
@@ -597,31 +562,16 @@ object StreamingJobs {
     * Cost per trigger: CC over |state| + |batch| edges, never the
     * accumulated edge stream. */
   def applyCcBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      stateDir: String): Boolean = {
-    val dir = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = committedVersions(fs, dir)
-    if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
-    val edges = batch.select(col("id1"), col("id2"))
-    val comb = versions.lastOption match {
-      case Some((_, p)) =>
-        spark.read.parquet(p.toString)
-          .select(col("v").as("id1"), col("label").as("id2"))
-          .unionByName(edges)
-      case None => edges
-    }
-    val labels = graft.operators.Dedup.connectedComponents(comb)
-    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
-    labels.coalesce(1).write.mode("overwrite").parquet(target.toString)
-    fs.listStatus(dir).foreach { st =>
-      st.getPath.getName match {
-        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
-          fs.delete(st.getPath, true)
-        case _ => ()
+      stateDir: String): Boolean =
+    withStateVersion(spark, stateDir, batchId) { prev =>
+      val edges = batch.select(col("id1"), col("id2"))
+      val comb = prev match {
+        case Some(p) =>
+          p.select(col("v").as("id1"), col("label").as("id2")).unionByName(edges)
+        case None => edges
       }
+      graft.operators.Dedup.connectedComponents(comb)
     }
-    true
-  }
 
   /** Streaming connected-components maintenance: edge files arriving as
     * a stream keep the dup-cluster labeling current (q64 as a standing

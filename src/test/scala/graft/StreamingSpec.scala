@@ -398,9 +398,12 @@ class StreamingSpec extends SparkSpec {
       case org.apache.spark.sql.types.LongType =>
         lit(raw.agg(max(col("ts"))).head.getLong(0) +
           40L * 24 * 3600 * 1000L * 1000L * 1000L)
-      case _ =>
+      case org.apache.spark.sql.types.TimestampNTZType =>
         lit(raw.agg(max(col("ts"))).head
           .getAs[java.time.LocalDateTime](0).plusDays(40))
+      case _ => // TimestampType: java.sql.Timestamp row value
+        lit(java.sql.Timestamp.from(raw.agg(max(col("ts"))).head
+          .getTimestamp(0).toInstant.plus(java.time.Duration.ofDays(40))))
     }
 
   test("stream-stream LEFT OUTER interval join == batch q123 after watermark close") {
