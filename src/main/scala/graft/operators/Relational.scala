@@ -1005,7 +1005,69 @@ object Relational {
         CAST(predicted_rows = actual_rows AS INT) AS identity_holds
       FROM p, a"""))
 
+  /** q157: POINT-IN-TIME dimension join — the feature-store correctness
+    * primitive a training pipeline owes its labels: every fact joins the
+    * dimension version that was valid AT FACT TIME, never a later one
+    * (future-version lookup is target leakage; a plain latest-version
+    * join silently trains on the future). The dimension is a
+    * deterministic synthetic SCD2 history (3 staggered versions per
+    * customer — the q95-changeset discipline; q114 is the storage shape
+    * this consumes), the facts are orders at o_orderdate. The plan is
+    * q75's LINEAR as-of form applied per entity: union version rows and
+    * fact rows keyed by the customer, one ordered window pass carries
+    * the last valid version forward — one shuffle on the entity key,
+    * O(facts + versions) total, where the naive BETWEEN join explodes
+    * to all (fact, earlier-version) pairs per entity. Orders before a
+    * customer's first version surface as 'none' (left semantics —
+    * the 1997 version epoch sits INSIDE the 1995-2001 order-date range
+    * precisely so that branch carries rows):
+    * PIT-correct pipelines must SEE missing history, not fabricate it.
+    * Oracle: DuckDB's native ASOF LEFT JOIN over the same synthesis. */
+  val q157PitJoin = GraftQuery(
+    "q157_pit_join",
+    "J-ext: point-in-time (as-of) dimension join, SCD2 semantics",
+    (s, d) => {
+      val versions = Tables.customer(s, d)
+        .select(col("c_custkey"), explode(array(lit(0), lit(1), lit(2))).as("v"))
+        .withColumn("ts", expr(
+          "timestamp '1997-01-01 00:00:00' + " +
+            "make_interval(0, 0, 0, CAST(v * 730 + c_custkey % 365 AS INT), 0, 0, 0)"))
+        .withColumn("segment",
+          concat(lit("seg"), pmod(col("c_custkey") + col("v"), lit(5)).cast("string")))
+        .select(col("c_custkey"), col("ts"), lit(0).as("tag"),
+          col("segment"), lit(null).cast("double").as("o_totalprice"))
+      val facts = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey"),
+          col("o_orderdate").cast("timestamp").as("ts"), lit(1).as("tag"),
+          lit(null).cast("string").as("segment"), col("o_totalprice"))
+      val w = Window.partitionBy(col("c_custkey"))
+        .orderBy(col("ts"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      versions.unionByName(facts)
+        .withColumn("cur_seg",
+          last(when(col("tag") === 0, col("segment")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .groupBy(coalesce(col("cur_seg"), lit("none")).as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("segment"))
+    },
+    Some("""WITH versions AS (
+        SELECT c_custkey,
+          TIMESTAMP '1997-01-01 00:00:00'
+            + (v * 730 + c_custkey % 365) * INTERVAL 1 DAY AS valid_from,
+          'seg' || ((c_custkey + v) % 5) AS segment
+        FROM customer CROSS JOIN (SELECT unnest(range(0, 3)) AS v)),
+      j AS (
+        SELECT o.o_totalprice, v.segment
+        FROM orders o ASOF LEFT JOIN versions v
+          ON o.o_custkey = v.c_custkey AND o.o_orderdate >= v.valid_from)
+      SELECT coalesce(segment, 'none') AS segment, count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS revenue
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   def queries: Seq[GraftQuery] = Seq(
+    q157PitJoin,
     q01PricingSummary, q02FilterRevenue, q03JoinRevenueByNation,
     q04TopkPerGroup, q05SortLimit, q06NullHandling, q07StringFuncs,
     q08DateAgg, q09StatsSummary, q10Histogram, q11ValueCounts,
