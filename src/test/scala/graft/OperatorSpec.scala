@@ -181,6 +181,17 @@ class OperatorSpec extends SparkSpec {
       s"forms diverge: window ${win.take(3)} vs aggregator ${agg.take(3)}")
   }
 
+  test("q157 PIT join: both the matched and the pre-history branch carry rows") {
+    // the oracle pins exact values, but if a future testdata generation
+    // shifts the order-date range off the 1997 version epoch, the
+    // 'none' (left/as-of-miss) branch could silently go vacuous with
+    // correctness still green — pin non-vacuousness here
+    val segs = graft.operators.Relational.q157PitJoin.run(spark, sfTiny)
+      .collect().map(_.getString(0)).toSet
+    assert(segs.contains("none"), "no pre-history orders: left branch vacuous")
+    assert(segs.exists(_.startsWith("seg")), "no matched versions at all")
+  }
+
   test("q147 priority sample is partition-invariant (mergeable sample state)") {
     import graft.operators.TextAnalysis.prioritySample
     def run(df: org.apache.spark.sql.DataFrame) =
