@@ -857,7 +857,75 @@ object Scale {
       FROM ranks JOIN o ON o.rn = ranks.k
       ORDER BY p"""))
 
-  def queries: Seq[GraftQuery] = Seq(q82SaltedAgg, q87ZOrderRoundTrip,
+  /** q158: PER-GROUP exact order statistics — q145's two-pass
+    * distributed selection generalized so every step is group-local:
+    * per-group min/max/count bounds (one broadcast-sized relation), a
+    * per-(group, bin) count histogram whose prefix-sum window partitions
+    * BY GROUP (≤ bins rows per partition — never a single global
+    * reducer), rank location per group, and a within-(group, bin)
+    * ranking of target-bin rows only. The per-group exact p50/p90 a
+    * corpus dashboard wants (Spark's native `percentile` buffers every
+    * group value in executor memory; this sorts ~n/(groups·bins) rows
+    * per target bin), with the same tie argument as q145: the value at
+    * group-rank k is unique under tie permutation because the within-bin
+    * order key IS the value. Oracle states the same ranks with one
+    * per-group row_number — hash equality proves the decomposition. */
+  val q158GroupOrderStats = GraftQuery(
+    "q158_group_order_statistics",
+    "scale: per-group exact quantiles via two-pass distributed selection",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val r = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("long").as("v"))
+      val bounds = r.groupBy(col("lang")).agg(min(col("v")).as("lo"),
+        max(col("v")).as("hi"), count(lit(1)).as("n"))
+      val bins = graft.GraftConf.selectionBins(s).toLong
+      val binned = r.join(broadcast(bounds), Seq("lang"))
+        .withColumn("bin",
+          ((col("v") - col("lo")) * lit(bins)
+            / (col("hi") - col("lo") + 1)).cast("long"))
+        .select(col("lang"), col("v"), col("bin"))
+      val binCounts = binned.groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum_prev", coalesce(sum(col("c")).over(
+          Window.partitionBy(col("lang")).orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val ranks = Seq(0.5, 0.9).toDF("p")
+        .crossJoin(broadcast(bounds.select(col("lang"), col("n"))))
+        .withColumn("k", ceil(col("p") * col("n")).cast("long"))
+        .select(col("lang"), col("p"), col("k"))
+      val located = ranks.join(broadcast(binCounts
+          .select(col("lang").as("bl"), col("bin"), col("c"), col("cum_prev"))),
+          col("lang") === col("bl") &&
+            col("cum_prev") < col("k") && col("k") <= col("cum_prev") + col("c"))
+        .select(col("lang"), col("p"), col("k"), col("bin"),
+          (col("k") - col("cum_prev")).as("residual"))
+      val withinBin = Window.partitionBy(col("lang"), col("bin")).orderBy(col("v"))
+      binned.join(broadcast(located.select(col("lang"), col("bin")).distinct()),
+          Seq("lang", "bin"))
+        .withColumn("rn", row_number().over(withinBin))
+        .join(broadcast(located), Seq("lang", "bin"))
+        .filter(col("rn") === col("residual"))
+        .select(col("lang"), col("p"), col("k"), col("v").as("value"))
+        .orderBy(col("lang"), col("p"))
+    },
+    Some("""WITH r AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+      o AS (
+        SELECT lang, v,
+          row_number() OVER (PARTITION BY lang ORDER BY v) AS rn
+        FROM r),
+      n AS (SELECT lang, count(*) AS n FROM r GROUP BY 1),
+      ranks AS (
+        SELECT n.lang, CAST(p AS DOUBLE) AS p,
+          CAST(ceil(CAST(p AS DOUBLE) * n.n) AS BIGINT) AS k
+        FROM n CROSS JOIN (VALUES (0.5), (0.9)) t(p))
+      SELECT ranks.lang AS lang, p, k, v AS value
+      FROM ranks JOIN o ON o.lang = ranks.lang AND o.rn = ranks.k
+      ORDER BY ranks.lang, p"""))
+
+  def queries: Seq[GraftQuery] = Seq(q158GroupOrderStats, q82SaltedAgg, q87ZOrderRoundTrip,
     q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin,
     q112CascadeDelete, q117Fingerprint, q118SkewReport, q124DictJoin,
     q130Compaction, q138IvmJoin, q144Skyline, q145OrderStats)
