@@ -437,6 +437,30 @@ object TextAnalysis {
       .orderBy(col("term"))
   }
 
+  /** Mergeable inverted-index state of a document frame: (term, df,
+    * posts) with posts the doc_id-lowest maxPost (doc_id, tf) structs.
+    * df is additive and capped bottom-k posts merge exactly across
+    * document-disjoint batches — see StreamingJobs.applyIndexBatch. */
+  def indexState(df: DataFrame, textCol: String, maxPost: Int): DataFrame = {
+    require(maxPost >= 1)
+    df.select(col("doc_id"), explode(toks(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        slice(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+          1, maxPost).as("posts"))
+  }
+
+  /** Render (term, df, posts) state in q135's exact output shape. */
+  private def renderIndex(state: DataFrame, maxPost: Int): DataFrame =
+    state.select(col("term"), col("df"),
+      array_join(
+        transform(col("posts"),
+          x => concat(x.getField("doc_id").cast("string"), lit(":"),
+            x.getField("tf").cast("string"))), ",").as("postings"),
+      (col("df") > maxPost).cast("int").as("truncated"))
+      .orderBy(col("term"))
+
   val q135InvertedIndex = GraftQuery(
     "q135_inverted_index",
     "IR ext: inverted index with capped champion posting lists",
@@ -1737,8 +1761,39 @@ object TextAnalysis {
     (s, d) => streamedPrioritySample(s, d, k = 15, nBatches = 3),
     q147PrioritySample.oracle)
 
+  /** q159: the q135 inverted index maintained INCREMENTALLY — document
+    * batches folded through the streaming index state contract
+    * (StreamingJobs.applyIndexBatch: additive df + capped bottom-k
+    * postings merge, batchId-idempotent versioned commits), rendered
+    * identically, and proven bit-identical to the one-shot build by
+    * carrying q135's oracle. The standing "index the day's crawl
+    * without replaying the corpus token stream" job: per-trigger cost
+    * is the batch's tokens plus a state-sized merge. */
+  def streamedInvertedIndex(s: SparkSession, d: String, maxPost: Int,
+      nBatches: Int): DataFrame = {
+    require(nBatches >= 1)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_idx_state").toString
+    val docs = Tables.documents(s, d)
+    (0 until nBatches).foreach { i =>
+      graft.streaming.StreamingJobs.applyIndexBatch(s,
+        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), "text",
+        i.toLong, maxPost, stateDir)
+    }
+    val state = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+      .localCheckpoint(true)
+    val sp = new org.apache.hadoop.fs.Path(stateDir)
+    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    renderIndex(state, maxPost)
+  }
+
+  val q159StreamedIndex = GraftQuery(
+    "q159_streamed_index",
+    "IR ext + streaming: incremental inverted index (additive df, capped postings merge)",
+    (s, d) => streamedInvertedIndex(s, d, maxPost = 100, nBatches = 3),
+    q135InvertedIndex.oracle)
+
   def queries: Seq[GraftQuery] = Seq(
-    q151CountMinSketch, q154StreamedCms, q155StreamedSample,
+    q151CountMinSketch, q154StreamedCms, q155StreamedSample, q159StreamedIndex,
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,

@@ -549,6 +549,32 @@ object StreamingJobs {
         .select(col(groupCol), col(idCol))
     }
 
+  /** Merge one micro-batch of documents into a persistent inverted
+    * index, exactly once per batchId ([[applyAggBatch]] contract). State
+    * is (term, df, posts) with posts CAPPED at maxPost (doc_id-ordered)
+    * — the q135 champion-list discipline made incremental. Both halves
+    * are mergeable when batches partition the corpus by document: df is
+    * additive, and the lowest-maxPost doc_ids of a union equal the
+    * lowest-maxPost of the per-part lowest-maxPost lists (the same
+    * bottom-k mergeability as the priority sample), so the drained index
+    * is bit-identical to the one-shot q135 build — q159 carries q135's
+    * oracle to prove it. Per-trigger cost: one batch-token aggregate +
+    * a state-sized capped merge; the corpus token stream is never
+    * replayed. */
+  def applyIndexBatch(spark: SparkSession, batch: DataFrame, textCol: String,
+      batchId: Long, maxPost: Int, stateDir: String): Boolean =
+    withStateVersion(spark, stateDir, batchId) { prev =>
+      val delta = graft.operators.TextAnalysis.indexState(batch, textCol, maxPost)
+      prev match {
+        case Some(p) => p.unionByName(delta)
+          .groupBy(col("term"))
+          .agg(sum(col("df")).as("df"),
+            slice(array_sort(flatten(collect_list(col("posts")))), 1, maxPost)
+              .as("posts"))
+        case None => delta
+      }
+    }
+
   /** Merge one micro-batch of (id1, id2) edges into a persistent
     * connected-components labeling, exactly once per batchId (the
     * [[applyAggBatch]] versioned `state_b<id>`/_SUCCESS contract). State

@@ -182,7 +182,8 @@ class ExtOpsSpec extends SparkSpec {
   test("q144/q145 results are invariant to spark.graft.selection.bins") {
     def run(name: String) = Registry.byName(name).run(spark, sfTiny)
       .collect().map(_.toSeq.toList).toList
-    val defaults = Seq("q144_skyline", "q145_order_statistics").map(n => n -> run(n))
+    val defaults = Seq("q144_skyline", "q145_order_statistics",
+      "q158_group_order_statistics").map(n => n -> run(n))
     try {
       spark.conf.set("spark.graft.selection.bins", "7")
       defaults.foreach { case (n, expect) =>
