@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
@@ -182,6 +182,128 @@ case class L2DistanceSq(left: Expression, right: Expression) extends VectorKerne
     copy(left = l, right = r)
 }
 
+/** The `nprobe` nearest centroids of a vector, by squared L2 distance
+  * with ties broken toward the smaller cell id — exactly the ordering of
+  * `row_number() over (partition by id order by cdist, cell)`, but
+  * evaluated per row against the DRIVER-SIDE centroid matrix instead of
+  * cross-joining every row with the centroid table and ranking behind a
+  * window Exchange. The window form shuffles N·ncells rows carrying the
+  * full vector payload (at ncells=100 that is 100× the corpus bytes —
+  * the scale-killer flagged in round 6); this expression keeps cell
+  * assignment inside the scan's codegen stage: zero shuffle, ≤ nprobe
+  * output cells per row via a bounded insertion-sorted top-k (the same
+  * trick faiss's coarse quantizer applies per query,
+  * /root/reference/app/vector_search.py:143-165, re-expressed as a
+  * Catalyst kernel).
+  *
+  * Output: ARRAY<INT> of cell ids, ascending by (distance, id). The
+  * centroid matrix rides into generated code as a reference object — a
+  * few KB for any sane ncells·dim, broadcast with the task closure.
+  */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression {
+  require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+
+  override def prettyName: String = "graft_nearest_cells"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t.isInstanceOf[NumericType] => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric array input, got ${other.catalogString}")
+  }
+
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val getD: Int => Double = elemType match {
+      case FloatType  => i => if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      case DoubleType => i => if (x.isNullAt(i)) 0.0 else x.getDouble(i)
+      case IntegerType => i => if (x.isNullAt(i)) 0.0 else x.getInt(i).toDouble
+      case LongType   => i => if (x.isNullAt(i)) 0.0 else x.getLong(i).toDouble
+      case _ => i => if (x.isNullAt(i)) 0.0
+        else x.get(i, elemType).asInstanceOf[Number].doubleValue()
+    }
+    val np = math.min(nprobe, centroids.length)
+    val bd = new Array[Double](np); val bi = new Array[Int](np)
+    var filled = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val n = math.min(x.numElements(), cv.length)
+      var dist = 0.0; var j = 0
+      while (j < n) { val dd = getD(j) - cv(j); dist += dd * dd; j += 1 }
+      // insertion keep-np-smallest; ids ascend, so strict `<` on distance
+      // leaves the smaller id ahead on ties — the window's tie-break
+      if (filled < np) {
+        var k = filled
+        while (k > 0 && dist < bd(k - 1)) { bd(k) = bd(k - 1); bi(k) = bi(k - 1); k -= 1 }
+        bd(k) = dist; bi(k) = c; filled += 1
+      } else if (np > 0 && dist < bd(np - 1)) {
+        var k = np - 1
+        while (k > 0 && dist < bd(k - 1)) { bd(k) = bd(k - 1); bi(k) = bi(k - 1); k -= 1 }
+        bd(k) = dist; bi(k) = c
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val elemCode: (String, String) => String = (arr, i) => {
+      val raw = elemType match {
+        case FloatType   => s"(double) $arr.getFloat($i)"
+        case DoubleType  => s"$arr.getDouble($i)"
+        case IntegerType => s"(double) $arr.getInt($i)"
+        case LongType    => s"(double) $arr.getLong($i)"
+        case ShortType   => s"(double) $arr.getShort($i)"
+        case ByteType    => s"(double) $arr.getByte($i)"
+        case other => throw new IllegalStateException(s"unsupported element type $other")
+      }
+      s"($arr.isNullAt($i) ? 0.0d : $raw)"
+    }
+    nullSafeCodeGen(ctx, ev, x => {
+      val np = ctx.freshName("np"); val bd = ctx.freshName("bd")
+      val bi = ctx.freshName("bi"); val filled = ctx.freshName("filled")
+      val c = ctx.freshName("c"); val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n"); val dist = ctx.freshName("dist")
+      val dd = ctx.freshName("dd"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      s"""
+       |int $np = java.lang.Math.min($nprobe, $cents.length);
+       |double[] $bd = new double[$np]; int[] $bi = new int[$np];
+       |int $filled = 0;
+       |for (int $c = 0; $c < $cents.length; $c++) {
+       |  double[] $cv = $cents[$c];
+       |  int $n = java.lang.Math.min($x.numElements(), $cv.length);
+       |  double $dist = 0.0d;
+       |  for (int $j = 0; $j < $n; $j++) {
+       |    double $dd = ${elemCode(x, j)} - $cv[$j];
+       |    $dist += $dd * $dd;
+       |  }
+       |  if ($filled < $np) {
+       |    int $k = $filled;
+       |    while ($k > 0 && $dist < $bd[$k - 1]) { $bd[$k] = $bd[$k - 1]; $bi[$k] = $bi[$k - 1]; $k--; }
+       |    $bd[$k] = $dist; $bi[$k] = $c; $filled++;
+       |  } else if ($np > 0 && $dist < $bd[$np - 1]) {
+       |    int $k = $np - 1;
+       |    while ($k > 0 && $dist < $bd[$k - 1]) { $bd[$k] = $bd[$k - 1]; $bi[$k] = $bi[$k - 1]; $k--; }
+       |    $bd[$k] = $dist; $bi[$k] = $c;
+       |  }
+       |}
+       |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+       |  java.util.Arrays.copyOf($bi, $filled));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers for the native kernels. */
 object VectorKernels {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
@@ -201,4 +323,11 @@ object VectorKernels {
   /** Codegen'd L2 distance. */
   def l2DistFast(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.sqrt(l2DistSqFast(a, b))
+
+  /** Codegen'd nearest-nprobe-cells assignment (see [[NearestCells]]):
+    * shuffle-free replacement for the broadcast-cross-join + window
+    * centroid ranking. */
+  def nearestCellsFast(vec: Column, centroids: Array[Array[Double]],
+      nprobe: Int): Column =
+    GraftColumnBridge.column(NearestCells(e(vec), centroids, nprobe))
 }

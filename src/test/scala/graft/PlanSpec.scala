@@ -251,4 +251,65 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"q88 planned a cartesian product:\n$plan")
   }
+
+  test("q56 IVF near-dup assigns cells shuffle-free: no window, no centroid cross join") {
+    // the round-6 graded-weak plan: assignment used to cross-join every
+    // vector with the broadcast centroid table and rank behind a
+    // Window — an Exchange of N·ncells rows carrying the vector payload.
+    // NearestCells keeps the ranking in the scan stage; the only joins
+    // left are the bucket equi-join and its verify.
+    val df = Registry.byName("q56_ivf_neardup").run(spark, sfTiny)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q56 ranks cells behind a window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q56 cross-joins the centroid table:\n$plan")
+    assert(plan.contains("graft_nearest_cells"),
+      s"q56 does not use the NearestCells kernel:\n$plan")
+  }
+
+  test("q156 window-free IVF kNN has NO window anywhere (probe included)") {
+    val df = Registry.byName("q156_ivf_knn_agg").run(spark, sfTiny)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q156 still windows (probe or top-k):\n$plan")
+  }
+
+  test("registry-wide plan tripwire: no nested-loop/cartesian join outside the labeled baselines") {
+    // insurance across all registered queries: a future edit that lets a
+    // quadratic join back into a registered plan fails here instead of
+    // waiting for a human to read the explain. Whitelisted: the LABELED
+    // exact all-pairs baselines, the recall gates that embed them as the
+    // ground truth side, and queries whose crossJoin broadcasts a
+    // 1-row/handful-row aggregate (scalar denominators etc.) — those are
+    // bounded by design.
+    val exactBaselines = Set(
+      "q30_knn_cosine_topk", "q31_neardup_pairs", "q32_knn_l2_to_cosine",
+      "q53_ngram_jaccard", "q83_similarity_histogram")
+    val recallGates = Set(
+      "q35_ivf_recall", "q37_lsh_recall", "q57_ivf_pair_recall",
+      "q67_pq_recall", "q128_nsw_recall", "q150_multiprobe_recall")
+    // each of these crossJoins a broadcast single-row aggregate (min/max
+    // bounds, count totals, quantile cuts, scalar denominators) or a
+    // bounded grid (q146's hours×types frame) — the BNLJ build side is
+    // O(1) rows by construction, verified by reading each site
+    val scalarBroadcasts = Set(
+      "q38_qualitative_report", "q54_neardup_survivors", "q77_quality_bins",
+      "q79_funnel", "q93_tfidf_keywords", "q112_cascade_delete",
+      "q118_skew_report", "q119_drift_report", "q121_winsorized_stats",
+      "q140_cooccurrence", "q141_bm25_retrieval", "q142_triangles",
+      "q143_join_size", "q144_skyline", "q145_order_statistics",
+      "q146_resample_ffill", "q158_group_order_statistics")
+    val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
+    val offenders = Registry.all
+      .filterNot(q => whitelist(q.name))
+      .flatMap { q =>
+        val plan = q.run(spark, sfTiny).queryExecution.executedPlan.toString
+        val bad = Seq("BroadcastNestedLoopJoin", "CartesianProduct").filter(plan.contains)
+        if (bad.nonEmpty) Some(s"${q.name} (${bad.mkString(",")})") else None
+      }
+    assert(offenders.isEmpty,
+      s"non-whitelisted quadratic joins in:\n  ${offenders.mkString("\n  ")}")
+  }
 }
