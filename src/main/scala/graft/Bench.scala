@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
@@ -9,13 +8,10 @@ object Bench {
   }
   def main(args: Array[String]): Unit = BenchLock.exclusively("bench") {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared builder: UTC pin + persistent model store, so a fresh bench
+    // JVM loads fitted models instead of paying cold fits inside the
+    // first measured repeats (the round-6 q36/q56/q131 artifact spikes)
+    val spark = GraftSession.local()
     // warm-up: pay session/JIT/codegen startup outside the measured loop,
     // and run queries in name order so per-query numbers are comparable
     // across rounds (a Map's iteration order would hand the warmup cost to

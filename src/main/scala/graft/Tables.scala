@@ -16,6 +16,13 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
+    // pin the session timezone at the data boundary, not only in the
+    // entry-point builders: the NTZ->TIMESTAMP cast in eventsWithTs (and
+    // any date/timestamp function downstream) is session-tz-dependent,
+    // and an external driver embedding SparkEntry outside our builders
+    // would otherwise inherit the host JVM's zone and silently shift
+    // every event instant vs the DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if (name == "events") {
       // older testdata generations store events.ts as parquet
       // TIMESTAMP(NANOS), which Spark's vectorized reader rejects; this

@@ -15,13 +15,37 @@ import graft.GraftConf
   */
 private[graft] object ModelStore {
 
+  // dataset-dir content fingerprint (file name/length/mtime of every
+  // parquet under the dir), memoized per path. The driver REGENERATES
+  // the testdata between rounds under the same paths; with the model
+  // store now on by default (GraftSession), a fingerprint-free path
+  // would keep serving models fitted on the previous generation's data.
+  // Baked into the artifact path, a regeneration simply misses the cache
+  // and refits — no stale-model hazard, no manual invalidation.
+  private val fpCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def datasetFingerprint(s: SparkSession, d: String): String =
+    fpCache.getOrElseUpdate(d, {
+      try {
+        val p = new Path(d)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val sig = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          .mkString("|")
+        java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL)
+      } catch { case _: Exception => "nofp" }
+    })
+
   /** Artifact path for a (kind, dataset, fit-params) triple, if
-    * persistence is configured. */
+    * persistence is configured. The dataset segment carries a content
+    * fingerprint so artifacts self-invalidate when the data changes. */
   def artifactPath(s: SparkSession, kind: String, d: String,
       params: String): Option[String] =
     GraftConf.indexDir(s).map { root =>
       val ds = d.replaceAll("[^A-Za-z0-9._-]", "_")
-      s"$root/$kind/$ds/$params"
+      s"$root/$kind/${ds}_${datasetFingerprint(s, d)}/$params"
     }
 
   /** True if a saved MLlib model artifact is present (MLWriter commits
