@@ -100,6 +100,24 @@ object GraftConf {
   def exactPairMaxBytes(s: SparkSession): Long =
     s.conf.get("spark.graft.pairs.exactMaxBytes", (256L << 20).toString).toLong
 
+  /** Corpus row count above which the auto pair router prefers the IVF
+    * tier over any LSH tier: the stored IVF index is ONE row per vector
+    * (its cell id) versus numHashTables rows per vector for LSH, and the
+    * candidate volume Σ|cell|² tracks the corpus via the ncells knob —
+    * at the largest corpora index bytes dominate the cost model. */
+  def ivfPairRowCutoff(s: SparkSession): Long =
+    s.conf.get("spark.graft.pairs.ivfRowCutoff", "5000000").toLong
+
+  /** Threshold below which the auto pair router treats the search as
+    * LOOSE and routes to multi-probe LSH: at low thresholds the
+    * dominant miss mode is a true pair split by a bucket boundary, and
+    * probing ±1 adjacent buckets buys ~3× the recall of the stored
+    * table count without growing the persisted index (Lv et al.,
+    * VLDB'07). At tight thresholds near-identical vectors co-hash with
+    * high probability and plain LSH suffices. */
+  def loosePairThreshold(s: SparkSession): Double =
+    s.conf.get("spark.graft.pairs.looseThreshold", "0.5").toDouble
+
   /** Max edge count for which connected components (q64) runs its
     * driver-side union-find fast path instead of the distributed
     * large-star/small-star alternation. 2M edges ≈ 32 MB collected —

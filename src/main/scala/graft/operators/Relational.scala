@@ -966,6 +966,51 @@ object Relational {
         ON c_acctbal >= s_acctbal - 40 AND c_acctbal <= s_acctbal + 40
       GROUP BY s_suppkey ORDER BY s_suppkey"""))
 
+  /** q160: the interval-OVERLAP companion of q126 — two interval
+    * relations, no equi-key, no shared point (`a.lo <= b.hi AND b.lo <=
+    * a.hi`, the q96/q123/q125 shape written naively), made scale-safe by
+    * the overlap arm of [[graft.plans.RangeJoinRule]]: both sides explode
+    * into their bin ranges, join on the shared bin, and only the FIRST
+    * shared bin survives (greatest of the start bins) so multi-bin pairs
+    * don't duplicate. Supplier ±40 vs customer ±10 bands at width 80 ⇒
+    * ≤ 2 bins per interval. The fn asserts the rewrite fired, exactly
+    * like q126 — a rule regression fails loudly, never silently
+    * quadratic. */
+  val q160AutoIntervalJoin = GraftQuery(
+    "q160_auto_interval_join",
+    "J-ext: optimizer-rule auto-binned interval-overlap join (RangeJoinRule)",
+    (s, d) => {
+      graft.plans.RangeJoinRule.install(s)
+      val prev = s.conf.get(graft.plans.RangeJoinRule.widthKey, "0")
+      s.conf.set(graft.plans.RangeJoinRule.widthKey, "80.0")
+      try {
+        val a = Tables.supplier(s, d).select(
+          col("s_suppkey"),
+          (col("s_acctbal") - 40).as("a_lo"),
+          (col("s_acctbal") + 40).as("a_hi"))
+        val b = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_acctbal"),
+          (col("c_acctbal") - 10).as("b_lo"),
+          (col("c_acctbal") + 10).as("b_hi"))
+        val df = a
+          .join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_overlaps"),
+            round(sum(col("c_acctbal")), 2).as("sum_overlap_bal"))
+          .orderBy(col("s_suppkey"))
+        val optimized = df.queryExecution.optimizedPlan.toString
+        require(optimized.contains("__graft_bin_l"),
+          "RangeJoinRule overlap arm did not fire — naive interval join " +
+            "would run as a nested loop")
+        df
+      } finally s.conf.set(graft.plans.RangeJoinRule.widthKey, prev)
+    },
+    Some("""SELECT s_suppkey, count(*) AS n_overlaps,
+      round(sum(c_acctbal), 2) AS sum_overlap_bal
+      FROM supplier JOIN customer
+        ON s_acctbal - 40 <= c_acctbal + 10 AND c_acctbal - 10 <= s_acctbal + 40
+      GROUP BY s_suppkey ORDER BY s_suppkey"""))
+
   /** q143: join-size prediction from per-key count relations — the
     * CBO companion to q116's column stats: |A ⋈_k B| = Σ_k c_A(k)·c_B(k),
     * computed from two small grouped-count relations joined on the key,
@@ -1076,5 +1121,5 @@ object Relational {
     q21PairCanon, q88RangeJoin, q90CorrStats, q91GroupingSets,
     q97Unpivot, q98RankFamily, q99ConstraintAudit,
     q103SketchAgg, q105KAnonymity, q114Scd2, q115StarJoin, q116TableStats,
-    q122TopkAggregator, q126AutoRangeJoin, q143JoinSize)
+    q122TopkAggregator, q126AutoRangeJoin, q143JoinSize, q160AutoIntervalJoin)
 }

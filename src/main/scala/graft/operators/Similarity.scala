@@ -81,16 +81,43 @@ object Similarity {
     * filesystem summary — metadata, never a data scan), and the routing
     * decision is logged so a plan flip at scale is visible in the driver
     * log, not silent. */
+  /** The routing decision behind [[nearDupPairsAuto]], as a pure
+    * function of corpus stats + conf so specs can exercise every branch
+    * without running a query. Tiers, cheapest-admissible first:
+    *
+    *  - `exact`: rows AND on-disk bytes under the exact cutoffs — N²
+    *    kernel work fits, and the labeled baseline is the best answer.
+    *  - `ivf`: the largest corpora (rows over ivfPairRowCutoff). The
+    *    stored index is one cell id per vector (vs numHashTables rows
+    *    per vector for any LSH tier), candidate volume Σ|cell|² is
+    *    tunable via ncells, and the quantizer artifact persists.
+    *  - `multiprobe-lsh`: loose thresholds (under loosePairThreshold),
+    *    where boundary-split pairs dominate the misses — ±1-bucket
+    *    probing recovers them at the single-probe index size.
+    *  - `lsh`: the default mid-size, tight-threshold tier.
+    */
+  private[graft] def pairTier(s: SparkSession, rows: Long, bytes: Long,
+      threshold: Double): String =
+    if (rows <= GraftConf.exactPairCutoff(s) && bytes <= GraftConf.exactPairMaxBytes(s)) "exact"
+    else if (rows > GraftConf.ivfPairRowCutoff(s)) "ivf"
+    else if (threshold < GraftConf.loosePairThreshold(s)) "multiprobe-lsh"
+    else "lsh"
+
   def nearDupPairsAuto(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val st = graft.plans.TableStats.embeddings(s, d)
-    val rowCutoff = GraftConf.exactPairCutoff(s)
-    val byteCutoff = GraftConf.exactPairMaxBytes(s)
-    val exact = st.rows <= rowCutoff && st.bytes <= byteCutoff
-    println(s"[graft] nearDupPairsAuto: rows=${st.rows} (cutoff $rowCutoff), " +
-      s"bytes=${st.bytes} (cutoff $byteCutoff), avgRowBytes=${st.avgRowBytes.toLong} " +
-      s"-> ${if (exact) "exact all-pairs" else "LSH candidates + verify"}")
-    if (exact) nearDupPairs(s, d, threshold, prefilterLabel = false)
-    else Ann.lshNearDup(s, d, threshold)
+    val tier = pairTier(s, st.rows, st.bytes, threshold)
+    println(s"[graft] nearDupPairsAuto: rows=${st.rows} " +
+      s"(exactCutoff ${GraftConf.exactPairCutoff(s)}, " +
+      s"ivfCutoff ${GraftConf.ivfPairRowCutoff(s)}), bytes=${st.bytes} " +
+      s"(cutoff ${GraftConf.exactPairMaxBytes(s)}), " +
+      s"threshold=$threshold (loose<${GraftConf.loosePairThreshold(s)}), " +
+      s"avgRowBytes=${st.avgRowBytes.toLong} -> $tier")
+    tier match {
+      case "exact" => nearDupPairs(s, d, threshold, prefilterLabel = false)
+      case "ivf" => Ann.ivfNearDup(s, d, threshold, GraftConf.ivfNprobe(s))
+      case "multiprobe-lsh" => Ann.lshMultiProbeNearDup(s, d, threshold)
+      case "lsh" => Ann.lshNearDup(s, d, threshold)
+    }
   }
 
   /** q30: exact k-NN, k=2, sampled queries — mirrors the pipeline's

@@ -45,6 +45,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampT
   * Null bounds or points are dropped by the bin equality — exactly the
   * rows the original comparison predicate already rejected (NULL is not
   * TRUE under inner-join semantics), so results are unchanged.
+  *
+  * A second shape, interval OVERLAP (`l.start <= r.end AND r.start <=
+  * l.end`, no equi-key, no shared point — the q96/q123/q125 form), is
+  * rewritten with BOTH sides exploded into their bin ranges and joined
+  * on the shared bin, deduplicated by keeping only the first shared bin
+  * `greatest(bin(l.start), bin(r.start))` (every overlapping pair
+  * visits it exactly once). Both rewrites assume non-empty intervals
+  * (start <= end per row) — an inverted interval makes the generated
+  * `sequence()` fail loudly rather than silently dropping rows.
   */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -89,6 +98,42 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** An interval-overlap shape: left interval (ls, le), right interval
+    * (rs, re), detected from `ls <= re AND rs <= le` in any spelling. */
+  private case class Overlap(ls: Expression, le: Expression,
+      rs: Expression, re: Expression)
+
+  /** Find the overlap shape among the conjuncts: one comparison bounding
+    * a LEFT expression by a RIGHT one (`l.start <= r.end`) and one
+    * bounding a RIGHT expression by a LEFT one (`r.start <= l.end`).
+    * This is the q96/q123/q125 shape — two intervals, no equi-key, no
+    * shared point — which the point-in-interval detection above cannot
+    * see (its point and bounds must live on opposite sides, here each
+    * side contributes one endpoint to each comparison). */
+  private def overlapPair(preds: Seq[Expression], l: LogicalPlan,
+      r: LogicalPlan): Option[Overlap] = {
+    // normalize every comparison to (small, large): small <= large
+    def le(p: Expression): Option[(Expression, Expression)] = p match {
+      case LessThanOrEqual(a, b)    => Some((a, b))
+      case LessThan(a, b)           => Some((a, b))
+      case GreaterThanOrEqual(a, b) => Some((b, a))
+      case GreaterThan(a, b)        => Some((b, a))
+      case _ => None
+    }
+    val norm = preds.flatMap(le)
+      .filter { case (a, b) => supported(a) && supported(b) }
+      .flatMap { case (a, b) =>
+        (sideOf(a, l, r), sideOf(b, l, r)) match {
+          case (Some(sa), Some(sb)) if sa != sb => Some((a, b, sa))
+          case _ => None
+        }
+      }
+    for {
+      (ls, re, _) <- norm.find(_._3)  // small side on the left
+      (rs, lEnd, _) <- norm.find(!_._3) // small side on the right
+    } yield Overlap(ls, lEnd, rs, re)
+  }
+
   private def isEqui(p: Expression, l: LogicalPlan, r: LogicalPlan): Boolean = p match {
     case EqualTo(a, b) =>
       (for (sa <- sideOf(a, l, r); sb <- sideOf(b, l, r)) yield sa != sb).getOrElse(false)
@@ -122,7 +167,38 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               hi.point.semanticEquals(lo.point)).map(hi => (lo, hi))
           })
           pair match {
-            case None => j
+            case None =>
+              // no point-in-interval pair — try the interval-overlap
+              // shape: explode BOTH sides into their bin ranges and join
+              // on the shared bin. A pair can share several bins, so the
+              // join keeps only the FIRST shared bin — b =
+              // greatest(bin(l.start), bin(r.start)) — which every
+              // overlapping pair visits exactly once (bin monotonicity:
+              // max of the start bins <= min of the end bins whenever the
+              // intervals overlap and each interval is non-empty), so no
+              // duplicates and no false negatives; the original
+              // condition still removes bin-only false positives.
+              overlapPair(preds, left, right) match {
+                case None => j
+                case Some(ov) =>
+                  def gen(side: LogicalPlan, lo: Expression, hi: Expression,
+                      name: String): (Generate, AttributeReference) = {
+                    val g = Explode(Sequence(
+                      bin(lo, width, tz), bin(hi, width, tz),
+                      Some(Literal(1L)), Some(tz)))
+                    val attr = AttributeReference(name, LongType,
+                      nullable = g.elementSchema.head.nullable)()
+                    (Generate(g, unrequiredChildIndex = Nil, outer = false,
+                      qualifier = None, generatorOutput = Seq(attr),
+                      child = side), attr)
+                  }
+                  val (genL, binL) = gen(left, ov.ls, ov.le, binName + "_l")
+                  val (genR, binR) = gen(right, ov.rs, ov.re, binName + "_r")
+                  val firstShared = EqualTo(binL,
+                    Greatest(Seq(bin(ov.ls, width, tz), bin(ov.rs, width, tz))))
+                  val newCond = And(And(EqualTo(binL, binR), firstShared), cond)
+                  Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
+              }
             case Some((lo, hi)) =>
               val (pointSide, ivSide) =
                 if (lo.pointOnLeft) (left, right) else (right, left)

@@ -410,9 +410,11 @@ object StreamingJobs {
       batchId: Long, k: Int, stateDir: String): Boolean = {
     require(k >= 1, s"counter budget k must be >= 1, got $k")
     // cached intermediates outlive the merge closure so they can be
-    // unpersisted after the state write materializes them
+    // unpersisted after the state write materializes them; the finally
+    // covers a throwing merge/state-write too — without it a failed
+    // batch would leak cached blocks for the life of a streaming driver
     var cached: Seq[DataFrame] = Nil
-    val applied = withStateVersion(spark, stateDir, batchId) { prev =>
+    val applied = try withStateVersion(spark, stateDir, batchId) { prev =>
       val tok = batch.select(
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       val delta = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt")).cache()
@@ -433,8 +435,7 @@ object StreamingJobs {
         .filter(col("cnt") > 0)
         .unionByName(sentinel)
         .withColumn("total_n", lit(newTotal))
-    }
-    cached.foreach(_.unpersist())
+    } finally cached.foreach(_.unpersist())
     applied
   }
 
@@ -496,7 +497,15 @@ object StreamingJobs {
     * two corpora is the sketch of their union — so the merge is one
     * ≤ depth×width-row union+sum; state stays ≤ depth×width rows
     * forever. The streamed sketch is bit-identical to the one-shot
-    * batch sketch (q154 carries q151's full oracle to prove it). */
+    * batch sketch (q154 carries q151's full oracle to prove it).
+    *
+    * PRECONDITION: batches must partition the corpus by document. The
+    * batchId guard makes exact replays no-ops, but a document
+    * re-delivered under a NEW batchId (at-least-once upstream) inflates
+    * cell counts, and that inflation is unrecoverable from the sketch —
+    * additivity is the whole design. Dedup upstream when the source is
+    * at-least-once (e.g. the applySampleBatch set-union pattern over
+    * doc_ids before sketching). */
   def applyCmsBatch(spark: SparkSession, batch: DataFrame, textCol: String,
       batchId: Long, depth: Int, width: Int, stateDir: String): Boolean =
     withStateVersion(spark, stateDir, batchId) { prev =>
@@ -568,9 +577,19 @@ object StreamingJobs {
       prev match {
         case Some(p) => p.unionByName(delta)
           .groupBy(col("term"))
+          // SET-merge the postings (array_distinct after the sort keeps
+          // sorted order): a doc_id re-delivered under a NEW batchId —
+          // at-least-once upstream, overlapping landing files; the
+          // batchId guard only stops exact replays — must not enter a
+          // champion list twice and displace a distinct doc. df has no
+          // such defense possible from capped postings alone: it is
+          // additive ONLY under the documented document-disjointness
+          // precondition (like CMS cell counts, applyCmsBatch above —
+          // overlap inflation there is unrecoverable by construction;
+          // dedup upstream if the source is at-least-once).
           .agg(sum(col("df")).as("df"),
-            slice(array_sort(flatten(collect_list(col("posts")))), 1, maxPost)
-              .as("posts"))
+            slice(array_distinct(array_sort(flatten(collect_list(col("posts"))))),
+              1, maxPost).as("posts"))
         case None => delta
       }
     }

@@ -189,6 +189,46 @@ class GraftConfSpec extends SparkSpec {
     assert(recall >= 0.99, s"LSH path recall $recall vs exact (${exact.size} pairs)")
   }
 
+  test("auto pair router reaches all four tiers; every tier holds the recall gate") {
+    import operators.Similarity
+    val st = plans.TableStats.embeddings(spark, sfTiny)
+    // the decision is a pure function of stats + conf: every branch
+    // must be reachable by conf alone (round-6 advice item 3)
+    withConf("spark.graft.pairs.exactCutoff", Long.MaxValue.toString) {
+      assert(Similarity.pairTier(spark, st.rows, st.bytes, 0.35) == "exact")
+    }
+    withConf("spark.graft.pairs.exactCutoff", "0") {
+      assert(Similarity.pairTier(spark, st.rows, st.bytes, 0.6) == "lsh",
+        "tight threshold above the exact cutoff must route plain LSH")
+      assert(Similarity.pairTier(spark, st.rows, st.bytes, 0.35) == "multiprobe-lsh",
+        "loose threshold must route multi-probe LSH")
+      withConf("spark.graft.pairs.ivfRowCutoff", "0") {
+        assert(Similarity.pairTier(spark, st.rows, st.bytes, 0.35) == "ivf",
+          "row count above the IVF cutoff must route IVF")
+      }
+    }
+    // end-to-end: the two tiers the older tests don't already cover
+    // (exact/lsh have their own routing tests below) agree with the
+    // exact pair set at this scale
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.nearDupPairs(spark, sfTiny, 0.35, prefilterLabel = false))
+    assert(exact.nonEmpty)
+    val viaMultiProbe = withConf("spark.graft.pairs.exactCutoff", "0") {
+      pairs(Similarity.nearDupPairsAuto(spark, sfTiny, 0.35))
+    }
+    val viaIvf = withConf("spark.graft.pairs.exactCutoff", "0") {
+      withConf("spark.graft.pairs.ivfRowCutoff", "0") {
+        pairs(Similarity.nearDupPairsAuto(spark, sfTiny, 0.35))
+      }
+    }
+    val mpRecall = viaMultiProbe.intersect(exact).size.toDouble / exact.size
+    val ivfRecall = viaIvf.intersect(exact).size.toDouble / exact.size
+    assert(mpRecall >= 0.9, s"multi-probe tier recall $mpRecall (${exact.size} pairs)")
+    assert(ivfRecall >= 0.9, s"IVF tier recall $ivfRecall (${exact.size} pairs)")
+  }
+
   test("auto pair search reads the stats relation: byte cutoff can refuse exact") {
     // the decision consumes TableStats (footer rows + fs bytes), not a
     // bare count: with rows far under the row cutoff, shrinking ONLY the

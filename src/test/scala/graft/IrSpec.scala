@@ -30,6 +30,35 @@ class IrSpec extends SparkSpec {
       "vacuous: nothing truncated at maxPost=5 — corpus assumption broke")
   }
 
+  test("postings merge is a SET union: doc re-delivered under a new batchId enters once") {
+    // the batchId guard only stops exact replays; at-least-once upstream
+    // can re-deliver a document in a LATER batch. The champion lists
+    // must not carry a doc_id twice (it would displace a distinct doc);
+    // df additivity under overlap is documented-unrecoverable, so only
+    // the postings are asserted here.
+    import graft.streaming.StreamingJobs
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_idx_redeliver").toString
+    try {
+      val docs = Tables.documents(spark, sfTiny).limit(20).localCheckpoint(true)
+      StreamingJobs.applyIndexBatch(spark, docs, "text", 0L, maxPost = 100, stateDir)
+      // batch 1 re-delivers HALF of batch 0's docs (new batchId — not a replay)
+      StreamingJobs.applyIndexBatch(spark, docs.filter(col("doc_id") % 2 === 0),
+        "text", 1L, maxPost = 100, stateDir)
+      val state = StreamingJobs.latestAggState(spark, stateDir).get._2.collect()
+      assert(state.nonEmpty)
+      state.foreach { r =>
+        val posts = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("posts")
+          .map(_.getLong(0))
+        assert(posts.distinct.size == posts.size,
+          s"duplicate doc_id in postings of '${r.getAs[String]("term")}': $posts")
+        assert(posts == posts.sorted, "postings lost their doc_id order")
+      }
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    }
+  }
+
   test("q136: conjunctive semantics and ranking vs brute force") {
     val terms = Seq("spark", "join", "window")
     val got = TextAnalysis.retrieveConjunctive(spark, sfTiny, terms, k = 10)

@@ -119,6 +119,48 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  // second interval relation for the overlap shape: offsets chosen so
+  // some pairs share MANY bins (the duplicate hazard the first-shared-bin
+  // guard exists for), some touch exactly at an endpoint, some miss
+  private def ivsB = {
+    val ss = spark; import ss.implicits._
+    Seq((-100.0, -95.0), (-5.0, 0.5), (0.0, 50.0), (1.0, 204.0),
+      (200.0, 210.0), (205.0, 300.0), (400.0, 410.0))
+      .zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("b_id", "b_lo", "b_hi")
+  }
+  private def naiveOverlap =
+    ivs.join(ivsB, col("lo") <= col("b_hi") && col("b_lo") <= col("hi"))
+
+  test("interval-overlap join rewrites to a binned equi-join: no nested loop, no duplicate pairs") {
+    spark.conf.set(RangeJoinRule.widthKey, "0")
+    val expected = naiveOverlap.collect().map(_.toSeq.toString).sorted
+    assert(planOf(naiveOverlap).contains("NestedLoop"),
+      "overlap fixture unexpectedly not a nested loop — test premise broken")
+    withWidth(50.0) {
+      val df = naiveOverlap
+      val plan = planOf(df)
+      assert(!plan.contains("NestedLoop"), s"nested loop survived the overlap arm:\n$plan")
+      assert(plan.contains("__graft_bin_l") && plan.contains("__graft_bin_r"),
+        s"bin keys missing from overlap plan:\n$plan")
+      // MULTISET compare: the (5,205)x(1,204) pair shares 5 bins at
+      // width 50 — any bin-dedup bug shows up as duplicated rows here
+      val got = df.collect().map(_.toSeq.toString).sorted
+      assert(got.sameElements(expected),
+        s"overlap rewrite changed results: got ${got.length} rows vs ${expected.length}")
+    }
+  }
+
+  test("overlap arm handles reversed spellings (>= with operands flipped)") {
+    def j = ivs.join(ivsB, col("b_hi") >= col("lo") && col("hi") >= col("b_lo"))
+    val expected = j.collect().map(_.toSeq.toString).sorted
+    withWidth(50.0) {
+      val df = j
+      assert(!planOf(df).contains("NestedLoop"))
+      assert(df.collect().map(_.toSeq.toString).sorted.sameElements(expected))
+    }
+  }
+
   test("null bounds and null points drop rows exactly like the naive join") {
     val ss = spark; import ss.implicits._
     val l = Seq(Some(5.0), None, Some(15.0)).zipWithIndex
