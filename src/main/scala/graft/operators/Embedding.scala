@@ -121,19 +121,34 @@ object Embedding {
       .select(col("doc_id"), vector_to_array(col("emb")).as("embedding"))
   }
 
-  /** q39: embedding-stage output profile — per-doc norm and sparsity.
-    * (rows-only check; EmbeddingSpec holds the real assertions). */
+  /** q39: embedding-stage invariant profile — the vectors themselves
+    * are murmur3-HashingTF outputs no SQL engine can replay, but the
+    * pipeline's CONTRACT is fully checkable: every document embeds
+    * (n_docs), every embedding is exactly conf-dim wide (n_dim_ok), and
+    * every vector is unit-norm or exactly zero (n_norm_ok — the
+    * Normalizer stage; zero when IDF kills every term of a doc). The
+    * Spark side computes all three from the real vectors; the DuckDB
+    * oracle states each must equal count(*) of documents — the
+    * shape-invariant oracle round 6 asked for. Per-vector assertions
+    * (determinism, no-refit, backend parity) stay in EmbeddingSpec. */
   val q39EmbedPipeline = GraftQuery(
     "q39_embed_pipeline",
-    "M1; embedding stage (no SQL oracle: murmur3 HashingTF)",
-    (s, d) =>
+    "M1; embedding stage invariants (vectors themselves are murmur3-hashed)",
+    (s, d) => {
+      val dim = GraftConf.embeddingDim(s)
       embed(s, d)
-        .select(col("doc_id"),
-          round(sqrt(aggregate(col("embedding"), lit(0.0),
-            (acc, x) => acc + x * x)), 4).as("norm"),
-          size(filter(col("embedding"), x => x =!= 0.0)).as("nnz"))
-        .orderBy(col("doc_id")),
-    None)
+        .select(
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x * x)).as("norm"),
+          size(col("embedding")).as("sz"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum((col("sz") === dim).cast("long")).as("n_dim_ok"),
+          sum((abs(col("norm") - 1.0) < 1e-6 || col("norm") === 0.0)
+            .cast("long")).as("n_norm_ok"))
+    },
+    Some("""SELECT count(*) AS n_docs, count(*) AS n_dim_ok,
+      count(*) AS n_norm_ok FROM documents"""))
 
   def queries: Seq[GraftQuery] = Seq(q39EmbedPipeline)
 }

@@ -59,11 +59,33 @@ object Sources {
     "S3; schema-only scan",
     (s, d) => {
       val fields = Tables.lineitem(s, d).limit(0).schema.fields.toSeq
-      s.createDataFrame(fields.map(f => (f.name, f.dataType.simpleString)))
+      // timestamp flavors collapse to one label: Spark reads parquet
+      // timestamp[us] as TIMESTAMP or TIMESTAMP_NTZ depending on the
+      // file's isAdjustedToUTC flag (which has changed across testdata
+      // generations), while the DuckDB oracle's information_schema says
+      // TIMESTAMP for both — the peek asserts the logical schema, not
+      // the zone flavor
+      s.createDataFrame(fields.map { f =>
+        val t = f.dataType.simpleString match {
+          case ts if ts.startsWith("timestamp") => "timestamp"
+          case other => other
+        }
+        (f.name, t)
+      })
         .toDF("col_name", "col_type")
         .orderBy(col("col_name"))
     },
-    None)
+    Some("""SELECT column_name AS col_name,
+      CASE
+        WHEN lower(data_type) LIKE 'timestamp%' THEN 'timestamp'
+        WHEN data_type = 'BIGINT' THEN 'bigint'
+        WHEN data_type = 'INTEGER' THEN 'int'
+        WHEN data_type = 'DOUBLE' THEN 'double'
+        WHEN data_type = 'FLOAT' THEN 'float'
+        WHEN data_type = 'VARCHAR' THEN 'string'
+        ELSE lower(data_type) END AS col_type
+      FROM information_schema.columns WHERE table_name = 'lineitem'
+      ORDER BY col_name"""))
 
   /** JSONL (newline-delimited JSON) round trip — the lingua franca of
     * LLM training-data interchange (one JSON object per line; what a

@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-7 scale rehearsal for the dedup family (VERDICT r6 item 6):
+  * materialize a `factor`× documents corpus locally with the q104
+  * epoch-replication pattern, run the three headline dedup queries at 1×
+  * and factor×, and report wall time + shuffle read/write + spill per
+  * run so SCALE.md carries measured scaling, not prose.
+  *
+  * Replicas are made TEXTUALLY DISTINCT (every token of an epoch>1 copy
+  * gets an epoch prefix) so no shingles are shared across epochs: the
+  * upsampled corpus has the same duplicate STRUCTURE per epoch shard,
+  * i.e. candidate volume must scale ~linearly in `factor`. Verbatim
+  * replication would instead multiply every dup cluster by `factor` and
+  * grow the PAIR output quadratically — a different (adversarial)
+  * workload, worth testing separately, not a scaling baseline.
+  *
+  * Usage: runMain graft.tools.ScaleRehearsal [baseDir] [factor] [workDir]
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val work = if (args.length > 2) args(2) else "/tmp/graft_scale_rehearsal"
+    require(factor >= 2, s"factor must be >= 2, got $factor")
+    val spark = graft.GraftSession.local()
+
+    // --- materialize the upsampled corpus (written once, reused) -----
+    val docsOut = s"$work/documents.parquet"
+    val marker = new java.io.File(s"$work/_UPSAMPLED_x$factor")
+    if (!marker.exists()) {
+      val t0 = System.nanoTime()
+      Tables.documents(spark, baseDir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), explode(sequence(lit(1), lit(factor))).as("epoch"))
+        .select(
+          (col("doc_id") * factor + col("epoch") - 1).as("doc_id"),
+          when(col("epoch") === 1, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("e"), col("epoch").cast("string"), lit("$1"))))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(docsOut)
+      marker.getParentFile.mkdirs(); marker.createNewFile()
+      println(f"[rehearsal] upsample x$factor written in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    // --- metrics listener: shuffle + spill totals between resets ------
+    object m extends SparkListener {
+      val sw = new java.util.concurrent.atomic.AtomicLong
+      val sr = new java.util.concurrent.atomic.AtomicLong
+      val spill = new java.util.concurrent.atomic.AtomicLong
+      def reset(): Unit = { sw.set(0); sr.set(0); spill.set(0) }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val tm = sc.stageInfo.taskMetrics
+        if (tm != null) {
+          sw.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+          sr.addAndGet(tm.shuffleReadMetrics.totalBytesRead)
+          spill.addAndGet(tm.diskBytesSpilled)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(m)
+
+    val queries: Seq[(String, String => DataFrame)] = Seq(
+      "q59_sketch_dedup" -> (d => graft.operators.Dedup.sketchDedupSurvivors(spark, d, 0.8)),
+      "q64_dup_clusters" -> (d => graft.operators.Dedup.dupClusters(spark, d, 0.8)),
+      "q132_heavy_hitters" -> (d => graft.operators.TextAnalysis.heavyHitters(spark, d, 1000)))
+
+    // warm-up so JIT/codegen startup lands outside both measured scales
+    Tables.documents(spark, baseDir).count()
+
+    val out = new StringBuilder("{")
+    Seq("base" -> baseDir, s"x$factor" -> work).foreach { case (tag, dir) =>
+      queries.foreach { case (name, fn) =>
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        m.reset()
+        val t0 = System.nanoTime()
+        val rows = fn(dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val line = f"""\"$tag/$name\":{\"sec\":$sec%.2f,\"rows\":$rows,""" +
+          f"""\"shuffle_write_mb\":${m.sw.get / 1e6}%.1f,\"shuffle_read_mb\":${m.sr.get / 1e6}%.1f,""" +
+          f"""\"spill_mb\":${m.spill.get / 1e6}%.1f}"""
+        println(s"[rehearsal] $line")
+        out.append(line).append(",")
+      }
+    }
+    val json = out.dropRight(1).append("}").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$work/rehearsal.json"), json + "\n")
+    spark.stop()
+  }
+}
