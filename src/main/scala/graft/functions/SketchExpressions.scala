@@ -170,6 +170,29 @@ object ShingleKernel {
     }
     new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
   }
+
+  /** ALL n-word shingles in positional order (NON-distinct) — the
+    * positional form q161's maximal-span merge needs: `posexplode`
+    * recovers the 0-based start position of each window. Oracle mirror:
+    * UNNEST(range(1, len(toks)-(n-2))) with toks[i] || ' ' || ... . */
+  def shinglesAll(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      val sb = new java.lang.StringBuilder()
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        if (!tokens.isNullAt(i + o)) sb.append(tokens.getUTF8String(i + o).toString)
+        o += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Base for sketch expressions over ARRAY<STRING> input. */
@@ -228,6 +251,22 @@ case class ShingleArray(child: Expression, n: Int) extends SketchExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Positional (non-distinct) n-word shingles -> ARRAY<STRING> in window
+  * order; see [[ShingleKernel.shinglesAll]]. Same native-not-HOF
+  * rationale as [[ShingleArray]]. */
+case class PosShingleArray(child: Expression, n: Int) extends SketchExpression {
+  override def prettyName: String = "graft_pos_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.shinglesAll(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.shinglesAll($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API wrappers. */
 object SketchFunctions {
   def simhash64(tokens: Column): Column =
@@ -239,4 +278,7 @@ object SketchFunctions {
 
   def shingleArray(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleArray(GraftColumnBridge.expression(tokens), n))
+
+  def posShingleArray(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(PosShingleArray(GraftColumnBridge.expression(tokens), n))
 }

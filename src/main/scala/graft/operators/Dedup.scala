@@ -870,6 +870,166 @@ object Dedup {
       ORDER BY df DESC, span"""))
 
   // ---------------------------------------------------------------------
+  // q161/q162: MAXIMAL cross-document shared spans — the ExactSubstr
+  // tier of the dedup family (Lee et al., "Deduplicating Training Data
+  // Makes Language Models Better": remove repeated substrings, not just
+  // near-duplicate whole documents). q68 reports which fixed-n spans
+  // repeat; these recover the full EXTENT of each repeated passage and
+  // the keep-first excision profile — the actual deliverable of
+  // substring-level dedup.
+  // ---------------------------------------------------------------------
+
+  /** Maximal cross-document repeated token spans. Plan: positional
+    * n-gram shingles (native kernel, one row per window) → hot-span
+    * df-cut (occurrences > maxOcc dropped — the boilerplate guard; an
+    * ultra-hot shingle inside a long span at worst SPLITS its island,
+    * never invents one) → self-equi-join on the span text (cross-doc
+    * only, d1 < d2) → per (d1, d2, diagonal p1-p2) consecutive matching
+    * windows merge into maximal runs with the islands trick (p1 minus
+    * row_number is constant within a run) → spans of token length >=
+    * minLen. Every join is an equi-join; window partitions are single
+    * matching diagonals of single doc pairs, bounded by the df-cut. At
+    * 100 TB the span join key would be the span's md5 (the q58/q68
+    * footnote) — text keys keep the DuckDB oracle byte-faithful here.
+    * Output positions are 1-based token offsets. */
+  def sharedSpans(s: SparkSession, d: String, n: Int, minLen: Int,
+      maxOcc: Int): DataFrame = {
+    require(n >= 2 && minLen >= n && maxOcc >= 2,
+      s"need n >= 2, minLen >= n, maxOcc >= 2; got n=$n minLen=$minLen maxOcc=$maxOcc")
+    val ps = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), posexplode(posShingleArray(col("t"), n)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("span"))
+    val keep = ps.groupBy(col("span")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxOcc).select(col("span"))
+    val psk = ps.join(keep, Seq("span"))
+    val m = psk.select(col("span"), col("doc_id").as("d1"), col("pos").as("p1"))
+      .join(psk.select(col("span"), col("doc_id").as("d2"), col("pos").as("p2")),
+        Seq("span"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("p1"), col("p2"),
+        (col("p1") - col("p2")).as("diag"))
+    val w = Window.partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
+    m.withColumn("grp", col("p1") - row_number().over(w))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+      .agg(min(col("p1")).as("start1"), min(col("p2")).as("start2"),
+        (max(col("p1")) - min(col("p1")) + n).as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .select(col("d1"), col("d2"), col("start1"), col("start2"), col("span_len"))
+      .orderBy(col("d1"), col("d2"), col("start1"), col("start2"))
+  }
+
+  val q161SharedSpans = GraftQuery(
+    "q161_shared_spans",
+    "D5-span ext: maximal cross-doc repeated spans (ExactSubstr extent merge)",
+    (s, d) => sharedSpans(s, d, n = 5, minLen = 20, maxOcc = 100),
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      ps AS (
+        SELECT doc_id, i AS pos,
+          toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4] AS span
+        FROM tk, UNNEST(range(1, len(toks)-3)) AS u(i)),
+      df AS (SELECT span, count(*) AS occ FROM ps GROUP BY span),
+      psk AS (SELECT ps.* FROM ps JOIN df USING (span) WHERE occ <= 100),
+      m AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+        FROM psk a JOIN psk b ON a.span = b.span AND a.doc_id < b.doc_id),
+      isl AS (
+        SELECT d1, d2, p1, p2,
+          p1 - row_number() OVER (PARTITION BY d1, d2, (p1-p2) ORDER BY p1) AS grp
+        FROM m)
+      SELECT d1, d2, CAST(min(p1) AS BIGINT) AS start1,
+        CAST(min(p2) AS BIGINT) AS start2,
+        CAST(max(p1) - min(p1) + 5 AS BIGINT) AS span_len
+      FROM isl GROUP BY d1, d2, (p1-p2), grp
+      HAVING max(p1) - min(p1) + 5 >= 20
+      ORDER BY d1, d2, start1, start2"""))
+
+  /** Keep-first substring-dedup profile: for each document that repeats
+    * a span some EARLIER document (lower doc_id — q50's keep-first
+    * convention at span level) already carries, union its cut intervals
+    * (gaps-and-islands on [start2, start2+len-1], the q152 machinery)
+    * and report spans cut / tokens cut / tokens kept. The actual excision
+    * is then one slice-and-rejoin over the token array; the profile is
+    * the auditable part (and the part a 100 TB run would want to inspect
+    * BEFORE destructively rewriting a corpus). */
+  def substrDedupProfile(s: SparkSession, d: String, n: Int, minLen: Int,
+      maxOcc: Int): DataFrame = {
+    val cuts = sharedSpans(s, d, n, minLen, maxOcc)
+      .select(col("d2").as("doc_id"), col("start2").as("lo"),
+        (col("start2") + col("span_len") - 1).as("hi"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("lo"), col("hi"))
+    val islands = cuts
+      .withColumn("prevmax",
+        max(col("hi")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newisl",
+        (col("prevmax").isNull || col("lo") > col("prevmax")).cast("int"))
+      .withColumn("isl",
+        sum(col("newisl")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+    val toklen = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_toks"))
+    islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans_cut"),
+        sum(col("hi") - col("lo") + 1).as("tokens_cut"))
+      .join(toklen, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans_cut"), col("tokens_cut"),
+        (col("n_toks") - col("tokens_cut")).as("tokens_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q162SubstrDedup = GraftQuery(
+    "q162_substr_dedup",
+    "D5-span ext: keep-first substring-dedup excision profile (interval union)",
+    (s, d) => substrDedupProfile(s, d, n = 5, minLen = 20, maxOcc = 100),
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      ps AS (
+        SELECT doc_id, i AS pos,
+          toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4] AS span
+        FROM tk, UNNEST(range(1, len(toks)-3)) AS u(i)),
+      df AS (SELECT span, count(*) AS occ FROM ps GROUP BY span),
+      psk AS (SELECT ps.* FROM ps JOIN df USING (span) WHERE occ <= 100),
+      m AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+        FROM psk a JOIN psk b ON a.span = b.span AND a.doc_id < b.doc_id),
+      isl AS (
+        SELECT d1, d2, p1, p2,
+          p1 - row_number() OVER (PARTITION BY d1, d2, (p1-p2) ORDER BY p1) AS grp
+        FROM m),
+      spans AS (
+        SELECT d2 AS doc_id, min(p2) AS lo,
+          min(p2) + max(p1) - min(p1) + 4 AS hi
+        FROM isl GROUP BY d1, d2, (p1-p2), grp
+        HAVING max(p1) - min(p1) + 5 >= 20),
+      mrg AS (
+        SELECT doc_id, lo, hi,
+          max(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        FROM spans),
+      isl2 AS (
+        SELECT doc_id, lo, hi,
+          sum(CASE WHEN prevmax IS NULL OR lo > prevmax THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY lo, hi
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM mrg),
+      u AS (SELECT doc_id, isl, min(lo) AS lo, max(hi) AS hi
+        FROM isl2 GROUP BY doc_id, isl),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_cut,
+        CAST(sum(hi - lo + 1) AS BIGINT) AS tokens_cut FROM u GROUP BY doc_id),
+      tl AS (SELECT doc_id,
+        len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks
+        FROM documents)
+      SELECT a.doc_id, n_spans_cut, tokens_cut,
+        CAST(n_toks - tokens_cut AS BIGINT) AS tokens_kept
+      FROM agg a JOIN tl USING (doc_id) ORDER BY a.doc_id"""))
+
+  // ---------------------------------------------------------------------
   // q92: fuzzy string dedup — edit-distance near-dup over short titles
   // (the entity-resolution / title-canonicalization shape: "Sr. Data
   // Engineer" vs "Senior Data Engineer"). Classic blocking plan: collapse
@@ -1152,5 +1312,6 @@ object Dedup {
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
     q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup,
     q64DupClusters, q68DupSpans, q69IncrementalDedup, q92FuzzyDedup,
-    q109Decontaminate, q129SemDedup, q133DecontaminateBloom, q153StreamedCc)
+    q109Decontaminate, q129SemDedup, q133DecontaminateBloom, q153StreamedCc,
+    q161SharedSpans, q162SubstrDedup)
 }
