@@ -19,34 +19,44 @@ import graft.Tables
   * grow the PAIR output quadratically — a different (adversarial)
   * workload, worth testing separately, not a scaling baseline.
   *
-  * Usage: runMain graft.tools.ScaleRehearsal [baseDir] [factor] [workDir]
+  * A second mode, `verbatim`, replicates texts UNCHANGED (fresh doc_ids)
+  * — the adversarial shape: every document becomes a duplicate cluster
+  * of size `factor`, so candidate and pair volumes grow ~factor²/2 per
+  * cluster. This stresses the within-cluster quadratic path (the salted
+  * bucket join + verify) rather than linear throughput.
+  *
+  * Usage: runMain graft.tools.ScaleRehearsal [baseDir] [factor] [workDir] [distinct|verbatim]
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
     val work = if (args.length > 2) args(2) else "/tmp/graft_scale_rehearsal"
+    val mode = if (args.length > 3) args(3) else "distinct"
     require(factor >= 2, s"factor must be >= 2, got $factor")
+    require(mode == "distinct" || mode == "verbatim", s"bad mode $mode")
     val spark = graft.GraftSession.local()
 
     // --- materialize the upsampled corpus (written once, reused) -----
     val docsOut = s"$work/documents.parquet"
-    val marker = new java.io.File(s"$work/_UPSAMPLED_x$factor")
+    val marker = new java.io.File(s"$work/_UPSAMPLED_x${factor}_$mode")
     if (!marker.exists()) {
       val t0 = System.nanoTime()
+      val replicaText =
+        if (mode == "verbatim") col("text")
+        else when(col("epoch") === 1, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("e"), col("epoch").cast("string"), lit("$1"))))
       Tables.documents(spark, baseDir)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"), explode(sequence(lit(1), lit(factor))).as("epoch"))
         .select(
           (col("doc_id") * factor + col("epoch") - 1).as("doc_id"),
-          when(col("epoch") === 1, col("text"))
-            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-              concat(lit("e"), col("epoch").cast("string"), lit("$1"))))
-            .as("text"),
+          replicaText.as("text"),
           col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(docsOut)
       marker.getParentFile.mkdirs(); marker.createNewFile()
-      println(f"[rehearsal] upsample x$factor written in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(f"[rehearsal] upsample x$factor ($mode) written in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
     // --- metrics listener: shuffle + spill totals between resets ------
