@@ -26,6 +26,7 @@ object Registry {
       operators.Ann.queries ++
       operators.Nsw.queries ++
       operators.Embedding.queries ++
+      operators.Graph.queries ++
       operators.Dedup.queries ++
       operators.QualityFilter.queries ++
       operators.TextAnalysis.queries ++

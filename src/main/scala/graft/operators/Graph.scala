@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.VectorKernels._
+
+/** Similarity-graph analytics over the embedding corpus — the
+  * data-curation layer that sits ON TOP of the k-NN machinery
+  * (reference: the pipeline stops at pair retrieval,
+  * app/main.py:252-263; curation pipelines consume those neighbor
+  * lists as a GRAPH: density/prototypicality scores for coreset
+  * selection and pruning [Sorscher et al., "Beyond neural scaling
+  * laws", NeurIPS 2022; Abbas et al., SemDeDup], and
+  * centrality/PageRank for representative ranking [Page et al., 1999;
+  * used host-level in Common Crawl curation]).
+  *
+  * Physical strategy: the GRAPH algorithms here are tier-agnostic —
+  * they consume an (src, dst, w) edge relation and are all
+  * equi-join/agg plans. The edge builder below is the LABELED exact
+  * O(N²) baseline (same contract as q30: it IS the oracle-replayable
+  * ground truth); at 100 TB the edge relation comes from the IVF
+  * (q34/q156), multi-probe-LSH (q149), or NSW (q127) tier instead —
+  * identical downstream plans, since all tiers emit the same
+  * (qid, rank, nid, sim) shape.
+  *
+  * Determinism contract with the DuckDB oracle: edge selection ranks
+  * RAW double cosines (bit-identical sequential kernels both sides,
+  * proven by q30/q32 hash equality), ties broken by nid; PageRank
+  * mass sums differ only by float addition order (≤ a few ulps),
+  * absorbed by the 8-decimal output rounding.
+  */
+object Graph {
+
+  /** Exact directed k-NN graph: node -> its k nearest neighbors by
+    * cosine (self excluded, ties by nid), uniform out-weight 1/k.
+    * Every node has out-degree exactly k, so the PageRank below has no
+    * dangling mass. Top-k per node via [[graft.functions.TopKAggregator]]
+    * (partial→final heaps, the q156 pattern — identical tie order
+    * sim DESC, nid ASC), NOT a row_number window: the window form would
+    * sort all N·(N−1) scored pairs behind one exchange; this ships ≤ k
+    * rows per node per map task and sorts nothing (PlanSpec pins the
+    * window-free plan). */
+  def knnEdges(s: SparkSession, d: String, k: Int): DataFrame = {
+    val base = Tables.embeddings(s, d)
+    val q = base.select(col("vec_id").as("src"), col("embedding").as("qvec"))
+    val c = base.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    q.join(c, col("src") =!= col("nid"))
+      .select(col("src"), col("nid"), cosineFast(col("qvec"), col("nvec")).as("sim"))
+      .groupBy(col("src")).agg(topk(col("sim"), col("nid")).as("top"))
+      .select(col("src"), explode(col("top")).as("e"))
+      .select(col("src"), col("e._2").as("dst"), col("e._1").as("sim"))
+  }
+
+  /** Shared oracle CTE: the same k-NN edge set in DuckDB SQL. */
+  private def edgesSql(k: Int): String =
+    s"""base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          list_cosine_similarity(a.embedding, b.embedding) AS sim
+        FROM base a JOIN base b ON a.vec_id <> b.vec_id),
+      edges AS (
+        SELECT src, dst, sim FROM (
+          SELECT src, dst, sim,
+            row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
+          FROM scored) WHERE rank <= $k)"""
+
+  /** q163: k-NN-graph density scoring — in-degree (how many corpus
+    * vectors list this one among their k nearest) plus mean incoming
+    * similarity, for EVERY node (zero-in-degree nodes kept via left
+    * join). In-degree over the mutual-neighbor graph is the standard
+    * density/prototypicality signal for coreset selection and
+    * data pruning: high in-degree = cluster core (keep one, or
+    * up-weight), zero in-degree = isolated point (candidate outlier or
+    * candidate unique-information keeper, policy-dependent).
+    * Plan: after the edge tier, this is ONE hash aggregate on dst and
+    * one left join back to the node list — shuffle bounded by the edge
+    * count N·k, never N². */
+  val q163KnnGraphDegree = GraftQuery(
+    "q163_knn_graph_degree",
+    "LLM-pipeline data pruning: k-NN-graph in-degree density scores; J1a,A1,T1",
+    (s, d) => {
+      val edges = knnEdges(s, d, k = 5)
+      val inDeg = edges.groupBy(col("dst"))
+        .agg(count(lit(1)).as("in_degree"), round(avg(col("sim")), 4).as("avg_in_sim"))
+      Tables.embeddings(s, d).select(col("vec_id"))
+        .join(inDeg, col("vec_id") === col("dst"), "left")
+        .select(col("vec_id"),
+          coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+          col("avg_in_sim"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH ${edgesSql(5)},
+      indeg AS (
+        SELECT dst, count(*) AS in_degree, round(avg(sim), 4) AS avg_in_sim
+        FROM edges GROUP BY dst)
+      SELECT e.vec_id, coalesce(i.in_degree, 0) AS in_degree, i.avg_in_sim
+      FROM embeddings e LEFT JOIN indeg i ON e.vec_id = i.dst
+      ORDER BY e.vec_id"""))
+
+  /** PageRank by power iteration over an (src, dst) edge relation with
+    * uniform out-weight 1/k: r' = (1-d)/N + d·Σ_in r/k. A fixed
+    * iteration count keeps the computation oracle-replayable; the
+    * convergence PROPERTY (mass conservation, monotone residual) is
+    * spec-gated in GraphSpec. Each iteration is one equi-join + one
+    * hash aggregate + one left join — the canonical iterative-relational
+    * plan (same family as the CC alternation, Dedup.scala); the edge
+    * relation is localCheckpoint'd once so five iterations scan a
+    * materialized N·k-row table instead of replaying the O(N²) scorer,
+    * and lineage stays flat (at cluster scale: checkpoint every ~5
+    * rounds to cut DAG growth, exactly as q64's CC does per round). */
+  def pageRank(nodes: DataFrame, edges: DataFrame, k: Int, iters: Int,
+      damping: Double): DataFrame = {
+    val s = nodes.sparkSession
+    val n = nodes.count()
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var ranks = nodes.select(col("vec_id"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, col("src") === col("vec_id"))
+        .groupBy(col("dst")).agg(sum(col("r") / k).as("in_r"))
+      ranks = nodes.select(col("vec_id"))
+        .join(contrib, col("vec_id") === col("dst"), "left")
+        .select(col("vec_id"),
+          (lit((1.0 - damping) / n)
+            + lit(damping) * coalesce(col("in_r"), lit(0.0))).as("r"))
+    }
+    ranks
+  }
+
+  /** q164: PageRank over the exact k-NN graph — representative-ranking
+    * for data curation (the graph-global complement of q163's local
+    * in-degree: a node pointed at by other WELL-POINTED-AT nodes ranks
+    * higher; the within-corpus analogue of host-level PageRank in
+    * Common Crawl pipelines). 5 unrolled power iterations at d=0.85,
+    * replayed move-for-move by the DuckDB oracle; out-degree is
+    * exactly k for every node, so no dangling-mass correction is
+    * needed and total mass stays 1 (spec-gated). */
+  val q164KnnGraphPagerank = GraftQuery(
+    "q164_knn_graph_pagerank",
+    "LLM-pipeline data curation: PageRank centrality over the k-NN graph; iterative joins",
+    (s, d) => {
+      val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+      val pr = pageRank(nodes, knnEdges(s, d, k = 5), k = 5, iters = 5, damping = 0.85)
+      pr.select(col("vec_id"), round(col("r"), 8).as("rank"))
+        .orderBy(col("rank").desc, col("vec_id"))
+    },
+    Some(s"""WITH ${edgesSql(5)},
+      n AS (SELECT count(*) AS n FROM embeddings),
+      r0 AS (SELECT vec_id, CAST(1 AS DOUBLE) / (SELECT n FROM n) AS r
+             FROM embeddings),
+      r1 AS (SELECT e.vec_id,
+               (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
+                 + CAST(0.85 AS DOUBLE) * coalesce(sum(p.r / 5), 0) AS r
+             FROM embeddings e
+             LEFT JOIN edges ed ON ed.dst = e.vec_id
+             LEFT JOIN r0 p ON p.vec_id = ed.src
+             GROUP BY e.vec_id),
+      r2 AS (SELECT e.vec_id,
+               (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
+                 + CAST(0.85 AS DOUBLE) * coalesce(sum(p.r / 5), 0) AS r
+             FROM embeddings e
+             LEFT JOIN edges ed ON ed.dst = e.vec_id
+             LEFT JOIN r1 p ON p.vec_id = ed.src
+             GROUP BY e.vec_id),
+      r3 AS (SELECT e.vec_id,
+               (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
+                 + CAST(0.85 AS DOUBLE) * coalesce(sum(p.r / 5), 0) AS r
+             FROM embeddings e
+             LEFT JOIN edges ed ON ed.dst = e.vec_id
+             LEFT JOIN r2 p ON p.vec_id = ed.src
+             GROUP BY e.vec_id),
+      r4 AS (SELECT e.vec_id,
+               (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
+                 + CAST(0.85 AS DOUBLE) * coalesce(sum(p.r / 5), 0) AS r
+             FROM embeddings e
+             LEFT JOIN edges ed ON ed.dst = e.vec_id
+             LEFT JOIN r3 p ON p.vec_id = ed.src
+             GROUP BY e.vec_id),
+      r5 AS (SELECT e.vec_id,
+               (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
+                 + CAST(0.85 AS DOUBLE) * coalesce(sum(p.r / 5), 0) AS r
+             FROM embeddings e
+             LEFT JOIN edges ed ON ed.dst = e.vec_id
+             LEFT JOIN r4 p ON p.vec_id = ed.src
+             GROUP BY e.vec_id)
+      SELECT vec_id, round(r, 8) AS rank FROM r5
+      ORDER BY rank DESC, vec_id"""))
+
+  def queries: Seq[GraftQuery] = Seq(q163KnnGraphDegree, q164KnnGraphPagerank)
+}

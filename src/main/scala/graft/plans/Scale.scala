@@ -870,44 +870,57 @@ object Scale {
     * group-rank k is unique under tie permutation because the within-bin
     * order key IS the value. Oracle states the same ranks with one
     * per-group row_number — hash equality proves the decomposition. */
+  /** Per-group exact rank selection — the reusable core of q158 (and
+    * q165's robust statistics): input r(group, v: long), output
+    * (group, p, k, value) where value is the EXACT element at
+    * group-rank k = ceil(p·n_group). Two bounded passes, every step
+    * group-local (docstring on q158 below); no full-group sort, no
+    * per-group value buffering. */
+  def groupExactRank(s: SparkSession, r0: DataFrame, groupCol: String,
+      ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val g = col(groupCol)
+    val r = r0.select(g, col("v"))
+    val bounds = r.groupBy(g).agg(min(col("v")).as("lo"),
+      max(col("v")).as("hi"), count(lit(1)).as("n"))
+    val bins = graft.GraftConf.selectionBins(s).toLong
+    val binned = r.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bin",
+        ((col("v") - col("lo")) * lit(bins)
+          / (col("hi") - col("lo") + 1)).cast("long"))
+      .select(g, col("v"), col("bin"))
+    val binCounts = binned.groupBy(g, col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum_prev", coalesce(sum(col("c")).over(
+        Window.partitionBy(g).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranks = ps.toDF("p")
+      .crossJoin(broadcast(bounds.select(g, col("n"))))
+      .withColumn("k", ceil(col("p") * col("n")).cast("long"))
+      .select(g, col("p"), col("k"))
+    val located = ranks.join(broadcast(binCounts
+        .select(g.as("bl"), col("bin"), col("c"), col("cum_prev"))),
+        g === col("bl") &&
+          col("cum_prev") < col("k") && col("k") <= col("cum_prev") + col("c"))
+      .select(g, col("p"), col("k"), col("bin"),
+        (col("k") - col("cum_prev")).as("residual"))
+    val withinBin = Window.partitionBy(g, col("bin")).orderBy(col("v"))
+    binned.join(broadcast(located.select(g, col("bin")).distinct()),
+        Seq(groupCol, "bin"))
+      .withColumn("rn", row_number().over(withinBin))
+      .join(broadcast(located), Seq(groupCol, "bin"))
+      .filter(col("rn") === col("residual"))
+      .select(g, col("p"), col("k"), col("v").as("value"))
+  }
+
   val q158GroupOrderStats = GraftQuery(
     "q158_group_order_statistics",
     "scale: per-group exact quantiles via two-pass distributed selection",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      import s.implicits._
       val r = Tables.documents(s, d)
         .select(col("lang"), col("n_chars").cast("long").as("v"))
-      val bounds = r.groupBy(col("lang")).agg(min(col("v")).as("lo"),
-        max(col("v")).as("hi"), count(lit(1)).as("n"))
-      val bins = graft.GraftConf.selectionBins(s).toLong
-      val binned = r.join(broadcast(bounds), Seq("lang"))
-        .withColumn("bin",
-          ((col("v") - col("lo")) * lit(bins)
-            / (col("hi") - col("lo") + 1)).cast("long"))
-        .select(col("lang"), col("v"), col("bin"))
-      val binCounts = binned.groupBy(col("lang"), col("bin"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("cum_prev", coalesce(sum(col("c")).over(
-          Window.partitionBy(col("lang")).orderBy(col("bin"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val ranks = Seq(0.5, 0.9).toDF("p")
-        .crossJoin(broadcast(bounds.select(col("lang"), col("n"))))
-        .withColumn("k", ceil(col("p") * col("n")).cast("long"))
-        .select(col("lang"), col("p"), col("k"))
-      val located = ranks.join(broadcast(binCounts
-          .select(col("lang").as("bl"), col("bin"), col("c"), col("cum_prev"))),
-          col("lang") === col("bl") &&
-            col("cum_prev") < col("k") && col("k") <= col("cum_prev") + col("c"))
-        .select(col("lang"), col("p"), col("k"), col("bin"),
-          (col("k") - col("cum_prev")).as("residual"))
-      val withinBin = Window.partitionBy(col("lang"), col("bin")).orderBy(col("v"))
-      binned.join(broadcast(located.select(col("lang"), col("bin")).distinct()),
-          Seq("lang", "bin"))
-        .withColumn("rn", row_number().over(withinBin))
-        .join(broadcast(located), Seq("lang", "bin"))
-        .filter(col("rn") === col("residual"))
-        .select(col("lang"), col("p"), col("k"), col("v").as("value"))
+      groupExactRank(s, r, "lang", Seq(0.5, 0.9))
         .orderBy(col("lang"), col("p"))
     },
     Some("""WITH r AS (
@@ -925,7 +938,72 @@ object Scale {
       FROM ranks JOIN o ON o.lang = ranks.lang AND o.rn = ranks.k
       ORDER BY ranks.lang, p"""))
 
-  def queries: Seq[GraftQuery] = Seq(q158GroupOrderStats, q82SaltedAgg, q87ZOrderRoundTrip,
+  /** q165: per-group robust outlier audit — rank-based median + MAD
+    * (median absolute deviation) fence on event value, the robust
+    * complement to q121's winsorized MOMENTS (mean/stddev are
+    * themselves outlier-corrupted; the median/MAD pair has a 50%
+    * breakdown point — Hampel's robust-statistics canon) and the
+    * data-quality sibling of q119's drift report. Medians are the
+    * EXACT rank-ceil(n/2) element via [[groupExactRank]] — two
+    * selection passes (value, then |value − med|), each two bounded
+    * group-local scans, never a per-group sort or value buffer; the
+    * fence compare (dev > 3·MAD) is all-BIGINT cents, so the DuckDB
+    * replay is hash-exact with no float tolerance anywhere. */
+  val q165MadOutliers = GraftQuery(
+    "q165_mad_outlier_audit",
+    "LLM-pipeline data quality: exact median/MAD robust outlier fence per group",
+    (s, d) => {
+      val r = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+      val med = groupExactRank(s, r, "event_type", Seq(0.5))
+        .select(col("event_type"), col("value").as("med"))
+      val dev = r.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("med"),
+          abs(col("v") - col("med")).as("dev"))
+      val mad = groupExactRank(s,
+          dev.select(col("event_type"), col("dev").as("v")),
+          "event_type", Seq(0.5))
+        .select(col("event_type"), col("value").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH r AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events),
+      o AS (SELECT event_type, v,
+          row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+        FROM r),
+      n AS (SELECT event_type, count(*) AS n FROM r GROUP BY 1),
+      med AS (
+        SELECT o.event_type, o.v AS med
+        FROM o JOIN n ON o.event_type = n.event_type
+          AND o.rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n.n) AS BIGINT)),
+      dev AS (
+        SELECT r.event_type, med, abs(v - med) AS dev
+        FROM r JOIN med ON r.event_type = med.event_type),
+      od AS (SELECT event_type, dev,
+          row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn
+        FROM dev),
+      mad AS (
+        SELECT od.event_type, od.dev AS mad
+        FROM od JOIN n ON od.event_type = n.event_type
+          AND od.rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n.n) AS BIGINT))
+      SELECT dev.event_type, count(*) AS n,
+        max(med) AS med_cents, max(mad) AS mad_cents,
+        CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers
+      FROM dev JOIN mad ON dev.event_type = mad.event_type
+      GROUP BY dev.event_type
+      ORDER BY dev.event_type"""))
+
+  def queries: Seq[GraftQuery] = Seq(q158GroupOrderStats, q165MadOutliers,
+    q82SaltedAgg, q87ZOrderRoundTrip,
     q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin,
     q112CascadeDelete, q117Fingerprint, q118SkewReport, q124DictJoin,
     q130Compaction, q138IvmJoin, q144Skyline, q145OrderStats)

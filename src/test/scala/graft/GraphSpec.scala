@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Properties of the k-NN-graph analytics (q163/q164) that the DuckDB
+  * hash oracle can't state: PageRank's probability-distribution
+  * invariants, power-iteration convergence, and tier-agnosticism of
+  * the edge contract. */
+class GraphSpec extends SparkSpec {
+
+  private lazy val edges = Graph.knnEdges(spark, sfTiny, k = 5).cache()
+  private lazy val nodes =
+    Tables.embeddings(spark, sfTiny).select(col("vec_id")).cache()
+  private lazy val n = nodes.count()
+
+  test("k-NN edge set: out-degree exactly k for every node, no self loops") {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    assert(deg.filter(col("d") =!= 5).count() === 0)
+    assert(deg.count() === n)
+    assert(edges.filter(col("src") === col("dst")).count() === 0)
+  }
+
+  test("PageRank is a probability distribution: mass 1, floor (1-d)/N") {
+    val pr = Graph.pageRank(nodes, edges, k = 5, iters = 5, damping = 0.85)
+    val mass = pr.agg(sum(col("r"))).head.getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass drifted: $mass")
+    val floor = 0.15 / n
+    assert(pr.filter(col("r") < floor - 1e-12).count() === 0)
+  }
+
+  test("power iteration converges: L1 residual shrinks geometrically") {
+    def ranksAt(i: Int): Map[Long, Double] =
+      Graph.pageRank(nodes, edges, k = 5, iters = i, damping = 0.85)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (r4, r5, r6) = (ranksAt(4), ranksAt(5), ranksAt(6))
+    def l1(a: Map[Long, Double], b: Map[Long, Double]): Double =
+      a.map { case (k, v) => math.abs(v - b(k)) }.sum
+    val (d45, d56) = (l1(r4, r5), l1(r5, r6))
+    // contraction factor is ≤ damping = 0.85 per iteration in L1
+    assert(d56 <= d45 * 0.85 + 1e-12, s"residual not contracting: $d45 -> $d56")
+  }
+
+  test("pageRank is edge-tier-agnostic: runs on an approximate edge relation") {
+    // any (src, dst) relation with uniform out-degree k fits the
+    // contract — here a cheap structural stand-in for an IVF/NSW tier:
+    // ring + stride edges (k=2) instead of the exact cosine ranking
+    val ring = nodes
+      .select(col("vec_id").as("src"), ((col("vec_id") + 1) % n).as("dst"))
+      .union(nodes.select(col("vec_id").as("src"), ((col("vec_id") + 7) % n).as("dst")))
+    val pr = Graph.pageRank(nodes, ring, k = 2, iters = 3, damping = 0.85)
+    assert(math.abs(pr.agg(sum(col("r"))).head.getDouble(0) - 1.0) < 1e-9)
+    // a vertex-transitive graph gives the uniform distribution exactly
+    val spreadRow = pr.agg(max(col("r")).as("hi"), min(col("r")).as("lo")).head
+    assert(spreadRow.getDouble(0) - spreadRow.getDouble(1) < 1e-12)
+  }
+
+  test("q163 degree scores: in-degree sums to N*k and covers every node") {
+    val out = Registry.byName("q163_knn_graph_degree").run(spark, sfTiny)
+    assert(out.count() === n)
+    val total = out.agg(sum(col("in_degree"))).head.getLong(0)
+    assert(total === n * 5)
+  }
+}

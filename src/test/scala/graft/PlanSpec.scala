@@ -276,6 +276,16 @@ class PlanSpec extends SparkSpec {
       s"q156 still windows (probe or top-k):\n$plan")
   }
 
+  test("q163 k-NN graph builds edges window-free (partial top-k heaps)") {
+    val df = Registry.byName("q163_knn_graph_degree").run(spark, sfTiny)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q163 edge build sorts the full scored-pair set:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      "expected the TopKAggregator partial->final plan")
+  }
+
   test("registry-wide plan tripwire: no nested-loop/cartesian join outside the labeled baselines") {
     // insurance across all registered queries: a future edit that lets a
     // quadratic join back into a registered plan fails here instead of
@@ -286,7 +296,11 @@ class PlanSpec extends SparkSpec {
     // bounded by design.
     val exactBaselines = Set(
       "q30_knn_cosine_topk", "q31_neardup_pairs", "q32_knn_l2_to_cosine",
-      "q53_ngram_jaccard", "q83_similarity_histogram")
+      "q53_ngram_jaccard", "q83_similarity_histogram",
+      // q163/q164 consume the labeled exact k-NN edge builder (the
+      // oracle-replayable ground-truth tier; swap in IVF/LSH/NSW edges
+      // at scale — Graph.scala header)
+      "q163_knn_graph_degree", "q164_knn_graph_pagerank")
     val recallGates = Set(
       "q35_ivf_recall", "q37_lsh_recall", "q57_ivf_pair_recall",
       "q67_pq_recall", "q128_nsw_recall", "q150_multiprobe_recall")
@@ -300,7 +314,9 @@ class PlanSpec extends SparkSpec {
       "q118_skew_report", "q119_drift_report", "q121_winsorized_stats",
       "q140_cooccurrence", "q141_bm25_retrieval", "q142_triangles",
       "q143_join_size", "q144_skyline", "q145_order_statistics",
-      "q146_resample_ffill", "q158_group_order_statistics")
+      "q146_resample_ffill", "q158_group_order_statistics",
+      // q165 runs the q158 selection twice — same ps×bounds broadcast
+      "q165_mad_outlier_audit")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))
