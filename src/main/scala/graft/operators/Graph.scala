@@ -188,5 +188,97 @@ object Graph {
       SELECT vec_id, round(r, 8) AS rank FROM r5
       ORDER BY rank DESC, vec_id"""))
 
-  def queries: Seq[GraftQuery] = Seq(q163KnnGraphDegree, q164KnnGraphPagerank)
+  /** Semi-supervised label propagation over an (src, dst) k-regular
+    * edge relation [Zhu & Ghahramani 2002, label spreading]: seeds keep
+    * their label; every other node absorbs its out-neighbors' label
+    * mass each round. State is kept UNNORMALIZED as integer path
+    * counts — with uniform out-degree k, the count relation after
+    * round i is exactly k^i × the normalized distribution (seeds
+    * clamped to mass 1 = count k^i), so the argmax is the argmax of
+    * normalized LP while every value stays BIGINT: no float mass, no
+    * cross-engine tie ambiguity, a hash-exact oracle. State is sparse
+    * (node, label, cnt) long-form — at C classes it grows at most
+    * N·C, and each round is one equi-join + one hash aggregate + an
+    * anti-join clamp, localCheckpoint'd like the CC alternation. */
+  def labelPropagate(nodes: DataFrame, edges: DataFrame, k: Int,
+      iters: Int, seedMod: Int): DataFrame = {
+    val seeds = nodes.filter(col("vec_id") % seedMod === 0)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var state = seeds.select(col("vec_id"), col("label"), lit(1L).as("cnt"))
+    var pow = 1L
+    for (_ <- 1 to iters) {
+      pow = pow * k
+      val votes = e.join(state.withColumnRenamed("vec_id", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(sum(col("cnt")).as("cnt"))
+        .withColumnRenamed("src", "vec_id")
+      state = votes
+        .join(seeds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .union(seeds.select(col("vec_id"), col("label"), lit(pow).as("cnt")))
+        .localCheckpoint(true)
+    }
+    state
+  }
+
+  /** q166: label propagation on the exact k-NN graph — the
+    * semi-supervised annotation pattern of large-corpus curation
+    * (propagate sparse human/classifier labels — topic, quality tier,
+    * license class — to the unlabeled mass through embedding
+    * neighborhoods; the graph sibling of q131's distilled classifier).
+    * Seeds = every third vector keeping its true label; 3 rounds; the
+    * prediction is the per-node argmax (ties to the smallest label),
+    * reported next to the held-out truth. Fully DuckDB-oracled: the
+    * integer-count state makes every round and the final argmax
+    * hash-exact (no float mass anywhere). */
+  val q166LabelPropagation = GraftQuery(
+    "q166_label_propagation",
+    "LLM-pipeline semi-supervised annotation: integer-exact label propagation over the k-NN graph",
+    (s, d) => {
+      val nodes = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val state = labelPropagate(nodes, knnEdges(s, d, k = 5), k = 5,
+        iters = 3, seedMod = 3)
+      val pred = state.groupBy(col("vec_id"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("vec_id"), (-col("m.nl")).as("pred_label"))
+      nodes.join(pred, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label").as("true_label"),
+          (col("vec_id") % 3 === 0).as("is_seed"),
+          col("pred_label"),
+          when(col("pred_label").isNull, lit(null).cast("boolean"))
+            .otherwise(col("pred_label") === col("label")).as("correct"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH ${edgesSql(5)},
+      nodes AS (SELECT vec_id, label FROM embeddings),
+      seeds AS (SELECT vec_id, label FROM nodes WHERE vec_id % 3 = 0),
+      s0 AS (SELECT vec_id, label, CAST(1 AS BIGINT) AS cnt FROM seeds),
+      v1 AS (SELECT e.src AS vec_id, s.label, sum(s.cnt) AS cnt
+             FROM edges e JOIN s0 s ON s.vec_id = e.dst GROUP BY 1, 2),
+      s1 AS (SELECT vec_id, label, cnt FROM v1
+             WHERE vec_id NOT IN (SELECT vec_id FROM seeds)
+             UNION ALL SELECT vec_id, label, CAST(5 AS BIGINT) FROM seeds),
+      v2 AS (SELECT e.src AS vec_id, s.label, sum(s.cnt) AS cnt
+             FROM edges e JOIN s1 s ON s.vec_id = e.dst GROUP BY 1, 2),
+      s2 AS (SELECT vec_id, label, cnt FROM v2
+             WHERE vec_id NOT IN (SELECT vec_id FROM seeds)
+             UNION ALL SELECT vec_id, label, CAST(25 AS BIGINT) FROM seeds),
+      v3 AS (SELECT e.src AS vec_id, s.label, sum(s.cnt) AS cnt
+             FROM edges e JOIN s2 s ON s.vec_id = e.dst GROUP BY 1, 2),
+      s3 AS (SELECT vec_id, label, cnt FROM v3
+             WHERE vec_id NOT IN (SELECT vec_id FROM seeds)
+             UNION ALL SELECT vec_id, label, CAST(125 AS BIGINT) FROM seeds),
+      pred AS (SELECT vec_id, label AS pred_label,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cnt DESC, label) AS rn
+        FROM s3)
+      SELECT n.vec_id, n.label AS true_label,
+        (n.vec_id % 3 = 0) AS is_seed, p.pred_label,
+        CASE WHEN p.pred_label IS NULL THEN NULL
+             ELSE p.pred_label = n.label END AS correct
+      FROM nodes n LEFT JOIN
+        (SELECT vec_id, pred_label FROM pred WHERE rn = 1) p
+        ON n.vec_id = p.vec_id
+      ORDER BY n.vec_id"""))
+
+  def queries: Seq[GraftQuery] =
+    Seq(q163KnnGraphDegree, q164KnnGraphPagerank, q166LabelPropagation)
 }

@@ -300,7 +300,8 @@ class PlanSpec extends SparkSpec {
       // q163/q164 consume the labeled exact k-NN edge builder (the
       // oracle-replayable ground-truth tier; swap in IVF/LSH/NSW edges
       // at scale — Graph.scala header)
-      "q163_knn_graph_degree", "q164_knn_graph_pagerank")
+      "q163_knn_graph_degree", "q164_knn_graph_pagerank",
+      "q166_label_propagation")
     val recallGates = Set(
       "q35_ivf_recall", "q37_lsh_recall", "q57_ivf_pair_recall",
       "q67_pq_recall", "q128_nsw_recall", "q150_multiprobe_recall")
