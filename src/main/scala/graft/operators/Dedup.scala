@@ -1308,10 +1308,105 @@ object Dedup {
     (s, d) => streamedDupClusters(s, d, threshold = 0.8, nBatches = 3),
     q64DupClusters.oracle)
 
+  // ---------------------------------------------------------------------
+  // q170: prefix-filtered EXACT set-similarity join (SSJoin/PPJoin
+  // family) — the no-recall-loss scale path for threshold Jaccard
+  // ---------------------------------------------------------------------
+
+  /** Exact threshold-Jaccard pairs via prefix filtering [Chaudhuri-
+    * Ganti-Kaushik, SSJoin, ICDE 2006; Xiao et al., PPJoin, WWW 2008]:
+    * order every document's shingle keys by ascending corpus document
+    * frequency (rarest first, ties by key — a total order), keep only
+    * the first `|x| − ⌈τ·|x|⌉ + 1` keys as the doc's PREFIX, and join
+    * docs on shared prefix keys. Theorem: J(x,y) ≥ τ forces a common
+    * key inside BOTH prefixes (if the smallest common key fell outside
+    * x's prefix, all common keys would sit in x's suffix of size
+    * ⌈τ|x|⌉ − 1 < ⌈τ|x|⌉ ≤ |x∩y|), so unlike MinHash banding (q51) the
+    * candidate set provably contains every qualifying pair — EXACT
+    * results, no recall knob to sweep, which is why the output carries
+    * a full DuckDB oracle (brute-force replay) rather than a recall
+    * gate.
+    *
+    * Scale story: the join fans out only on PREFIX keys — the rarest
+    * ⌈(1−τ)|x|⌉+1 shingles of each doc — so per-key fan-out is bounded
+    * by the df of RARE keys (the df-ascending order exists precisely to
+    * put the most selective keys in the prefix; the hot stopword-phrase
+    * keys that blow up q53's full explode join land in suffixes and
+    * never join). At τ=0.5 half of each doc's keys join; at τ=0.9 a
+    * tenth. The ceil is computed in INTEGER arithmetic (τ = num/den)
+    * — a float τ·|x| landing an ulp above an integer would silently
+    * shorten prefixes and drop qualifying pairs. */
+  def prefixFilterJaccard(s: SparkSession, d: String, n: Int,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum >= 1 && tauDen >= tauNum, "need 0 < tau <= 1 as num/den")
+    val tau = tauNum.toDouble / tauDen
+    // distinct shingle keys per doc, q53's 60-bit md5 key compression
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), shingles(col("t"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("sgl"))
+      .select(col("doc_id"), col("n_sh"),
+        conv(substring(md5(col("sgl").cast("binary")), 1, 15), 16, 10).cast("long").as("k"))
+    val dfk = ex.groupBy(col("k")).agg(count(lit(1)).as("df"))
+    // per-doc keys in global (df asc, k asc) order + the prefix slice
+    val docs = ex.join(dfk, Seq("k"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_sh")).as("n_sh"),
+        sort_array(collect_list(struct(col("df"), col("k")))).as("ord"))
+      .select(col("doc_id"), col("n_sh"),
+        expr("transform(ord, x -> x.k)").as("keys"),
+        expr(s"n_sh - (n_sh * $tauNum + ${tauDen - 1}) DIV $tauDen + 1").as("plen"))
+    val pref = docs.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("keys"), lit(1), col("plen"))).as("k"))
+    val cand = pref.select(col("doc_id").as("id1"), col("k"))
+      .join(pref.select(col("doc_id").as("id2"), col("k")), Seq("k"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    // verify: exact intersection over the full key arrays
+    val left = docs.select(col("doc_id").as("id1"), col("n_sh").as("na"),
+      col("keys").as("ka"))
+    val right = docs.select(col("doc_id").as("id2"), col("n_sh").as("nb"),
+      col("keys").as("kb"))
+    cand.join(left, Seq("id1")).join(right, Seq("id2"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("ka"), col("kb"))).cast("long").as("inter"),
+        col("na"), col("nb"))
+      .select(col("id1"), col("id2"), col("inter"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+  }
+
+  val q170PrefixJaccard = GraftQuery(
+    "q170_prefix_jaccard",
+    "D5 ext: prefix-filtered EXACT set-similarity join (SSJoin/PPJoin), full oracle",
+    (s, d) => prefixFilterJaccard(s, d, n = 3, tauNum = 1, tauDen = 2),
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+          i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS sh
+        FROM tk WHERE len(toks) >= 3),
+      ex AS (SELECT doc_id, len(sh) AS n_sh,
+          ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS k FROM sh),
+      p AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(count(*) AS BIGINT) AS inter,
+          any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+        FROM ex a JOIN ex b ON a.k = b.k AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, inter,
+        round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+      FROM p WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.5
+      ORDER BY jaccard DESC, id1, id2"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
     q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup,
     q64DupClusters, q68DupSpans, q69IncrementalDedup, q92FuzzyDedup,
     q109Decontaminate, q129SemDedup, q133DecontaminateBloom, q153StreamedCc,
-    q161SharedSpans, q162SubstrDedup)
+    q161SharedSpans, q162SubstrDedup, q170PrefixJaccard)
 }

@@ -279,6 +279,87 @@ object Graph {
         ON n.vec_id = p.vec_id
       ORDER BY n.vec_id"""))
 
+  /** Exact threshold similarity graph: src—dst iff cos ≥ t, src ≠ dst.
+    * Cosine is symmetric so both directions appear — already the
+    * undirected-relation encoding the peel below needs. (The k-NN graph
+    * is the WRONG substrate for coreness: out-degree is k for every node
+    * by construction, so its symmetrized degrees are near-uniform and
+    * peeling either never fires at c ≤ k or collapses to empty at
+    * c = k+1 — measured, not guessed. The threshold graph's degrees are
+    * skewed by cluster density, which is what coreness measures.) At
+    * 100 TB the edge relation comes from the candidate tiers (q31's LSH/
+    * IVF feeders), same shape. */
+  def similarityEdges(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val base = Tables.embeddings(s, d)
+    val a = base.select(col("vec_id").as("src"), col("embedding").as("avec"))
+    val b = base.select(col("vec_id").as("dst"), col("embedding").as("bvec"))
+    a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosineFast(col("avec"), col("bvec")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Fixed-round k-core peeling [Seidman 1983; Batagelj-Zaveršnik 2003
+    * gives the sequential O(m) peel; the relational form below is the
+    * distributed round-synchronous variant]: each round drops every
+    * node with current degree < c and restricts the edge relation to
+    * surviving endpoints. A FIXED round count keeps the computation
+    * oracle-replayable (the q164/q166 convention); convergence at the
+    * test corpus (the peel reaching its fixed point) is spec-gated in
+    * GraphSpec. Each round is one hash aggregate + two semi-joins on
+    * the edge relation — shuffle bounded by the live edge count, never
+    * N²; localCheckpoint per round keeps lineage flat (the q64 CC
+    * discipline). */
+  def kCorePeel(edges: DataFrame, c: Int, rounds: Int): DataFrame = {
+    require(c >= 1 && rounds >= 1)
+    var e = edges.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val alive = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= c).select(col("src"))
+      e = e.join(alive, Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("vec_id"), col("core_deg"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q169: k-core of the cos ≥ 0.3 similarity graph — dense-community
+    * extraction for curation (a c-core member sits in a region where
+    * ≥ c other vectors stay mutually similar even after weakly-attached
+    * hangers-on are peeled away: the graph-cohesion upgrade of q163's
+    * raw in-degree, standard in near-dup community mining and spam-farm
+    * detection). 3 unrolled peel rounds at c = 4, replayed move-for-move
+    * by the DuckDB oracle; parameters sit where the corpus actually
+    * peels (sf0.01: 281 → 172 → 97 survivors — measured, non-vacuous).
+    * GraphSpec gates monotone shrinkage, non-vacuity, and the true
+    * k-core property at the peel's fixed point (every converged
+    * survivor keeps degree ≥ c). */
+  val q169KCore = GraftQuery(
+    "q169_kcore",
+    "LLM-pipeline curation: k-core dense-community peel of the similarity graph; iterative semi-joins",
+    (s, d) => kCorePeel(similarityEdges(s, d, threshold = 0.3), c = 4, rounds = 3),
+    Some("""WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+      u0 AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM base a JOIN base b ON a.vec_id <> b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3),
+      a1 AS (SELECT src FROM u0 GROUP BY src HAVING count(*) >= 4),
+      u1 AS (SELECT e.src, e.dst FROM u0 e
+             JOIN a1 x ON e.src = x.src JOIN a1 y ON e.dst = y.src),
+      a2 AS (SELECT src FROM u1 GROUP BY src HAVING count(*) >= 4),
+      u2 AS (SELECT e.src, e.dst FROM u1 e
+             JOIN a2 x ON e.src = x.src JOIN a2 y ON e.dst = y.src),
+      a3 AS (SELECT src FROM u2 GROUP BY src HAVING count(*) >= 4),
+      u3 AS (SELECT e.src, e.dst FROM u2 e
+             JOIN a3 x ON e.src = x.src JOIN a3 y ON e.dst = y.src)
+      SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS core_deg
+      FROM u3 GROUP BY src ORDER BY vec_id"""))
+
   def queries: Seq[GraftQuery] =
-    Seq(q163KnnGraphDegree, q164KnnGraphPagerank, q166LabelPropagation)
+    Seq(q163KnnGraphDegree, q164KnnGraphPagerank, q166LabelPropagation,
+      q169KCore)
 }

@@ -1731,6 +1731,127 @@ object TextAnalysis {
     (s, d) => streamedCms(s, d, nBatches = 3),
     q151CountMinSketch.oracle)
 
+  // ---------------------------------------------------------------------
+  // q167/q168: HyperLogLog registers — the mergeable DISTINCT-count
+  // sketch, md5-derived and fully oracle-replayable (batch + streamed)
+  // ---------------------------------------------------------------------
+
+  /** The HLL hash: md5-derived (oracle-replayable) 52-bit value of a
+    * term — the q151 cmsCell trick applied to cardinality estimation. */
+  private[graft] def hllHash(term: Column): Column =
+    conv(substring(md5(concat(lit("hll:"), term).cast("binary")), 1, 13),
+      16, 10).cast("long")
+
+  /** HLL register relation (reg, max_rank) of a document frame's term
+    * stream, OCCUPIED registers only — the sketch AS DATA [Flajolet et
+    * al. 2007; Heule et al. 2013 (HLL++) for the practice]. Register =
+    * low log2(m) hash bits; rank = leading-zero count of the remaining
+    * field + 1, computed integer-exactly via `length(bin(v))` (minimal
+    * binary strings in BOTH engines, so the DuckDB oracle replays every
+    * register bit-for-bit — no implementation-specific murmur/HLL++ bias
+    * tables, unlike q103's built-in `approx_count_distinct`, which this
+    * query makes auditable cross-engine).
+    *
+    * Scale story: partial-agg state is capped at m rows per partition
+    * whatever the cardinality — COUNT DISTINCT at 100 TB shuffles every
+    * key, this shuffles ≤ m·partitions rows. And unlike the CMS (additive
+    * — a re-delivered document inflates cells unrecoverably, see
+    * applyCmsBatch's precondition), the register MAX-merge is IDEMPOTENT:
+    * overlapping at-least-once redelivery cannot change the sketch, so
+    * the streamed form needs no upstream dedup at all. */
+  def hllRegisterDeltas(df: DataFrame, textCol: String, m: Int): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    val regBits = java.lang.Long.numberOfTrailingZeros(m.toLong)
+    val field = 52 - regBits // md5-prefix bits left above the register index
+    val h = hllHash(col("term"))
+    df.select(explode(toks(col(textCol))).as("term"))
+      .select((h % m).as("reg"), shiftright(h, regBits.toInt).as("v"))
+      .select(col("reg"),
+        when(col("v") === 0, lit(field + 1))
+          .otherwise(lit(field + 1) - length(bin(col("v")))).cast("int").as("rank"))
+      .groupBy(col("reg")).agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Dense m-row register table (empty registers at rank 0), the
+    * canonical comparable/mergeable form — shared output side of q167
+    * and its streamed twin q168. */
+  def hllFill(s: SparkSession, deltas: DataFrame, m: Int): DataFrame =
+    s.range(m).select(col("id").as("reg"))
+      .join(deltas, Seq("reg"), "left")
+      .select(col("reg"),
+        coalesce(col("max_rank"), lit(0)).cast("int").as("max_rank"))
+      .orderBy(col("reg"))
+
+  /** The standard HLL estimate from a collected register array — the
+    * ScalaTest gate's scoring side (float harmonic mean is NOT in the
+    * query output on purpose: cross-engine float SUM order would break
+    * hash equality; the registers themselves are the oracle-checked
+    * artifact). Small-range correction per Flajolet et al. §4. */
+  private[graft] def hllEstimate(ranks: Array[Int]): Double = {
+    val m = ranks.length
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m / ranks.map(r => math.pow(2.0, -r)).sum
+    val zeros = ranks.count(_ == 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
+  private val hllOracle = Some("""WITH tk AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      h AS (SELECT ('0x' || substr(md5('hll:' || term), 1, 13))::BIGINT AS h
+            FROM tk),
+      rr AS (SELECT h % 256 AS reg, h >> 8 AS v FROM h),
+      rk AS (SELECT reg,
+               max(CASE WHEN v = 0 THEN 45 ELSE 45 - length(bin(v)) END) AS mr
+             FROM rr GROUP BY reg),
+      regs AS (SELECT unnest(range(0, 256)) AS reg)
+      SELECT r.reg, CAST(coalesce(k.mr, 0) AS INTEGER) AS max_rank
+      FROM regs r LEFT JOIN rk k USING (reg) ORDER BY r.reg""")
+
+  /** q167: the HLL register relation over the corpus term stream —
+    * distinct-term cardinality as a 256-row mergeable summary, every
+    * register oracle-replayed (the sketch-tier completion: q132/q151
+    * sandwich frequencies, this pins cardinality; q103's built-in HLL++
+    * estimator remains the engine-native production path, now with an
+    * auditable open-hash twin). Estimate accuracy (±1.04/√m expected)
+    * is gated in HllSpec against exact COUNT DISTINCT. */
+  val q167HllRegisters = GraftQuery(
+    "q167_hll_registers",
+    "A ext: HyperLogLog register sketch, fully oracle-replayable",
+    (s, d) => hllFill(s,
+      hllRegisterDeltas(Tables.documents(s, d), "text", m = 256), m = 256),
+    hllOracle)
+
+  /** q168: the q167 sketch maintained INCREMENTALLY — documents split
+    * into batches and folded through the streaming HLL state contract
+    * (StreamingJobs.applyHllBatch: ≤ m-row MAX-merge state, batchId-
+    * idempotent versioned commits AND merge-level idempotence — the one
+    * sketch in the tier that is redelivery-proof by algebra). Carries
+    * q167's full oracle: the drained stream's registers must be
+    * bit-identical to the one-shot batch sketch. */
+  def streamedHll(s: SparkSession, d: String, nBatches: Int): DataFrame = {
+    require(nBatches >= 1)
+    val m = 256
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_hll_state").toString
+    val docs = Tables.documents(s, d)
+    (0 until nBatches).foreach { i =>
+      graft.streaming.StreamingJobs.applyHllBatch(s,
+        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), "text",
+        i.toLong, m, stateDir)
+    }
+    val state = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+      .localCheckpoint(true)
+    val sp = new org.apache.hadoop.fs.Path(stateDir)
+    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    hllFill(s, state, m)
+  }
+
+  val q168StreamedHll = GraftQuery(
+    "q168_streamed_hll",
+    "A ext + streaming: incremental HLL registers (idempotent max-merge state)",
+    (s, d) => streamedHll(s, d, nBatches = 3),
+    hllOracle)
+
   /** q155: the q147 sample maintained INCREMENTALLY — documents folded
     * through the streaming sample state contract
     * (StreamingJobs.applySampleBatch: ≤ k-row-per-group bottom-k state,
@@ -1794,6 +1915,7 @@ object TextAnalysis {
 
   def queries: Seq[GraftQuery] = Seq(
     q151CountMinSketch, q154StreamedCms, q155StreamedSample, q159StreamedIndex,
+    q167HllRegisters, q168StreamedHll,
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,

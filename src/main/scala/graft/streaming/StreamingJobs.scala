@@ -517,6 +517,26 @@ object StreamingJobs {
       }
     }
 
+  /** Merge one micro-batch of documents into a persistent HLL register
+    * relation, exactly once per batchId (the [[applyAggBatch]] versioned
+    * contract). Unlike the additive CMS above, the register MAX-merge is
+    * IDEMPOTENT — max(a, a) = a — so this state is the one sketch in
+    * the tier that survives overlapping at-least-once redelivery with
+    * no upstream dedup: a re-delivered document re-asserts register
+    * ranks it already set. State stays ≤ m rows forever; the streamed
+    * sketch is bit-identical to the one-shot batch sketch (q168 carries
+    * q167's full oracle to prove it). */
+  def applyHllBatch(spark: SparkSession, batch: DataFrame, textCol: String,
+      batchId: Long, m: Int, stateDir: String): Boolean =
+    withStateVersion(spark, stateDir, batchId) { prev =>
+      val delta = graft.operators.TextAnalysis.hllRegisterDeltas(batch, textCol, m)
+      prev match {
+        case Some(p) => p.unionByName(delta)
+          .groupBy(col("reg")).agg(max(col("max_rank")).as("max_rank"))
+        case None => delta
+      }
+    }
+
   /** Streaming Count-Min maintenance: document files arriving as a
     * stream keep the q151 frequency sketch current, one [[applyCmsBatch]]
     * merge per micro-batch; read it any time with [[latestAggState]]. */

@@ -84,4 +84,32 @@ class GraphSpec extends SparkSpec {
     val total = out.agg(sum(col("in_degree"))).head.getLong(0)
     assert(total === n * 5)
   }
+
+  test("q169 k-core peel: non-vacuous, monotone, and k-core-true at the fixed point") {
+    import graft.operators.Graph
+    val edges = Graph.similarityEdges(spark, sfTiny, threshold = 0.3)
+    def survivors(rounds: Int): Set[Long] =
+      Graph.kCorePeel(edges, c = 4, rounds = rounds)
+        .collect().map(_.getLong(0)).toSet
+    val r3 = survivors(3)
+    assert(r3.nonEmpty, "3-round peel must keep a dense community at sf0.001")
+    // monotone: more rounds never resurrect a peeled node
+    val r4 = survivors(4)
+    assert(r4.subsetOf(r3))
+    // fixed point: once two consecutive rounds agree, the peel has
+    // converged and EVERY remaining node holds the true k-core
+    // invariant deg >= c
+    var prev = r4
+    var cur = survivors(5)
+    var rounds = 5
+    while (cur != prev && rounds < 15) {
+      rounds += 1; prev = cur; cur = survivors(rounds)
+    }
+    assert(cur == prev, s"peel did not converge within $rounds rounds")
+    val fixedPoint = Graph.kCorePeel(edges, c = 4, rounds = rounds).collect()
+    fixedPoint.foreach { r =>
+      assert(r.getLong(1) >= 4,
+        s"converged survivor ${r.getLong(0)} has degree ${r.getLong(1)} < c")
+    }
+  }
 }

@@ -301,7 +301,11 @@ class PlanSpec extends SparkSpec {
       // oracle-replayable ground-truth tier; swap in IVF/LSH/NSW edges
       // at scale — Graph.scala header)
       "q163_knn_graph_degree", "q164_knn_graph_pagerank",
-      "q166_label_propagation")
+      "q166_label_propagation",
+      // q169 peels the labeled exact threshold-similarity graph (same
+      // ground-truth tier; at scale the edge relation comes from the
+      // q31 candidate feeders — Graph.similarityEdges doc)
+      "q169_kcore")
     val recallGates = Set(
       "q35_ivf_recall", "q37_lsh_recall", "q57_ivf_pair_recall",
       "q67_pq_recall", "q128_nsw_recall", "q150_multiprobe_recall")
