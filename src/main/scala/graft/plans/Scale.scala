@@ -1002,7 +1002,67 @@ object Scale {
       GROUP BY dev.event_type
       ORDER BY dev.event_type"""))
 
+  // ---------------------------------------------------------------------
+  // q171: rendezvous (highest-random-weight) sharding — minimal-movement
+  // shard assignment for incremental corpus re-sharding
+  // ---------------------------------------------------------------------
+
+  /** Rendezvous-hash shard assignment [Thaler-Ravishankar 1998; the
+    * consistent-placement algorithm behind cache/storage rings]: a key
+    * lands on the shard maximizing w(key, shard) = md5-hash of the pair.
+    * THE property that matters for a 100 TB corpus: growing S → S+1
+    * moves exactly the keys whose new-shard weight beats all old ones —
+    * each key either stays put or moves to the NEW shard (never between
+    * old shards), an expected 1/(S+1) of the corpus. Hash-mod sharding
+    * moves (S−1)/S ≈ everything, forcing a full rewrite of a 100 TB
+    * layout on every topology change; HRW makes re-sharding incremental
+    * (rewrite one new shard, delete-in-place from the others). ShardSpec
+    * gates the movement theorem and the measured fraction; the md5
+    * weights make every assignment DuckDB-replayable.
+    *
+    * Plan shape: assignment is pure per-row compute in the scan's
+    * codegen stage (the S-way candidate expansion is a generator over a
+    * literal array, argmax is one partial-aggregatable max(struct) per
+    * key) — zero shuffle until the final ≤ S-row stats aggregate. */
+  def rendezvousAssign(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
+    require(shards >= 1)
+    val w = conv(substring(md5(concat(lit("hrw:"), col("shard").cast("string"),
+      lit(":"), col(keyCol).cast("string")).cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+    df.select(col(keyCol))
+      .withColumn("shard", explode(array((0 until shards).map(lit): _*)))
+      .select(col(keyCol), col("shard"), w.as("w"))
+      .groupBy(col(keyCol))
+      .agg(max(struct(col("w"), col("shard"))).as("m"))
+      .select(col(keyCol), col("m.shard").as("shard"))
+  }
+
+  val q171RendezvousShard = GraftQuery(
+    "q171_rendezvous_shard",
+    "S/layout ext: rendezvous-hash shard assignment (minimal-movement re-sharding)",
+    (s, d) => rendezvousAssign(Tables.documents(s, d), "doc_id", shards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_checksum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("shard")),
+    Some("""WITH sh AS (SELECT unnest(range(0, 8)) AS shard),
+      w AS (
+        SELECT d.doc_id, sh.shard,
+          ('0x' || substr(md5('hrw:' || sh.shard || ':' || d.doc_id), 1, 13))::BIGINT AS w
+        FROM documents d CROSS JOIN sh),
+      pick AS (
+        SELECT doc_id, shard FROM (
+          SELECT doc_id, shard,
+            row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, shard DESC) AS rn
+          FROM w) WHERE rn = 1)
+      SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_docs,
+        CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM pick GROUP BY 1 ORDER BY shard"""))
+
   def queries: Seq[GraftQuery] = Seq(q158GroupOrderStats, q165MadOutliers,
+    q171RendezvousShard,
     q82SaltedAgg, q87ZOrderRoundTrip,
     q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin,
     q112CascadeDelete, q117Fingerprint, q118SkewReport, q124DictJoin,
