@@ -1349,7 +1349,11 @@ object Dedup {
       .select(col("doc_id"), col("n_sh"),
         conv(substring(md5(col("sgl").cast("binary")), 1, 15), 16, 10).cast("long").as("k"))
     val dfk = ex.groupBy(col("k")).agg(count(lit(1)).as("df"))
-    // per-doc keys in global (df asc, k asc) order + the prefix slice
+    // per-doc keys in global (df asc, k asc) order + the prefix slice,
+    // materialized ONCE: three joins consume this relation (both sides
+    // of the candidate join and the verification arrays) — unpinned, the
+    // tokenize→df-join→sort pipeline re-runs per consumer (measured 4×
+    // recompute in the 10× rehearsal before this checkpoint)
     val docs = ex.join(dfk, Seq("k"))
       .groupBy(col("doc_id"))
       .agg(first(col("n_sh")).as("n_sh"),
@@ -1357,11 +1361,32 @@ object Dedup {
       .select(col("doc_id"), col("n_sh"),
         expr("transform(ord, x -> x.k)").as("keys"),
         expr(s"n_sh - (n_sh * $tauNum + ${tauDen - 1}) DIV $tauDen + 1").as("plen"))
+      .localCheckpoint(true)
+    // 1-based position of each prefix key feeds the positional filter
     val pref = docs.select(col("doc_id"), col("n_sh"),
-      explode(slice(col("keys"), lit(1), col("plen"))).as("k"))
-    val cand = pref.select(col("doc_id").as("id1"), col("k"))
-      .join(pref.select(col("doc_id").as("id2"), col("k")), Seq("k"))
+      posexplode(slice(col("keys"), lit(1), col("plen"))))
+      .select(col("doc_id"), col("n_sh"), (col("pos") + 1).as("pos"), col("col").as("k"))
+    // candidate join with the two PPJoin prunes, both integer-exact:
+    // LENGTH filter — J ≥ τ forces min(|x|,|y|) ≥ τ·max(|x|,|y|)
+    //   (num·na ≤ den·nb and num·nb ≤ den·na);
+    // POSITIONAL filter — for the pair's FIRST shared key (global
+    //   order), every common key sits at-or-after its positions i, j,
+    //   so |x∩y| ≤ 1 + min(na−i, nb−j); a qualifying pair needs
+    //   |x∩y| ≥ α = ⌈τ/(1+τ)·(na+nb)⌉, and it always survives through
+    //   its first-shared-key row, for which the bound is tight enough.
+    // Deep-prefix-only matches — the bulk of the flat-df candidate
+    // volume — die here instead of reaching verification.
+    val a = pref.select(col("doc_id").as("id1"), col("n_sh").as("na"),
+      col("pos").as("i"), col("k"))
+    val b = pref.select(col("doc_id").as("id2"), col("n_sh").as("nb"),
+      col("pos").as("j"), col("k"))
+    val alphaDen = tauNum + tauDen // α = ⌈τ/(1+τ)·(na+nb)⌉, τ = num/den
+    val cand = a.join(b, Seq("k"))
       .filter(col("id1") < col("id2"))
+      .filter(col("na") * tauNum <= col("nb") * tauDen &&
+        col("nb") * tauNum <= col("na") * tauDen)
+      .filter(lit(1) + least(col("na") - col("i"), col("nb") - col("j")) >=
+        expr(s"((na + nb) * $tauNum + ${alphaDen - 1}) DIV $alphaDen"))
       .select(col("id1"), col("id2")).distinct()
     // verify: exact intersection over the full key arrays
     val left = docs.select(col("doc_id").as("id1"), col("n_sh").as("na"),

@@ -1852,6 +1852,74 @@ object TextAnalysis {
     (s, d) => streamedHll(s, d, nBatches = 3),
     hllOracle)
 
+  // ---------------------------------------------------------------------
+  // q172: c-TF-IDF domain profiling — class-distinctive vocabulary
+  // ---------------------------------------------------------------------
+
+  /** Class-based TF-IDF [Grootendorst 2022 (BERTopic §2.3); the classic
+    * corpus-profiling move: treat each class as ONE pooled document and
+    * score terms by within-class frequency × corpus-wide rarity]: for
+    * class c and term t, weight = tf(t,c) · (1 + A/ctf(t)) with
+    * ctf(t) = corpus-wide count and A = average tokens per class — the
+    * log-free rational form (the q141 idf convention: every input is an
+    * exact integer, so the double arithmetic is bit-identical
+    * cross-engine and the oracle hash-matches; a libm log could differ
+    * by an ulp between engines). The top-k distinctive terms per class
+    * are what a curation dashboard shows per source/domain/cluster:
+    * what vocabulary makes this slice different, not just frequent
+    * (raw top terms — q45 — surface the same stopwords everywhere).
+    *
+    * Plan: one token-stream aggregate to (class, term, tf), one
+    * vocab-sized aggregate to ctf, a broadcast scalar for A, and a
+    * per-class top-k window over the CLASS-VOCAB relation (bounded by
+    * vocabulary × classes, never corpus rows). */
+  def classTfidf(s: SparkSession, d: String, classCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val tok = Tables.documents(s, d)
+      .select(col(classCol).as("class"), explode(toks(col("text"))).as("term"))
+    val tf = tok.groupBy(col("class"), col("term")).agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val a = tf.agg((sum(col("tf")).cast("double") /
+      countDistinct(col("class"))).as("avg_class_tokens"))
+    val scored = tf.join(broadcast(ctf), Seq("term"))
+      .crossJoin(broadcast(a))
+      .withColumn("weight",
+        col("tf").cast("double") *
+          (lit(1.0) + col("avg_class_tokens") / col("ctf")))
+    val w = Window.partitionBy(col("class"))
+      .orderBy(col("weight").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("class"), col("rank"), col("term"), col("tf"), col("ctf"),
+        round(col("weight"), 6).as("weight"))
+      .orderBy(col("class"), col("rank"))
+  }
+
+  val q172ClassTfidf = GraftQuery(
+    "q172_class_tfidf",
+    "LLM-pipeline corpus profiling: c-TF-IDF distinctive vocabulary per source domain",
+    (s, d) => classTfidf(s, d, "source", k = 5),
+    Some("""WITH tk AS (
+        SELECT source AS class,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT class, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+      a AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT class)
+              AS avg_class_tokens FROM tf),
+      scored AS (
+        SELECT tf.class, tf.term, tf.tf, ctf.ctf,
+          CAST(tf.tf AS DOUBLE) * (1.0 + a.avg_class_tokens / ctf.ctf) AS weight
+        FROM tf JOIN ctf ON tf.term = ctf.term CROSS JOIN a),
+      ranked AS (
+        SELECT class, term, tf, ctf, weight,
+          row_number() OVER (PARTITION BY class
+            ORDER BY weight DESC, term) AS rank
+        FROM scored)
+      SELECT class, CAST(rank AS INTEGER) AS rank, term, tf, ctf,
+        round(weight, 6) AS weight
+      FROM ranked WHERE rank <= 5 ORDER BY class, rank"""))
+
   /** q155: the q147 sample maintained INCREMENTALLY — documents folded
     * through the streaming sample state contract
     * (StreamingJobs.applySampleBatch: ≤ k-row-per-group bottom-k state,
@@ -1915,7 +1983,7 @@ object TextAnalysis {
 
   def queries: Seq[GraftQuery] = Seq(
     q151CountMinSketch, q154StreamedCms, q155StreamedSample, q159StreamedIndex,
-    q167HllRegisters, q168StreamedHll,
+    q167HllRegisters, q168StreamedHll, q172ClassTfidf,
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,

@@ -79,7 +79,17 @@ object ScaleRehearsal {
     val queries: Seq[(String, String => DataFrame)] = Seq(
       "q59_sketch_dedup" -> (d => graft.operators.Dedup.sketchDedupSurvivors(spark, d, 0.8)),
       "q64_dup_clusters" -> (d => graft.operators.Dedup.dupClusters(spark, d, 0.8)),
-      "q132_heavy_hitters" -> (d => graft.operators.TextAnalysis.heavyHitters(spark, d, 1000)))
+      "q132_heavy_hitters" -> (d => graft.operators.TextAnalysis.heavyHitters(spark, d, 1000)),
+      // the prefix-filter claim, measured: q170 vs the full-explode
+      // join at IDENTICAL semantics (n=3, tau=0.5) — the shuffle-byte
+      // ratio is the candidate bound paying off (or not) at scale
+      "q170_prefix_jaccard" -> (d => graft.operators.Dedup.prefixFilterJaccard(spark, d, 3, 1, 2)),
+      "q53_full_jaccard_n3" -> (d => graft.operators.Dedup.ngramJaccard(spark, d, 3, 0.5)),
+      // fixed-size-sketch scaling: shuffle stays <= m rows per partition
+      // whatever the corpus (the q167 scale story, measured)
+      "q167_hll_registers" -> (d => graft.operators.TextAnalysis.hllFill(spark,
+        graft.operators.TextAnalysis.hllRegisterDeltas(
+          Tables.documents(spark, d), "text", 256), 256)))
 
     // warm-up so JIT/codegen startup lands outside both measured scales
     Tables.documents(spark, baseDir).count()

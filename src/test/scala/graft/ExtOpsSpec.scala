@@ -192,6 +192,28 @@ class ExtOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.selection.bins")
   }
 
+  test("q172 c-TF-IDF: every class gets exactly k ranked terms, weights monotone, tf <= ctf") {
+    val k = 5
+    val rows = TextAnalysis.classTfidf(spark, sfTiny, "source", k).collect()
+    assert(rows.nonEmpty)
+    val byClass = rows.groupBy(_.getAs[String]("class"))
+    val nClasses = Tables.documents(spark, sfTiny)
+      .select(col("source")).distinct().count()
+    assert(byClass.size == nClasses, "a source domain produced no profile")
+    byClass.foreach { case (c, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to k),
+        s"class $c: rank sequence broken")
+      val ws = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("weight"))
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b },
+        s"class $c: weights not monotone along ranks")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("tf") <= r.getAs[Long]("ctf"),
+          "class term count exceeded its corpus-wide count")
+        assert(r.getAs[Double]("weight") > 0.0)
+      }
+    }
+  }
+
   test("q140: non-vacuous, canonical pair order, support bounded by min df") {
     val rows = TextAnalysis
       .cooccurrence(spark, sfTiny, minDfFrac = 0.005, maxDfFrac = 0.85, topK = 100)
