@@ -1852,6 +1852,151 @@ object TextAnalysis {
     (s, d) => streamedHll(s, d, nBatches = 3),
     hllOracle)
 
+  /** Grouped HLL register deltas over an arbitrary value column —
+    * q167's register computation generalized to a GROUPED aggregate
+    * (per day, per side, per any slice): output (groups..., reg,
+    * max_rank), occupied registers only. Partial-agg state is ≤ m rows
+    * PER GROUP per partition, and the same max-merge algebra applies
+    * within each group — grouped approx-distinct as auditable data
+    * where `approx_count_distinct ... GROUP BY` is a black-box
+    * estimator. */
+  def hllDeltasBy(df: DataFrame, groups: Seq[String], value: Column,
+      m: Int): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    val regBits = java.lang.Long.numberOfTrailingZeros(m.toLong)
+    val field = 52 - regBits
+    val h = hllHash(value.cast("string"))
+    val v = shiftright(h, regBits.toInt)
+    df.select(groups.map(col) :+ (h % m).as("reg") :+
+        when(v === 0, lit(field + 1))
+          .otherwise(lit(field + 1) - length(bin(v))).cast("int").as("rank"): _*)
+      .groupBy((groups :+ "reg").map(col): _*)
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** q173: per-day distinct-user HLL registers over the event stream —
+    * the event-time form of q167 (the "daily active users at 100 TB"
+    * question as a mergeable, auditable relation: registers max-merge
+    * across days for any rollup — weekly/monthly DAU comes from the
+    * SAME relation with one more max aggregate, no rescan). Occupied
+    * registers only; every register DuckDB-replayed; per-day estimate
+    * accuracy gated in HllSpec against exact COUNT DISTINCT. */
+  val q173WindowedHll = GraftQuery(
+    "q173_windowed_hll",
+    "A ext + event-time: per-day HLL distinct-user registers, fully oracle-replayable",
+    (s, d) => hllDeltasBy(
+      Tables.eventsWithTs(s, d).filter(col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("day"), col("user_id")),
+      Seq("day"), col("user_id"), m = 64)
+      .orderBy(col("day"), col("reg")),
+    Some("""WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, user_id FROM events
+        WHERE user_id IS NOT NULL),
+      h AS (SELECT day,
+          ('0x' || substr(md5('hll:' || user_id), 1, 13))::BIGINT AS h
+        FROM ev),
+      rr AS (SELECT day, h % 64 AS reg, h >> 6 AS v FROM h)
+      SELECT day, reg,
+        CAST(max(CASE WHEN v = 0 THEN 47 ELSE 47 - length(bin(v)) END)
+          AS INTEGER) AS max_rank
+      FROM rr GROUP BY 1, 2 ORDER BY day, reg"""))
+
+  /** q174: the q173 relation maintained INCREMENTALLY — event batches
+    * folded through the grouped HLL state contract
+    * (StreamingJobs.applyDayHllBatch: ≤ m-rows-per-day MAX-merge state,
+    * batchId-idempotent AND merge-idempotent like q168). Carries q173's
+    * full oracle: the drained stream's per-day registers must be
+    * bit-identical to the one-shot batch relation. */
+  def streamedWindowedHll(s: SparkSession, d: String, nBatches: Int): DataFrame = {
+    require(nBatches >= 1)
+    val m = 64
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_whll_state").toString
+    val ev = Tables.eventsWithTs(s, d)
+    (0 until nBatches).foreach { i =>
+      graft.streaming.StreamingJobs.applyDayHllBatch(s,
+        ev.filter(pmod(col("event_id"), lit(nBatches)) === i),
+        i.toLong, m, stateDir)
+    }
+    val state = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+      .localCheckpoint(true)
+    val sp = new org.apache.hadoop.fs.Path(stateDir)
+    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    state.orderBy(col("day"), col("reg"))
+  }
+
+  val q174StreamedWindowedHll = GraftQuery(
+    "q174_streamed_windowed_hll",
+    "A ext + streaming + event-time: incremental per-day HLL registers",
+    (s, d) => streamedWindowedHll(s, d, nBatches = 3),
+    q173WindowedHll.oracle)
+
+  /** q175: train/test vocabulary-overlap screening via HLL set algebra —
+    * the sketch-tier decontamination PRE-CHECK (q109/q133 are the exact
+    * joins; this answers "how much does the test slice's vocabulary
+    * overlap train, across two corpora too large to join" from three
+    * m-row register sets): sides hash the SAME value space, so the
+    * union sketch is the element-wise register max — EXACT algebra, all
+    * three register relations DuckDB-replayed — and |A∩B| is estimated
+    * by inclusion-exclusion est(A)+est(B)−est(A∪B) (HllSpec gates it
+    * against the exact distinct-shingle intersection). Sides are q76's
+    * deterministic md5 split (train = buckets <80, test = ≥90). The
+    * hashed value space is 3-word SHINGLES, not unigrams: this corpus
+    * draws from a ~31-word vocabulary (measured), so unigram sketches
+    * sit in the degenerate n ≪ m linear-counting regime; the ~27k
+    * distinct shingles exercise the estimator where sketching is the
+    * point (n ≫ m) — and shingles are what decontamination actually
+    * matches on (q109). */
+  def splitOverlapRegisters(s: SparkSession, d: String, m: Int): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 8), 16, 10).cast("long") % 100
+    val sided = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.functions.SketchFunctions.shingleArray(col("t"), 3)).as("term"))
+      .withColumn("b", bucket)
+      .withColumn("side", when(col("b") < 80, "train")
+        .when(col("b") >= 90, "test"))
+      .filter(col("side").isNotNull)
+    val sides = hllDeltasBy(sided, Seq("side"), col("term"), m)
+    val union = sides.groupBy(col("reg"))
+      .agg(max(col("max_rank")).as("max_rank"))
+      .select(lit("union").as("side"), col("reg"), col("max_rank"))
+    sides.select(col("side"), col("reg"), col("max_rank"))
+      .unionByName(union)
+      .orderBy(col("side"), col("reg"))
+  }
+
+  val q175SplitOverlap = GraftQuery(
+    "q175_split_overlap",
+    "A ext: HLL union algebra for train/test vocabulary-overlap screening",
+    (s, d) => splitOverlapRegisters(s, d, m = 256),
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      sg AS (
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 100 AS b,
+          unnest(list_distinct(list_transform(range(1, len(toks)-1),
+            i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))) AS term
+        FROM tk WHERE len(toks) >= 3),
+      sided AS (
+        SELECT CASE WHEN b < 80 THEN 'train' ELSE 'test' END AS side, term
+        FROM sg WHERE b < 80 OR b >= 90),
+      h AS (SELECT side,
+          ('0x' || substr(md5('hll:' || term), 1, 13))::BIGINT AS h
+        FROM sided),
+      rr AS (SELECT side, h % 256 AS reg, h >> 8 AS v FROM h),
+      rk AS (SELECT side, reg,
+          CAST(max(CASE WHEN v = 0 THEN 45 ELSE 45 - length(bin(v)) END)
+            AS INTEGER) AS max_rank
+        FROM rr GROUP BY 1, 2),
+      un AS (SELECT 'union' AS side, reg,
+          CAST(max(max_rank) AS INTEGER) AS max_rank FROM rk GROUP BY 2)
+      SELECT side, reg, max_rank
+      FROM (SELECT * FROM rk UNION ALL SELECT * FROM un)
+      ORDER BY side, reg"""))
+
   // ---------------------------------------------------------------------
   // q172: c-TF-IDF domain profiling — class-distinctive vocabulary
   // ---------------------------------------------------------------------
@@ -1984,6 +2129,7 @@ object TextAnalysis {
   def queries: Seq[GraftQuery] = Seq(
     q151CountMinSketch, q154StreamedCms, q155StreamedSample, q159StreamedIndex,
     q167HllRegisters, q168StreamedHll, q172ClassTfidf,
+    q173WindowedHll, q174StreamedWindowedHll, q175SplitOverlap,
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,

@@ -537,6 +537,25 @@ object StreamingJobs {
       }
     }
 
+  /** Merge one micro-batch of events into the per-day HLL register
+    * state (q173/q174) — [[applyHllBatch]]'s contract with a day group
+    * key: state ≤ m rows per observed day, max-merge idempotent under
+    * redelivery, exactly-once per batchId. */
+  def applyDayHllBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, m: Int, stateDir: String): Boolean =
+    withStateVersion(spark, stateDir, batchId) { prev =>
+      val delta = graft.operators.TextAnalysis.hllDeltasBy(
+        batch.filter(col("user_id").isNotNull)
+          .select(to_date(col("ts")).as("day"), col("user_id")),
+        Seq("day"), col("user_id"), m)
+      prev match {
+        case Some(p) => p.unionByName(delta)
+          .groupBy(col("day"), col("reg"))
+          .agg(max(col("max_rank")).as("max_rank"))
+        case None => delta
+      }
+    }
+
   /** Streaming Count-Min maintenance: document files arriving as a
     * stream keep the q151 frequency sketch current, one [[applyCmsBatch]]
     * merge per micro-batch; read it any time with [[latestAggState]]. */

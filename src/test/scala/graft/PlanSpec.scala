@@ -321,7 +321,9 @@ class PlanSpec extends SparkSpec {
       "q143_join_size", "q144_skyline", "q145_order_statistics",
       "q146_resample_ffill", "q158_group_order_statistics",
       // q165 runs the q158 selection twice — same ps×bounds broadcast
-      "q165_mad_outlier_audit")
+      "q165_mad_outlier_audit",
+      // q172 crossJoins the broadcast 1-row avg-class-tokens aggregate
+      "q172_class_tfidf")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))
