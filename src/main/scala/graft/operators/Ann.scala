@@ -688,8 +688,140 @@ object Ann {
     (s, d) => ivfKnnAgg(s, d, k = 2, nprobe = GraftConf.ivfNprobe(s), queryMod = 10),
     None)
 
+  // ---------------------------------------------------------------------
+  // q176/q177: SQ8 scalar quantization — the 4× compression tier with a
+  // FULL oracle (per-dim min/max "training" is deterministic, unlike
+  // PQ's seeded KMeans codebooks)
+  // ---------------------------------------------------------------------
+
+  /** Per-dimension quantization range over the corpus (the SQ8 "train"
+    * step — faiss `ScalarQuantizer QT_8bit` parity): one posexplode +
+    * one 64-row aggregate. Deterministic, so EVERYTHING downstream
+    * (codes, reconstruction, compressed-domain kNN) is DuckDB-
+    * replayable — the only ANN compression tier where the oracle checks
+    * the whole path, not just a recall gate. */
+  def sq8DimStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")))
+      .select(col("pos").as("dim"), col("col").cast("double").as("x"))
+      .groupBy(col("dim")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+
+  /** SQ8 codes: code = clamp(⌊(x−lo)·256/(hi−lo)⌋, 0, 255) — floor, not
+    * round, so no cross-engine tie-breaking semantics enter; x = hi
+    * lands exactly on 256 (power-of-two scaling is float-exact) and
+    * clamps to 255. A flat dimension (hi = lo) codes to 0. */
+  def sq8Codes(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("x"))
+    x.join(broadcast(sq8DimStats(s, d)), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            floor((col("x") - col("lo")) * 256 / (col("hi") - col("lo"))))))
+          .cast("int").as("code"),
+        col("lo"), col("hi"))
+  }
+
+  /** q176: the quantization artifact as data — codes for a fixed vector
+    * subset next to the per-dim ranges (the index payload a 100 TB
+    * deployment ships: 64 bytes/vector instead of 256, plus a 64-row
+    * parameter table). Full oracle — DuckDB re-derives ranges and every
+    * code. */
+  val q176Sq8Codes = GraftQuery(
+    "q176_sq8_codes",
+    "M2-SQ8: scalar-quantization codes + per-dim ranges, fully oracle-replayable",
+    (s, d) => sq8Codes(s, d).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("dim"), col("code"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+      .orderBy(col("vec_id"), col("dim")),
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a FROM embeddings),
+      x AS (
+        SELECT vec_id, i - 1 AS dim, a[CAST(i AS INTEGER)] AS x
+        FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+      st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM x GROUP BY 1),
+      codes AS (
+        SELECT x.vec_id, x.dim,
+          CAST(CASE WHEN hi = lo THEN 0
+            ELSE least(255, greatest(0,
+              CAST(floor(((x - lo) * 256) / (hi - lo)) AS BIGINT))) END
+            AS INTEGER) AS code,
+          lo, hi
+        FROM x JOIN st USING (dim))
+      SELECT vec_id, dim, code, round(lo, 6) AS lo, round(hi, 6) AS hi
+      FROM codes WHERE vec_id % 50 = 0 ORDER BY vec_id, dim"""))
+
+  /** Mid-cell reconstruction x̂ = lo + (code+0.5)·(hi−lo)/256 assembled
+    * back into dim-ordered arrays — the corpus side of asymmetric SQ
+    * search (query stays raw, faiss ADC convention). */
+  def sq8Reconstructed(s: SparkSession, d: String): DataFrame =
+    sq8Codes(s, d)
+      .select(col("vec_id"), col("dim"),
+        when(col("hi") === col("lo"), col("lo"))
+          .otherwise(col("lo") +
+            (col("code") + lit(0.5)) * (col("hi") - col("lo")) / 256).as("xh"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("xh")))).as("o"))
+      .select(col("vec_id"), expr("transform(o, p -> p.xh)").as("rvec"))
+
+  /** q177: compressed-domain k-NN over the SQ8 corpus — q30's shape
+    * (raw query vs reconstructed corpus, cosine, top-k, ties by nid)
+    * with a FULL oracle: reconstruction is deterministic double
+    * arithmetic, so DuckDB replays ranges → codes → midpoints → cosines
+    * → ranking bit-for-bit. AnnSpec additionally gates recall vs the
+    * uncompressed exact join and the half-cell error bound. */
+  val q177Sq8Knn = GraftQuery(
+    "q177_sq8_knn",
+    "M2,M3,M4-SQ8: asymmetric compressed-domain k-NN, fully oracle-replayable",
+    (s, d) => {
+      val q = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = sq8Reconstructed(s, d)
+        .select(col("vec_id").as("nid"), col("rvec"))
+      val scored = q.join(c, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          graft.functions.VectorKernels.cosineFast(col("qvec"), col("rvec")).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 2)
+        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a FROM embeddings),
+      x AS (
+        SELECT vec_id, i - 1 AS dim, a[CAST(i AS INTEGER)] AS x
+        FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+      st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM x GROUP BY 1),
+      codes AS (
+        SELECT x.vec_id, x.dim,
+          CASE WHEN hi = lo THEN 0
+            ELSE least(255, greatest(0,
+              CAST(floor(((x - lo) * 256) / (hi - lo)) AS BIGINT))) END AS code
+        FROM x JOIN st USING (dim)),
+      recon AS (
+        SELECT c.vec_id, c.dim,
+          CASE WHEN hi = lo THEN lo
+            ELSE lo + (code + 0.5) * (hi - lo) / 256 END AS xh
+        FROM codes c JOIN st USING (dim)),
+      rv AS (SELECT vec_id, list(xh ORDER BY dim) AS v FROM recon GROUP BY 1),
+      q AS (SELECT vec_id AS qid, a AS qv FROM e WHERE vec_id % 10 = 0),
+      scored AS (
+        SELECT q.qid, r.vec_id AS nid,
+          list_cosine_similarity(q.qv, r.v) AS sim
+        FROM q JOIN rv r ON r.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, nid, sim,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        FROM scored)
+      SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(sim, 4) AS sim
+      FROM ranked WHERE rank <= 2 ORDER BY qid, rank"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q34IvfKnn, q35IvfRecall, q36LshNearDup, q37LshRecall, q56IvfNearDup,
     q57IvfPairRecall, q65PqQuantError, q66PqKnn, q67PqRecall,
-    q149MultiProbeLsh, q150MultiProbeRecall, q156IvfKnnAgg)
+    q149MultiProbeLsh, q150MultiProbeRecall, q156IvfKnnAgg,
+    q176Sq8Codes, q177Sq8Knn)
 }

@@ -297,6 +297,9 @@ class PlanSpec extends SparkSpec {
     val exactBaselines = Set(
       "q30_knn_cosine_topk", "q31_neardup_pairs", "q32_knn_l2_to_cosine",
       "q53_ngram_jaccard", "q83_similarity_histogram",
+      // q177 is the q30 shape over the SQ8-reconstructed corpus — the
+      // labeled exact scorer of the compression tier (oracle replays it)
+      "q177_sq8_knn",
       // q163/q164 consume the labeled exact k-NN edge builder (the
       // oracle-replayable ground-truth tier; swap in IVF/LSH/NSW edges
       // at scale — Graph.scala header)
