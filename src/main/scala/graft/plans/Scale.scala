@@ -1061,8 +1061,67 @@ object Scale {
         min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM pick GROUP BY 1 ORDER BY shard"""))
 
+  // ---------------------------------------------------------------------
+  // q178: equi-depth histogram — exact quantile edges + bucket counts
+  // ---------------------------------------------------------------------
+
+  /** q178: 8-bucket equi-depth histogram of extended price — the
+    * ANALYZE artifact a cost-based optimizer actually wants (q10's
+    * equi-WIDTH histogram mis-sizes selectivity under skew; equi-depth
+    * edges put ~N/8 rows in every bucket by construction, ties
+    * spilling deterministically). Edges are TRUE order statistics at
+    * ranks ⌈i·N/8⌉ via the q145/q158 two-pass distributed selection
+    * ([[groupExactRank]] with a constant group — i/8 is binary-exact,
+    * so ceil(p·n) is the exact integer rank cross-engine); bucket
+    * assignment is a 7-element broadcast-array scan in the row's
+    * codegen stage (bucket = #edges below + 1), one hash aggregate
+    * after. Full oracle: DuckDB re-derives every edge by row_number
+    * and every count. */
+  val q178EquiDepthHist = GraftQuery(
+    "q178_equidepth_hist",
+    "A/CBO ext: exact equi-depth histogram (distributed-selection edges)",
+    (s, d) => {
+      val r = Tables.lineitem(s, d).select(lit(1).as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      val edges = groupExactRank(s, r, "g", (1 to 7).map(_ / 8.0))
+      val arr = edges.agg(sort_array(collect_list(col("value"))).as("edges"))
+      val hi = r.agg(max(col("v")).as("maxv"))
+      r.crossJoin(broadcast(arr))
+        .select((size(expr("filter(edges, e -> v > e)")) + 1).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(arr)).crossJoin(broadcast(hi))
+        .select(col("bucket"),
+          when(col("bucket") <= 7, expr("edges[bucket - 1]"))
+            .otherwise(col("maxv")).as("hi_edge"),
+          col("n_rows"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH r AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem),
+      n AS (SELECT count(*) AS n FROM r),
+      o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM r),
+      ks AS (SELECT i,
+          CAST(ceil(CAST(i AS DOUBLE) / 8 * (SELECT n FROM n)) AS BIGINT) AS k
+        FROM (SELECT unnest(range(1, 8)) AS i)),
+      edges AS (SELECT ks.i, o.v AS edge FROM ks JOIN o ON o.rn = ks.k),
+      vals AS (SELECT v, count(*) AS cnt FROM r GROUP BY v),
+      nb AS (SELECT vals.v, vals.cnt, count(e.edge) AS below
+        FROM vals LEFT JOIN edges e ON e.edge < vals.v
+        GROUP BY vals.v, vals.cnt),
+      hist AS (SELECT CAST(1 + below AS INTEGER) AS bucket,
+          CAST(sum(cnt) AS BIGINT) AS n_rows
+        FROM nb GROUP BY 1),
+      mx AS (SELECT max(v) AS maxv FROM r)
+      SELECT h.bucket,
+        CASE WHEN h.bucket <= 7
+          THEN (SELECT edge FROM edges WHERE i = h.bucket)
+          ELSE (SELECT maxv FROM mx) END AS hi_edge,
+        h.n_rows
+      FROM hist h ORDER BY bucket"""))
+
   def queries: Seq[GraftQuery] = Seq(q158GroupOrderStats, q165MadOutliers,
-    q171RendezvousShard,
+    q171RendezvousShard, q178EquiDepthHist,
     q82SaltedAgg, q87ZOrderRoundTrip,
     q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin,
     q112CascadeDelete, q117Fingerprint, q118SkewReport, q124DictJoin,

@@ -214,6 +214,23 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("q178 equi-depth histogram: counts sum to N, every bucket near the fair share") {
+    val hist = Registry.byName("q178_equidepth_hist").run(spark, sfTiny).collect()
+    val n = Tables.lineitem(spark, sfTiny).count()
+    assert(hist.map(_.getAs[Long]("n_rows")).sum == n, "bucket counts must partition the table")
+    assert(hist.map(_.getAs[Int]("bucket")).toSeq == (1 to 8),
+      "all 8 buckets populated at this tie-sparse column")
+    val fair = n / 8.0
+    hist.foreach { r =>
+      val c = r.getAs[Long]("n_rows")
+      assert(math.abs(c - fair) <= fair * 0.05 + 1,
+        s"bucket ${r.getAs[Int]("bucket")}: $c far from fair share $fair")
+    }
+    // edges monotone
+    val edges = hist.map(_.getAs[Long]("hi_edge"))
+    assert(edges.zip(edges.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q140: non-vacuous, canonical pair order, support bounded by min df") {
     val rows = TextAnalysis
       .cooccurrence(spark, sfTiny, minDfFrac = 0.005, maxDfFrac = 0.85, topK = 100)

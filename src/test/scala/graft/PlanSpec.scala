@@ -326,7 +326,9 @@ class PlanSpec extends SparkSpec {
       // q165 runs the q158 selection twice — same ps×bounds broadcast
       "q165_mad_outlier_audit",
       // q172 crossJoins the broadcast 1-row avg-class-tokens aggregate
-      "q172_class_tfidf")
+      "q172_class_tfidf",
+      // q178 crossJoins two broadcast scalars (7-edge array, corpus max)
+      "q178_equidepth_hist")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))
