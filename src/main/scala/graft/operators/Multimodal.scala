@@ -13,6 +13,12 @@ import graft.{GraftQuery, Tables}
   * per-record interpreted fallback on the decode path). */
 final case class DecodedFeature(doc_id: Long, j: Int, feat: Double)
 
+/** Typed rows for the q179 REAL PNG codec boundary (same top-level
+  * rule as [[DecodedFeature]]). */
+final case class PngPayload(doc_id: Long, png: Array[Byte])
+final case class PixelStats(doc_id: Long, n_px: Int, px_checksum: Long,
+    px_min: Int, px_max: Int)
+
 /** Multimodal binary-column plumbing (north-star extension; the
   * reference's only binary artifacts are its .npy/.pkl sidecars,
   * app/generate_embeddings.py:52-68 — no image/audio surface exists
@@ -21,11 +27,13 @@ final case class DecodedFeature(doc_id: Long, j: Int, feat: Double)
   * feature-extract / frame-sample operator shapes a training-data pipeline
   * needs.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (md5-derived bytes). Everything
-  * around it — the binary column, the metadata struct, the per-partition
-  * batch iteration, the exploded frame/feature schemas, the partitioning —
-  * is real and oracle-verified. The payload itself is the utf-8 encoding
+  * The container has no external image/audio codecs, so the GENERIC
+  * decode step (q62) is a clearly-marked deterministic STUB (md5-derived
+  * bytes) behind real per-partition batch plumbing. The IMAGE leg,
+  * however, is real end-to-end since q179: the JDK's own `javax.imageio`
+  * PNG codec encodes and decodes genuine PNG payloads, with losslessness
+  * proven by the codec-free DuckDB oracle (see q179). The audio/video
+  * modalities keep the stub. The q60-q63 payloads are the utf-8 encoding
   * of `documents.text` so DuckDB can replay every byte (`encode(text)`).
   *
   * At 100 TB the payload column dominates I/O: every query here projects
@@ -182,6 +190,79 @@ object Multimodal {
         max(octet_length(encode(text))) AS max_bytes
       FROM documents GROUP BY 1 ORDER BY mime"""))
 
+  // ---------------------------------------------------------------------
+  // q179: REAL image codec round trip — javax.imageio PNG, no stub
+  // ---------------------------------------------------------------------
+
+  /** Deterministic 4×4 grayscale image per document — pixel i is byte i
+    * of md5(text) — encoded to REAL PNG bytes with the JDK's own codec
+    * (`javax.imageio`, pure JVM, no external libs: the one decoder this
+    * container actually ships). One encoder per partition, ImageIO's
+    * file-cache off — the per-partition-codec batch shape q62 documents,
+    * now with a genuine codec in it. */
+  def encodePng(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[PngPayload]
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val codec = MessageDigest.getInstance("MD5")
+        rows.map { case (id, payload) =>
+          codec.reset()
+          val px = codec.digest(payload) // 16 bytes = 4x4 gray pixels
+          val img = new java.awt.image.BufferedImage(4, 4,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          img.getRaster.setDataElements(0, 0, 4, 4, px)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          PngPayload(id, out.toByteArray)
+        }
+      }(enc).toDF()
+  }
+
+  /** q179: the stub retired for images — a REAL PNG encode → decode
+    * round trip. Pixels are md5-derived, so the DuckDB oracle replays
+    * the per-doc pixel statistics STRAIGHT FROM THE HASH, never touching
+    * a codec: hash equality therefore PROVES the JDK PNG writer+reader
+    * pair is lossless on every document (any codec corruption — gamma,
+    * palette, truncation — would shift a checksum and fail the gate).
+    * The audio/video modalities keep the documented q62 stub; the image
+    * leg of the multimodal tier is now real end-to-end. */
+  val q179PngRoundTrip = GraftQuery(
+    "q179_png_roundtrip",
+    "north-star multimodal: REAL javax.imageio PNG encode->decode, losslessness oracle-proven",
+    (s, d) => {
+      import s.implicits._
+      val enc = org.apache.spark.sql.Encoders.product[PixelStats]
+      encodePng(s, d).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          javax.imageio.ImageIO.setUseCache(false)
+          rows.map { case (id, png) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            val r = img.getRaster
+            val vs = for (y <- 0 until 4; x <- 0 until 4)
+              yield r.getSample(x, y, 0)
+            PixelStats(id, vs.size,
+              vs.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum,
+              vs.min, vs.max)
+          }
+        }(enc).toDF()
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+      px AS (
+        SELECT doc_id, i,
+          ('0x' || substr(hx, CAST(2*i + 1 AS INT), 2))::INT AS v
+        FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS i))
+      SELECT doc_id, CAST(count(*) AS INT) AS n_px,
+        CAST(sum(v * (i + 1)) AS BIGINT) AS px_checksum,
+        CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+      FROM px GROUP BY 1 ORDER BY doc_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
-    q60BinaryIngest, q61FrameSample, q62DecodeStub, q63ModalityAgg)
+    q60BinaryIngest, q61FrameSample, q62DecodeStub, q63ModalityAgg,
+    q179PngRoundTrip)
 }

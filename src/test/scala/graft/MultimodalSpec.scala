@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Gates for the q179 REAL PNG codec beyond the oracle (which proves
+  * pixel losslessness): the payloads must actually BE PNG — if a future
+  * edit silently swapped the codec for a passthrough of the raw pixel
+  * bytes, the oracle would still pass, but the magic number and the
+  * size-vs-raw delta here would not. */
+class MultimodalSpec extends SparkSpec {
+
+  test("q179 payloads are genuine PNG: magic bytes, container overhead, decodable") {
+    val rows = Multimodal.encodePng(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val png = r.getAs[Array[Byte]]("png")
+      // PNG signature: 137 80 78 71 13 10 26 10
+      val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      assert(png.take(8).sameElements(magic), "missing PNG signature")
+      assert(png.length > 16, "16 raw pixels can't fit a real PNG container")
+    }
+    // a deliberately truncated payload must fail to decode — the reader
+    // is a real codec, not a byte passthrough
+    val broken = rows.head.getAs[Array[Byte]]("png").take(10)
+    val decoded = try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(broken)))
+    catch { case _: Throwable => None }
+    assert(decoded.isEmpty, "truncated PNG decoded — codec is not real")
+  }
+}
