@@ -2018,11 +2018,19 @@ object TextAnalysis {
     * vocab-sized aggregate to ctf, a broadcast scalar for A, and a
     * per-class top-k window over the CLASS-VOCAB relation (bounded by
     * vocabulary × classes, never corpus rows). */
-  def classTfidf(s: SparkSession, d: String, classCol: String, k: Int): DataFrame = {
+  /** The (class, term, tf) relation q172/q180 score from — ADDITIVE
+    * across document batches (bag counts sum), which is the streamed
+    * form's whole state contract. */
+  def classTermCounts(df: DataFrame, classCol: String): DataFrame =
+    df.select(col(classCol).as("class"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("class"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Scoring tail shared by q172 and its streamed twin: everything
+    * (ctf, the avg-class-tokens scalar, weights, ranks) derives from
+    * the tf relation alone, so a drained additive state renders
+    * byte-identically to the one-shot batch profile. */
+  def classTfidfFromCounts(tf: DataFrame, k: Int): DataFrame = {
     require(k >= 1)
-    val tok = Tables.documents(s, d)
-      .select(col(classCol).as("class"), explode(toks(col("text"))).as("term"))
-    val tf = tok.groupBy(col("class"), col("term")).agg(count(lit(1)).as("tf"))
     val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     val a = tf.agg((sum(col("tf")).cast("double") /
       countDistinct(col("class"))).as("avg_class_tokens"))
@@ -2038,6 +2046,36 @@ object TextAnalysis {
       .select(col("class"), col("rank"), col("term"), col("tf"), col("ctf"),
         round(col("weight"), 6).as("weight"))
       .orderBy(col("class"), col("rank"))
+  }
+
+  def classTfidf(s: SparkSession, d: String, classCol: String, k: Int): DataFrame =
+    classTfidfFromCounts(
+      classTermCounts(Tables.documents(s, d), classCol), k)
+
+  /** q180: the q172 profile maintained INCREMENTALLY — document batches
+    * folded through an additive (class, term, tf) state
+    * (StreamingJobs.applyClassTfBatch: bag counts sum; batchId-idempotent
+    * versioned commits; the same at-least-once caveat as the CMS — a
+    * re-delivered document inflates tf, dedup upstream), then the shared
+    * scoring tail renders the drained state. Carries q172's full oracle:
+    * the incremental profile must hash-match the one-shot batch profile.
+    * State is the class-vocabulary relation — bounded by vocab × classes
+    * like the q135 index's df relation, not by corpus rows. */
+  def streamedClassTfidf(s: SparkSession, d: String, k: Int,
+      nBatches: Int): DataFrame = {
+    require(nBatches >= 1)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ctf_state").toString
+    val docs = Tables.documents(s, d)
+    (0 until nBatches).foreach { i =>
+      graft.streaming.StreamingJobs.applyClassTfBatch(s,
+        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), "source",
+        i.toLong, stateDir)
+    }
+    val state = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+      .localCheckpoint(true)
+    val sp = new org.apache.hadoop.fs.Path(stateDir)
+    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    classTfidfFromCounts(state, k)
   }
 
   val q172ClassTfidf = GraftQuery(
@@ -2064,6 +2102,12 @@ object TextAnalysis {
       SELECT class, CAST(rank AS INTEGER) AS rank, term, tf, ctf,
         round(weight, 6) AS weight
       FROM ranked WHERE rank <= 5 ORDER BY class, rank"""))
+
+  val q180StreamedClassTfidf = GraftQuery(
+    "q180_streamed_class_tfidf",
+    "LLM-pipeline profiling + streaming: incremental c-TF-IDF (additive tf state)",
+    (s, d) => streamedClassTfidf(s, d, k = 5, nBatches = 3),
+    q172ClassTfidf.oracle)
 
   /** q155: the q147 sample maintained INCREMENTALLY — documents folded
     * through the streaming sample state contract
@@ -2130,6 +2174,7 @@ object TextAnalysis {
     q151CountMinSketch, q154StreamedCms, q155StreamedSample, q159StreamedIndex,
     q167HllRegisters, q168StreamedHll, q172ClassTfidf,
     q173WindowedHll, q174StreamedWindowedHll, q175SplitOverlap,
+    q180StreamedClassTfidf,
     q76HashSplit, q77QualityBins, q78UnigramScore,
     q40LangId, q41QualityScore, q42TokenCount, q43Fingerprint,
     q44PreprocessPipeline, q45TopTerms, q46CorpusFilter, q47StratifiedSample,

@@ -556,6 +556,23 @@ object StreamingJobs {
       }
     }
 
+  /** Merge one micro-batch of documents into the additive
+    * (class, term, tf) relation behind the c-TF-IDF profile (q172/q180)
+    * — [[applyCmsBatch]]'s contract on a vocabulary-bounded state: bag
+    * counts sum, exactly-once per batchId, and the same at-least-once
+    * caveat (a re-delivered document inflates tf unrecoverably; dedup
+    * upstream when the source overlaps). */
+  def applyClassTfBatch(spark: SparkSession, batch: DataFrame,
+      classCol: String, batchId: Long, stateDir: String): Boolean =
+    withStateVersion(spark, stateDir, batchId) { prev =>
+      val delta = graft.operators.TextAnalysis.classTermCounts(batch, classCol)
+      prev match {
+        case Some(p) => p.unionByName(delta)
+          .groupBy(col("class"), col("term")).agg(sum(col("tf")).as("tf"))
+        case None => delta
+      }
+    }
+
   /** Streaming Count-Min maintenance: document files arriving as a
     * stream keep the q151 frequency sketch current, one [[applyCmsBatch]]
     * merge per micro-batch; read it any time with [[latestAggState]]. */

@@ -326,7 +326,8 @@ class PlanSpec extends SparkSpec {
       // q165 runs the q158 selection twice — same ps×bounds broadcast
       "q165_mad_outlier_audit",
       // q172 crossJoins the broadcast 1-row avg-class-tokens aggregate
-      "q172_class_tfidf",
+      // (q180 renders the same scoring tail from drained state)
+      "q172_class_tfidf", "q180_streamed_class_tfidf",
       // q178 crossJoins two broadcast scalars (7-edge array, corpus max)
       "q178_equidepth_hist")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
