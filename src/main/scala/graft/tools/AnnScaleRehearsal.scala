@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** ANN-tier scale rehearsal — the [[ScaleRehearsal]] discipline applied
+  * to the vector side: materialize a `factor`× embeddings corpus
+  * (replicas deterministically perturbed per epoch so no two vectors
+  * are identical and every tier re-fits/rebuilds on genuinely larger
+  * data), then run each search tier at 1× and factor×, COLD (first call
+  * — includes the KMeans/LSH fit or NSW graph build) and WARM (fit
+  * cached via ModelStore / persisted graph), reporting wall time +
+  * shuffle + spill. The exact O(N²) scorer runs as the labeled
+  * baseline so the tier speedups are measured against ground truth at
+  * both scales.
+  *
+  * Usage: runMain graft.tools.AnnScaleRehearsal [baseDir] [factor] [workDir]
+  */
+object AnnScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val work = if (args.length > 2) args(2) else "/tmp/graft_ann_rehearsal"
+    require(factor >= 2, s"factor must be >= 2, got $factor")
+    val spark = graft.GraftSession.local()
+
+    val marker = new java.io.File(s"$work/_UPSAMPLED_x$factor")
+    if (!marker.exists()) {
+      val t0 = System.nanoTime()
+      // per-epoch deterministic jitter (±3e-3 per dim, epoch-and-dim
+      // keyed) keeps replicas distinct without changing the geometry's
+      // scale; vec_ids stay unique and dense
+      Tables.embeddings(spark, baseDir)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          explode(sequence(lit(0), lit(factor - 1))).as("e"))
+        .select(
+          (col("vec_id") * factor + col("e")).as("vec_id"),
+          expr("transform(embedding, (x, j) -> CAST(x + ((e * 31 + j) % 7 - 3) * 0.001 AS FLOAT))")
+            .as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+      marker.getParentFile.mkdirs(); marker.createNewFile()
+      println(f"[ann-rehearsal] upsample x$factor written in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    object m extends SparkListener {
+      val sw = new java.util.concurrent.atomic.AtomicLong
+      val sr = new java.util.concurrent.atomic.AtomicLong
+      val spill = new java.util.concurrent.atomic.AtomicLong
+      def reset(): Unit = { sw.set(0); sr.set(0); spill.set(0) }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val tm = sc.stageInfo.taskMetrics
+        if (tm != null) {
+          sw.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+          sr.addAndGet(tm.shuffleReadMetrics.totalBytesRead)
+          spill.addAndGet(tm.diskBytesSpilled)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(m)
+
+    val tiers: Seq[(String, String => DataFrame)] = Seq(
+      "exact_knn" -> (d => graft.operators.Similarity.knnExact(spark, d, k = 2, queryMod = 10)),
+      "ivf_knn" -> (d => graft.operators.Ann.ivfKnn(spark, d, k = 2,
+        nprobe = graft.GraftConf.ivfNprobe(spark), queryMod = 10)),
+      "lsh_neardup" -> (d => graft.operators.Ann.lshNearDup(spark, d, threshold = 0.35)),
+      "nsw_knn" -> (d => graft.operators.Nsw.nswKnn(spark, d, k = 2, queryMod = 10)),
+      "sq8_knn" -> (d => graft.Registry.byName("q177_sq8_knn").run(spark, d)))
+
+    Tables.embeddings(spark, baseDir).count() // JIT/codegen warm-up
+
+    val out = new StringBuilder("{")
+    Seq("base" -> baseDir, s"x$factor" -> work).foreach { case (tag, dir) =>
+      tiers.foreach { case (name, fn) =>
+        Seq("cold", "warm").foreach { phase =>
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          m.reset()
+          val t0 = System.nanoTime()
+          val rows = fn(dir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val line = f"""\"$tag/$name/$phase\":{\"sec\":$sec%.2f,\"rows\":$rows,""" +
+            f"""\"shuffle_read_mb\":${m.sr.get / 1e6}%.1f,\"spill_mb\":${m.spill.get / 1e6}%.1f}"""
+          println(s"[ann-rehearsal] $line")
+          out.append(line).append(",")
+        }
+      }
+    }
+    // --- √N-scaled IVF at factor× — the conf GraftConf.ivfCells's doc
+    // prescribes at real corpus sizes (static cells=12/nprobe=6 scans
+    // half the corpus whatever N; with cells ~ √N each probe touches a
+    // ~constant-size cell). Recall measured in-run against the exact
+    // leg so the speedup number carries its quality cost.
+    val n = spark.read.parquet(s"$work/embeddings.parquet").count()
+    val cells = math.max(12, math.sqrt(n.toDouble).round.toInt)
+    spark.conf.set("spark.graft.ivf.cells", cells.toString)
+    spark.conf.set("spark.graft.ivf.nprobe", "8")
+    Seq("cold", "warm").foreach { phase =>
+      m.reset()
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Ann.ivfKnn(spark, work, k = 2,
+        nprobe = 8, queryMod = 10).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val line = f"""\"x$factor/ivf_sqrtN_c$cells/$phase\":{\"sec\":$sec%.2f,\"rows\":$rows,""" +
+        f"""\"shuffle_read_mb\":${m.sr.get / 1e6}%.1f,\"spill_mb\":${m.spill.get / 1e6}%.1f}"""
+      println(s"[ann-rehearsal] $line")
+      out.append(line).append(",")
+    }
+    val exact = graft.operators.Similarity.knnExact(spark, work, k = 2, queryMod = 10)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.operators.Ann.ivfKnn(spark, work, k = 2, nprobe = 8, queryMod = 10)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    println(f"[ann-rehearsal] ivf_sqrtN_recall@2 = $recall%.4f")
+    out.append(f""""x$factor/ivf_sqrtN_recall":$recall%.4f""").append(",")
+    spark.conf.unset("spark.graft.ivf.cells")
+    spark.conf.unset("spark.graft.ivf.nprobe")
+
+    val json = out.dropRight(1).append("}").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$work/ann_rehearsal.json"), json + "\n")
+    spark.stop()
+  }
+}
