@@ -100,6 +100,21 @@ object GraftConf {
   def exactPairMaxBytes(s: SparkSession): Long =
     s.conf.get("spark.graft.pairs.exactMaxBytes", (256L << 20).toString).toLong
 
+  /** Corpus row count under which the kNN auto-router keeps the exact
+    * O(Q·N) scorer (it IS the best answer when the kernel work fits —
+    * and it is the oracle-replayable tier). */
+  def knnExactCutoff(s: SparkSession): Long =
+    s.conf.get("spark.graft.knn.exactCutoff", "10000").toLong
+
+  /** Forced kNN tier: "auto" (default) routes by TableStats; "exact" |
+    * "ivf" | "nsw" pin a branch (e.g. ivf when per-executor memory
+    * can't hold NSW shard graphs + vectors resident). */
+  def knnTier(s: SparkSession): String = {
+    val t = s.conf.get("spark.graft.knn.tier", "auto")
+    require(Set("auto", "exact", "ivf", "nsw")(t), s"bad spark.graft.knn.tier: $t")
+    t
+  }
+
   /** Corpus row count above which the auto pair router prefers the IVF
     * tier over any LSH tier: the stored IVF index is ONE row per vector
     * (its cell id) versus numHashTables rows per vector for LSH, and the

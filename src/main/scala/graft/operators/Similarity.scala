@@ -120,6 +120,42 @@ object Similarity {
     }
   }
 
+  /** The routing decision behind [[knnAuto]], pure function of stats +
+    * conf (the pairTier discipline applied to search): the exact scorer
+    * IS the right plan while Q·N kernel work fits — it is also the
+    * oracle-replayable tier — and past the cutoff the measured
+    * sub-linear tier is NSW (AnnScaleRehearsal: 0.97 s at 10× where
+    * exact takes 34.9 s and √N-IVF 3.9 s; graph hops grow ~log N, scans
+    * grow ~N). `spark.graft.knn.tier` pins a branch — ivf for
+    * memory-constrained executors (no resident shard graphs), exact for
+    * audits. */
+  private[graft] def knnTier(s: SparkSession, rows: Long, bytes: Long): String =
+    GraftConf.knnTier(s) match {
+      case "auto" =>
+        if (rows <= GraftConf.knnExactCutoff(s) &&
+          bytes <= GraftConf.exactPairMaxBytes(s)) "exact"
+        else "nsw"
+      case t => t
+    }
+
+  /** Stats-routed k-NN search over the embeddings table — one entry
+    * point, the tier picked the way [[nearDupPairsAuto]] picks pair
+    * tiers. Every branch emits the identical (qid, rank, nid, sim)
+    * shape with the same tie discipline (sim DESC, nid ASC). */
+  def knnAuto(s: SparkSession, d: String, k: Int, queryMod: Int): DataFrame = {
+    val st = graft.plans.TableStats.embeddings(s, d)
+    val tier = knnTier(s, st.rows, st.bytes)
+    println(s"[graft] knnAuto: rows=${st.rows} " +
+      s"(exactCutoff ${GraftConf.knnExactCutoff(s)}), bytes=${st.bytes} " +
+      s"(cutoff ${GraftConf.exactPairMaxBytes(s)}), " +
+      s"forced=${GraftConf.knnTier(s)} -> $tier")
+    tier match {
+      case "exact" => knnExact(s, d, k, queryMod)
+      case "ivf" => Ann.ivfKnnAgg(s, d, k, GraftConf.ivfNprobe(s), queryMod)
+      case "nsw" => Nsw.nswKnn(s, d, k, queryMod)
+    }
+  }
+
   /** q30: exact k-NN, k=2, sampled queries — mirrors the pipeline's
     * index.search(k=2) (app/main.py:228). */
   val q30KnnExact = GraftQuery(
@@ -329,7 +365,19 @@ object Similarity {
         count(*) AS cnt
       FROM u GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q181: the stats-routed kNN entry point, registered so the router
+    * itself is gate-checked: at every test scale factor the corpus sits
+    * under the exact cutoff, so the routed plan IS the exact scorer and
+    * q181 carries q30's full oracle (the same carried-oracle trick as
+    * the streamed twins). GraftConfSpec proves the other branches
+    * reachable and output-identical to their direct tiers. */
+  val q181KnnAuto = GraftQuery(
+    "q181_knn_auto",
+    "J1a/J1b/J1c router: stats-routed kNN (exact | ivf | nsw), carried exact oracle",
+    (s, d) => knnAuto(s, d, k = 2, queryMod = 10),
+    q30KnnExact.oracle)
+
   def queries: Seq[GraftQuery] = Seq(
     q30KnnExact, q31NearDupPairs, q32KnnL2, q33VectorStats, q38QualReport,
-    q83SimHistogram)
+    q83SimHistogram, q181KnnAuto)
 }

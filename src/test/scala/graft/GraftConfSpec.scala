@@ -173,6 +173,38 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("kNN auto-router: every branch reachable by conf; routed tiers hold the recall gate") {
+    import operators.Similarity
+    val st = plans.TableStats.embeddings(spark, sfTiny)
+    // pure decision function: branch reachability by conf alone
+    assert(Similarity.knnTier(spark, st.rows, st.bytes) == "exact",
+      "test corpus sits under the exact cutoff by default")
+    withConf("spark.graft.knn.exactCutoff", "0") {
+      assert(Similarity.knnTier(spark, st.rows, st.bytes) == "nsw",
+        "past the cutoff the measured sub-linear tier is NSW")
+    }
+    Seq("exact", "ivf", "nsw").foreach { forced =>
+      withConf("spark.graft.knn.tier", forced) {
+        assert(Similarity.knnTier(spark, st.rows, st.bytes) == forced)
+      }
+    }
+    // end-to-end: each routed tier's result vs ground truth
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.knnExact(spark, sfTiny, k = 2, queryMod = 10))
+    assert(exact.nonEmpty)
+    assert(pairs(Similarity.knnAuto(spark, sfTiny, k = 2, queryMod = 10)) == exact,
+      "default route must BE the exact answer at this scale")
+    Seq("ivf", "nsw").foreach { forced =>
+      val got = withConf("spark.graft.knn.tier", forced) {
+        pairs(Similarity.knnAuto(spark, sfTiny, k = 2, queryMod = 10))
+      }
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.9, s"$forced tier recall $recall (${exact.size} pairs)")
+    }
+  }
+
   test("exactPairCutoff routes the auto pair search") {
     // tiny corpus, cutoff 0 -> LSH path; huge cutoff -> exact path.
     // Both must agree on the pair set at this scale (recall gate).

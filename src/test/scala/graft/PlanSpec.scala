@@ -300,6 +300,9 @@ class PlanSpec extends SparkSpec {
       // q177 is the q30 shape over the SQ8-reconstructed corpus — the
       // labeled exact scorer of the compression tier (oracle replays it)
       "q177_sq8_knn",
+      // q181 routes to the exact scorer at test sizes (by design — the
+      // router's cutoff keeps exact while Q·N fits; NSW past it)
+      "q181_knn_auto",
       // q163/q164 consume the labeled exact k-NN edge builder (the
       // oracle-replayable ground-truth tier; swap in IVF/LSH/NSW edges
       // at scale — Graph.scala header)
