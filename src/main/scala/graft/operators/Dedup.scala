@@ -1428,10 +1428,60 @@ object Dedup {
       FROM p WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.5
       ORDER BY jaccard DESC, id1, id2"""))
 
+  // ---------------------------------------------------------------------
+  // q183: leakage-safe corpus split — the q76 hash split done at
+  // DUP-CLUSTER granularity
+  // ---------------------------------------------------------------------
+
+  /** Train/val/test assignment that cannot leak near-duplicates across
+    * splits: hash the q64 TRANSITIVE dup-cluster id (not the doc id)
+    * into the 80/10/10 md5 buckets, so every member of a near-dup
+    * cluster lands in the same split by construction. This is the
+    * published decontamination-by-construction move (the GPT-3 paper's
+    * post-hoc eval-overlap scrub — our q109/q133 — exists because its
+    * split was drawn doc-level; splitting on the closure of the near-dup
+    * relation makes that scrub vacuous for within-corpus dupes). Doc-level
+    * md5 splits (q76) provably leak here: any multi-doc cluster straddles
+    * splits with prob. 1-Σp_i^{|c|} — LeakSplitSpec exhibits it on this
+    * corpus. Plan: the q64 CC pipeline plus one per-row hash expression
+    * and the broadcast-sized cluster→split map folded into the existing
+    * label join; no new shuffle over the corpus. */
+  def leakSafeSplit(s: SparkSession, d: String, threshold: Double): DataFrame =
+    dupClusters(s, d, threshold)
+      .withColumn("bucket",
+        conv(substring(md5(col("cluster_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 100)
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
+  val q183LeakSafeSplit = GraftQuery(
+    "q183_leak_safe_split",
+    "LLM-pipeline: leakage-safe train/val/test split (hash the dup-cluster id, not the doc id)",
+    (s, d) => leakSafeSplit(s, d, threshold = 0.8),
+    // q64's full recursive-CTE closure, re-tailed with the bucket
+    // assignment — built by substitution so the two oracles can never
+    // drift; the require proves the tail actually matched.
+    q64DupClusters.oracle.map { o =>
+      val tail = """SELECT a.doc_id, a.cluster_id, s.cluster_size
+      FROM alldocs a JOIN sizes s USING (cluster_id)
+      ORDER BY a.doc_id"""
+      require(o.contains(tail), "q64 oracle tail drifted; fix q183's substitution")
+      o.replace(tail,
+        """SELECT doc_id, cluster_id,
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, cluster_id,
+        ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        FROM alldocs)
+      ORDER BY doc_id""")
+    })
+
   def queries: Seq[GraftQuery] = Seq(
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
     q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup,
     q64DupClusters, q68DupSpans, q69IncrementalDedup, q92FuzzyDedup,
     q109Decontaminate, q129SemDedup, q133DecontaminateBloom, q153StreamedCc,
-    q161SharedSpans, q162SubstrDedup, q170PrefixJaccard)
+    q161SharedSpans, q162SubstrDedup, q170PrefixJaccard, q183LeakSafeSplit)
 }

@@ -2170,6 +2170,190 @@ object TextAnalysis {
     (s, d) => streamedInvertedIndex(s, d, maxPost = 100, nBatches = 3),
     q135InvertedIndex.oracle)
 
+  // ---------------------------------------------------------------------
+  // q184: temperature-weighted mixture sampling
+  // ---------------------------------------------------------------------
+
+  /** Domain-balanced corpus draw at temperature α=1/2 [the multilingual/
+    * multi-domain rebalancing rule of Lample & Conneau 2019 (XLM §3.1)
+    * and the LLM data-mixture literature: sample domain s with
+    * probability ∝ p_s^α, α<1 flattening the head so low-resource
+    * domains are not drowned]: per-domain target counts
+    * target_s = max(1, ⌊budget · w_s / Σw⌋) with w_s = ⌊√c_s⌋, then a
+    * deterministic per-domain draw of target_s documents by md5
+    * priority (the q147 reservoir: same priority, same picks, any run,
+    * any engine). Weights are INTEGER isqrt, not double sqrt, so Σw is
+    * exact integer arithmetic — a double Σ over domains would make the
+    * targets depend on summation order, which differs across engines
+    * and partitionings (the q78 ulp lesson applied to planning, not
+    * just scoring).
+    *
+    * Plan: domain counts are a tiny broadcast aggregate; the draw is
+    * the q147 bounded TopKAggregator (map-side k-row state per domain,
+    * k = budget upper-bounds every target) — no corpus-wide window, no
+    * global sort; the target join is a broadcast of #domains rows. */
+  def temperatureMixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      budget: Int): DataFrame = {
+    require(budget >= 1)
+    val w = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+    val tw = w.agg(sum(col("w")).as("sw"))
+    val targets = w.crossJoin(broadcast(tw))
+      .select(col(groupCol), col("n_docs"),
+        // `div` = exact integer division (a double `/`+floor can round a
+        // just-under-k ratio up to k before the floor)
+        greatest(lit(1L), expr(s"(${budget.toLong}L * w) div sw"))
+          .as("target"))
+    prioritySample(df, groupCol, idCol, budget)
+      .join(broadcast(targets), Seq(groupCol))
+      .filter(col("rank") <= col("target"))
+      .select(col(groupCol), col("n_docs"), col("target"), col("rank"),
+        col(idCol))
+      .orderBy(col(groupCol), col("rank"))
+  }
+
+  val q184MixtureSample = GraftQuery(
+    "q184_mixture_sample",
+    "LLM-pipeline: temperature-weighted (α=1/2) domain mixture draw, integer-exact targets",
+    (s, d) => temperatureMixtureSample(Tables.documents(s, d),
+      "source", "doc_id", budget = 60),
+    Some("""WITH c AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT) AS w
+        FROM documents GROUP BY 1),
+      tw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM c),
+      t AS (
+        SELECT source, n_docs,
+          greatest(1, (60 * w) // sw) AS target
+        FROM c CROSS JOIN tw),
+      pr AS (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id)
+            AS rank
+        FROM documents)
+      SELECT pr.source, t.n_docs, t.target, CAST(pr.rank AS BIGINT) AS rank,
+        pr.doc_id
+      FROM pr JOIN t USING (source) WHERE pr.rank <= t.target
+      ORDER BY pr.source, pr.rank"""))
+
+  // ---------------------------------------------------------------------
+  // q182: repetition-based quality filter (the Gopher rules)
+  // ---------------------------------------------------------------------
+
+  /** Per-document repetition profile [Rae et al. 2021 (Gopher) §A1.1:
+    * "repetitious documents" are filtered by the fraction of characters
+    * inside repeated n-grams; reimplemented integer-exactly here]:
+    *
+    *   - `top2_frac`  — characters covered by ALL occurrences of the
+    *     single most frequent word-2-gram, over total normalized chars
+    *     (ties broken to the lexicographically smallest gram, so the
+    *     argmax is deterministic cross-engine);
+    *   - `dup5_frac`  — characters covered by every occurrence of every
+    *     word-5-gram that appears ≥ 2 times, capped at 1.0 (occurrences
+    *     may overlap — the standard public-reimplementation convention,
+    *     e.g. Dolma/DataTrove count covered chars multiplicatively);
+    *   - `keep`       — both fractions under their thresholds. Boilerplate,
+    *     keyword-stuffed spam and template pages fail long before fluent
+    *     prose does. Complements q41: that gate carries the OCCURRENCE
+    *     top-2-gram fraction and dup-line ratio; this one is the
+    *     character-coverage form Gopher actually specifies, plus the
+    *     duplicated-n-gram family q41 lacks (a long doc with one
+    *     dominant bigram and a doc tiled from repeated phrases score
+    *     very differently under char coverage).
+    *
+    * All inputs are exact integers (occurrence counts × gram char
+    * lengths over the space-joined token length), so the one double
+    * division per column is bit-identical cross-engine — the q141/q172
+    * rational-arithmetic convention.
+    *
+    * Plan shape: tokenize → explode n-grams → per-(doc, gram) count —
+    * shuffle linear in corpus tokens, keyed by doc_id like every
+    * tokenize path — then a doc-partitioned window for the argmax and a
+    * per-doc sum; no global aggregate anywhere, so the operator scales
+    * with partitions. */
+  def repetitionProfile(df: DataFrame, top2Max: Double, dup5Max: Double): DataFrame = {
+    val base = df
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("n_chars", length(concat_ws(" ", col("tk"))))
+      .localCheckpoint(true) // three consumers: base, 2-gram, 5-gram legs
+    def grams(n: Int): DataFrame =
+      base.filter(size(col("tk")) >= n).select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(tk)-$n), i -> concat_ws(' ', slice(tk, i+1, $n)))"))
+          .as("gram"))
+    val top2 = {
+      val c2 = grams(2).groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("gram"))
+      c2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), (col("cnt") * length(col("gram"))).as("rep_chars"))
+    }
+    val dup5 = grams(5).groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * length(col("gram"))).as("dup_chars"))
+    base.join(top2, Seq("doc_id"), "left").join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("rep_chars"), lit(0L)).cast("double") / col("n_chars"))
+          .as("t2"),
+        least(lit(1.0),
+          coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars"))
+          .as("d5"))
+      .select(col("doc_id"),
+        round(col("t2"), 6).as("top2_frac"),
+        round(col("d5"), 6).as("dup5_frac"),
+        (col("t2") <= top2Max && col("d5") <= dup5Max).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q182RepetitionFilter = GraftQuery(
+    "q182_repetition_filter",
+    "LLM-pipeline quality gate: Gopher repetition rules (top-2-gram / dup-5-gram char fractions)",
+    (s, d) => repetitionProfile(Tables.documents(s, d),
+      top2Max = 0.20, dup5Max = 0.15),
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      base AS (
+        SELECT doc_id, length(array_to_string(toks, ' ')) AS n_chars, toks
+        FROM tk),
+      g2 AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM base WHERE len(toks) >= 2),
+      c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+      t2 AS (
+        SELECT doc_id, cnt * length(gram) AS rep_chars,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY cnt DESC, gram) AS rn
+        FROM c2),
+      top2 AS (SELECT doc_id, rep_chars FROM t2 WHERE rn = 1),
+      g5 AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(toks) - 3),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+              || toks[i+3] || ' ' || toks[i+4])) AS gram
+        FROM base WHERE len(toks) >= 5),
+      c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+      d5 AS (
+        SELECT doc_id, sum(cnt * length(gram)) AS dup_chars
+        FROM c5 WHERE cnt >= 2 GROUP BY 1),
+      f AS (
+        SELECT b.doc_id,
+          coalesce(t.rep_chars, 0)::DOUBLE / b.n_chars AS t2,
+          least(1.0, coalesce(d.dup_chars, 0)::DOUBLE / b.n_chars) AS d5
+        FROM base b
+        LEFT JOIN top2 t USING (doc_id)
+        LEFT JOIN d5 d USING (doc_id))
+      SELECT doc_id, round(t2, 6) AS top2_frac, round(d5, 6) AS dup5_frac,
+        (t2 <= 0.20 AND d5 <= 0.15) AS keep
+      FROM f ORDER BY doc_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q151CountMinSketch, q154StreamedCms, q155StreamedSample, q159StreamedIndex,
     q167HllRegisters, q168StreamedHll, q172ClassTfidf,
@@ -2184,5 +2368,6 @@ object TextAnalysis {
     q132HeavyHitters, q134StreamedHeavyHitters,
     q135InvertedIndex, q136BooleanRetrieval,
     q139GroupOutliers, q140Cooccurrence, q141Bm25, q142Triangles,
-    q147PrioritySample, q148RetrievalEval)
+    q147PrioritySample, q148RetrievalEval, q182RepetitionFilter,
+    q184MixtureSample)
 }

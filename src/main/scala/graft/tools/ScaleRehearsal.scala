@@ -89,7 +89,12 @@ object ScaleRehearsal {
       // whatever the corpus (the q167 scale story, measured)
       "q167_hll_registers" -> (d => graft.operators.TextAnalysis.hllFill(spark,
         graft.operators.TextAnalysis.hllRegisterDeltas(
-          Tables.documents(spark, d), "text", 256), 256)))
+          Tables.documents(spark, d), "text", 256), 256)),
+      // per-doc repetition profile: tokenize→gram-count keyed by doc_id,
+      // the no-cross-doc-state linear path — time AND shuffle bytes must
+      // scale ~factor
+      "q182_repetition_filter" -> (d => graft.operators.TextAnalysis
+        .repetitionProfile(Tables.documents(spark, d), 0.20, 0.15)))
 
     // warm-up so JIT/codegen startup lands outside both measured scales
     Tables.documents(spark, baseDir).count()

@@ -332,7 +332,9 @@ class PlanSpec extends SparkSpec {
       // (q180 renders the same scoring tail from drained state)
       "q172_class_tfidf", "q180_streamed_class_tfidf",
       // q178 crossJoins two broadcast scalars (7-edge array, corpus max)
-      "q178_equidepth_hist")
+      "q178_equidepth_hist",
+      // q184 crossJoins the broadcast 1-row Σweights aggregate
+      "q184_mixture_sample")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))
