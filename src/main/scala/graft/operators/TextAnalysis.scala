@@ -2192,12 +2192,15 @@ object TextAnalysis {
     * the q147 bounded TopKAggregator (map-side k-row state per domain,
     * k = budget upper-bounds every target) — no corpus-wide window, no
     * global sort; the target join is a broadcast of #domains rows. */
-  def temperatureMixtureSample(df: DataFrame, groupCol: String, idCol: String,
-      budget: Int): DataFrame = {
+  /** Scoring tail shared by q184 and its streamed twin: targets derive
+    * from a (group, n_docs) count relation, the draw from a ranked
+    * (group, rank, id) relation — both reconstructible from mergeable
+    * streamed state, so the drained render is bit-identical to the
+    * one-shot batch draw. */
+  private def mixtureRender(counts: DataFrame, ranked: DataFrame,
+      groupCol: String, idCol: String, budget: Int): DataFrame = {
     require(budget >= 1)
-    val w = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+    val w = counts.withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
     val tw = w.agg(sum(col("w")).as("sw"))
     val targets = w.crossJoin(broadcast(tw))
       .select(col(groupCol), col("n_docs"),
@@ -2205,13 +2208,60 @@ object TextAnalysis {
         // just-under-k ratio up to k before the floor)
         greatest(lit(1L), expr(s"(${budget.toLong}L * w) div sw"))
           .as("target"))
-    prioritySample(df, groupCol, idCol, budget)
+    ranked
       .join(broadcast(targets), Seq(groupCol))
       .filter(col("rank") <= col("target"))
       .select(col(groupCol), col("n_docs"), col("target"), col("rank"),
         col(idCol))
       .orderBy(col(groupCol), col("rank"))
   }
+
+  def temperatureMixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      budget: Int): DataFrame =
+    mixtureRender(
+      df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs")),
+      prioritySample(df, groupCol, idCol, budget),
+      groupCol, idCol, budget)
+
+  /** q185: the q184 draw maintained INCREMENTALLY over document batches
+    * — two mergeable states on the versioned exactly-once contract: the
+    * ≤budget-per-group bottom-k reservoir (applySampleBatch: set-union
+    * semantics, replay- and redelivery-safe) and the additive (group,
+    * n_docs) count (applyGroupCountBatch: bag counts sum — the CMS/
+    * c-TF-IDF disjointness caveat applies to THIS half; dedup upstream
+    * if delivery overlaps). Bottom-budget of a union equals
+    * bottom-budget of everything seen and counts are additive, so the
+    * drained render IS the one-shot draw — q185 carries q184's oracle
+    * to prove it bit-for-bit. The streaming answer to "keep a
+    * temperature-balanced sample of the corpus as it arrives": state is
+    * ≤budget rows + one count per domain, never corpus-sized. */
+  def streamedMixtureSample(s: SparkSession, d: String, budget: Int,
+      nBatches: Int): DataFrame = {
+    require(nBatches >= 1)
+    val sampleDir = java.nio.file.Files.createTempDirectory("graft_mix_sample").toString
+    val countDir = java.nio.file.Files.createTempDirectory("graft_mix_count").toString
+    val docs = Tables.documents(s, d)
+    (0 until nBatches).foreach { i =>
+      val b = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
+      graft.streaming.StreamingJobs.applySampleBatch(s, b, i.toLong,
+        "source", "doc_id", budget, sampleDir)
+      graft.streaming.StreamingJobs.applyGroupCountBatch(s, b, "source",
+        i.toLong, countDir)
+    }
+    val sample = graft.streaming.StreamingJobs.latestAggState(s, sampleDir).get._2
+      .localCheckpoint(true)
+    val counts = graft.streaming.StreamingJobs.latestAggState(s, countDir).get._2
+      .localCheckpoint(true)
+    Seq(sampleDir, countDir).foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    // ranking the ≤budget-per-group reservoir reproduces the global
+    // ranks 1..budget exactly (bottom-k mergeability)
+    mixtureRender(counts, prioritySample(sample, "source", "doc_id", budget),
+      "source", "doc_id", budget)
+  }
+
 
   val q184MixtureSample = GraftQuery(
     "q184_mixture_sample",
@@ -2237,6 +2287,12 @@ object TextAnalysis {
         pr.doc_id
       FROM pr JOIN t USING (source) WHERE pr.rank <= t.target
       ORDER BY pr.source, pr.rank"""))
+
+  val q185StreamedMixture = GraftQuery(
+    "q185_streamed_mixture",
+    "LLM-pipeline + streaming: incremental temperature mixture draw (reservoir + additive counts)",
+    (s, d) => streamedMixtureSample(s, d, budget = 60, nBatches = 3),
+    q184MixtureSample.oracle)
 
   // ---------------------------------------------------------------------
   // q182: repetition-based quality filter (the Gopher rules)
@@ -2369,5 +2425,5 @@ object TextAnalysis {
     q135InvertedIndex, q136BooleanRetrieval,
     q139GroupOutliers, q140Cooccurrence, q141Bm25, q142Triangles,
     q147PrioritySample, q148RetrievalEval, q182RepetitionFilter,
-    q184MixtureSample)
+    q184MixtureSample, q185StreamedMixture)
 }

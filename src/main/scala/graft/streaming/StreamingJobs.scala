@@ -573,6 +573,25 @@ object StreamingJobs {
       }
     }
 
+  /** Merge one micro-batch into an additive (group, n_docs) count state
+    * — the degenerate (one cell per group) form of [[applyClassTfBatch]]'s
+    * bag-count contract, and the second half of the q185 streamed
+    * mixture draw (its reservoir half is [[applySampleBatch]]). Same
+    * at-least-once caveat as every additive state: a re-delivered
+    * document inflates its group's count unrecoverably (the batchId
+    * guard stops exact replays only); dedup upstream when the source
+    * overlaps. */
+  def applyGroupCountBatch(spark: SparkSession, batch: DataFrame,
+      groupCol: String, batchId: Long, stateDir: String): Boolean =
+    withStateVersion(spark, stateDir, batchId) { prev =>
+      val delta = batch.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      prev match {
+        case Some(p) => p.unionByName(delta)
+          .groupBy(col(groupCol)).agg(sum(col("n_docs")).as("n_docs"))
+        case None => delta
+      }
+    }
+
   /** Streaming Count-Min maintenance: document files arriving as a
     * stream keep the q151 frequency sketch current, one [[applyCmsBatch]]
     * merge per micro-batch; read it any time with [[latestAggState]]. */

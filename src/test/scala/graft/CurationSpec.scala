@@ -110,4 +110,31 @@ class CurationSpec extends SparkSpec {
       Tables.documents(spark, dir), "source", "doc_id", budget = 60)
     assert(got.collect().toSeq == again.collect().toSeq)
   }
+
+  test("q185 streamed mixture draw == one-shot q184 draw; replay is a no-op") {
+    // streamed == batch at sf0.001 (q185 also carries q184's oracle at
+    // the driver gate; this pins it in-suite at a second batch split)
+    val batch = TextAnalysis.temperatureMixtureSample(
+      Tables.documents(spark, sfTiny), "source", "doc_id", budget = 60)
+      .collect().toSeq
+    val streamed = TextAnalysis.streamedMixtureSample(
+      spark, sfTiny, budget = 60, nBatches = 4).collect().toSeq
+    assert(streamed == batch)
+    // exactly-once: re-applying an already-committed batchId changes
+    // neither state (the versioned-commit contract on both halves)
+    val dirS = java.nio.file.Files.createTempDirectory("graft_mixA").toString
+    val dirC = java.nio.file.Files.createTempDirectory("graft_mixB").toString
+    val docs = Tables.documents(spark, sfTiny)
+    graft.streaming.StreamingJobs.applySampleBatch(
+      spark, docs, 0L, "source", "doc_id", 60, dirS)
+    graft.streaming.StreamingJobs.applyGroupCountBatch(
+      spark, docs, "source", 0L, dirC)
+    val c1 = graft.streaming.StreamingJobs.latestAggState(spark, dirC).get._2
+      .collect().toSet
+    graft.streaming.StreamingJobs.applyGroupCountBatch(
+      spark, docs, "source", 0L, dirC) // replayed batchId
+    val c2 = graft.streaming.StreamingJobs.latestAggState(spark, dirC).get._2
+      .collect().toSet
+    assert(c1 == c2, "replayed count batch mutated state")
+  }
 }

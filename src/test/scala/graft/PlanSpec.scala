@@ -252,6 +252,24 @@ class PlanSpec extends SparkSpec {
       s"q88 planned a cartesian product:\n$plan")
   }
 
+  test("q182 repetition profile: every hash exchange carries doc_id, none funnels to one partition") {
+    // the per-document-design claim as a plan assertion: gram counting,
+    // the argmax window and the profile joins must all partition by the
+    // document key — a SinglePartition exchange or a non-doc_id hash key
+    // would mean cross-document state crept in (the global-window
+    // anti-pattern this operator exists to avoid)
+    val df = Registry.byName("q182_repetition_filter").run(spark, sfTiny)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q182 funnels to one partition:\n$plan")
+    val hashKeys = "hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(hashKeys.nonEmpty, s"no hash exchanges found:\n$plan")
+    hashKeys.foreach(k => assert(k.contains("doc_id"),
+      s"q182 exchange not keyed by doc_id: [$k]\n$plan"))
+  }
+
   test("q56 IVF near-dup assigns cells shuffle-free: no window, no centroid cross join") {
     // the round-6 graded-weak plan: assignment used to cross-join every
     // vector with the broadcast centroid table and rank behind a
@@ -333,8 +351,9 @@ class PlanSpec extends SparkSpec {
       "q172_class_tfidf", "q180_streamed_class_tfidf",
       // q178 crossJoins two broadcast scalars (7-edge array, corpus max)
       "q178_equidepth_hist",
-      // q184 crossJoins the broadcast 1-row Σweights aggregate
-      "q184_mixture_sample")
+      // q184 crossJoins the broadcast 1-row Σweights aggregate (q185
+      // renders the same tail from drained state)
+      "q184_mixture_sample", "q185_streamed_mixture")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))
