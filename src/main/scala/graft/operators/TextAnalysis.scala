@@ -2295,6 +2295,169 @@ object TextAnalysis {
     q184MixtureSample.oracle)
 
   // ---------------------------------------------------------------------
+  // q186: BPE merge training (the tokenizer-training core)
+  // ---------------------------------------------------------------------
+
+  /** Byte-pair-encoding merge training [Sennrich et al. 2016 (ACL,
+    * "Neural Machine Translation of Rare Words with Subword Units"),
+    * §3.2 — the algorithm behind every BPE/GPT-style tokenizer]: start
+    * from the character-split vocabulary (with a `</w>` end-of-word
+    * marker), repeatedly count adjacent symbol pairs weighted by word
+    * frequency, and merge the most frequent pair everywhere. Returns
+    * the learned merge table (step, left_sym, right_sym, pair_freq) —
+    * the artifact a tokenizer ships.
+    *
+    * Distribution shape: BPE training state is the DISTINCT-WORD
+    * relation (word, cnt, sym), bounded by vocabulary — never corpus
+    * rows (the corpus is scanned once for word counts). Each merge step
+    * is one map-side-combinable pair aggregate + a 1-row argmax collect
+    * (a driver scalar, like every broadcast bound in this engine) + a
+    * narrow per-row rewrite; k steps = k rounds, lineage truncated per
+    * round like connected components.
+    *
+    * Exactness: symbols are joined with DOUBLE spaces and padded with
+    * single outer spaces, so one non-overlapping left-to-right
+    * `replace(' a  b ' → ' ab ')` IS the greedy BPE merge: the match
+    * consumes one separator space from each side, leaving the
+    * single+single = double-space invariant intact for neighbors —
+    * adjacent occurrences stay matchable in the same pass (a
+    * single-space encoding silently skips every other occurrence; the
+    * classic off-by-one this encoding exists to kill). Ties break (max
+    * freq, then lexicographic pair) — deterministic cross-engine, and
+    * both engines' `replace` share the left-to-right non-overlap
+    * contract. The DuckDB oracle unrolls the k steps programmatically
+    * from the same step template. */
+  private def bpeTrain(s: SparkSession, d: String, k: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(k >= 1 && k <= 32)
+    var vocab = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      // an empty token (whitespace-only doc) would hit Spark's
+      // DESCENDING sequence(1, 0) and diverge from DuckDB's empty
+      // range(1, 1) — exclude it in both engines
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        concat(lit(" "),
+          concat_ws("  ",
+            concat(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+              array(lit("</w>")))),
+          lit(" ")).as("sym"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    (1 to k).foreach { step =>
+      val top = vocab
+        .select(col("cnt"), split(trim(col("sym")), "  ").as("s"))
+        // a fully-merged word (one symbol left) has no pairs; without
+        // this guard Spark's sequence(1, 0) descends into
+        // element_at(s, 0), an ANSI error — DuckDB's range(1, 1) is
+        // just empty
+        .filter(size(col("s")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(s)-1), i -> struct(element_at(s, i) AS a, element_at(s, i+1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"BPE step $step: no pairs left (k too large for corpus)")
+      val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((step, a, b, f))
+      vocab = vocab.withColumn("sym",
+        replace(col("sym"), lit(s" $a  $b "), lit(s" $a$b ")))
+        .localCheckpoint(true)
+    }
+    (merges.result(), vocab)
+  }
+
+  def bpeMerges(s: SparkSession, d: String, k: Int): DataFrame = {
+    val (m, _) = bpeTrain(s, d, k)
+    import s.implicits._
+    m.toDF("step", "left_sym", "right_sym", "pair_freq")
+      .select(col("step"), col("left_sym"), col("right_sym"), col("pair_freq"))
+      .orderBy(col("step"))
+  }
+
+  /** q187: the subword vocabulary the learned merges produce — every
+    * final symbol with its corpus frequency (Σ word counts) and the
+    * number of distinct words it segments. The inspection surface a
+    * tokenizer designer actually reads ("which subwords did k merges
+    * buy, and how much corpus do they cover"); same vocab-bounded state
+    * as q186, one extra explode+aggregate over the final (word, cnt,
+    * sym) relation. */
+  def bpeSubwordStats(s: SparkSession, d: String, k: Int): DataFrame = {
+    val (_, vocab) = bpeTrain(s, d, k)
+    vocab
+      .select(col("word"), col("cnt"),
+        explode(split(trim(col("sym")), "  ")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("cnt")).as("freq"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(col("freq").desc, col("token"))
+  }
+
+  /** The q186/q187 oracle WITH-chain, generated by unrolling the
+    * per-step template — built programmatically so Spark loop and SQL
+    * chain cannot drift. */
+  private def bpeOracleChain(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+        SELECT (u.p).a AS a, (u.p).b AS b, CAST(sum(u.cnt) AS BIGINT) AS freq
+        FROM (
+          SELECT cnt, unnest(list_transform(range(1, len(s)),
+            j -> {'a': s[j], 'b': s[j+1]})) AS p
+          FROM (SELECT cnt, string_split(trim(sym), '  ') AS s FROM w${i - 1})) u
+        GROUP BY 1, 2),
+      t$i AS (SELECT a, b, freq FROM p$i ORDER BY freq DESC, a, b LIMIT 1),
+      w$i AS (
+        SELECT word, cnt,
+          replace(sym, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS sym
+        FROM w${i - 1} CROSS JOIN t$i)"""
+    }.mkString(",\n      ")
+    s"""WITH w0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+          ' ' || array_to_string(
+            list_append(list_transform(range(1, length(word) + 1),
+              i -> word[i]), '</w>'), '  ') || ' ' AS sym
+        FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents)
+        WHERE word <> ''
+        GROUP BY 1),
+      $steps"""
+  }
+
+  private def bpeMergesOracle(k: Int): String = {
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS step, a AS left_sym, b AS right_sym, freq AS pair_freq FROM t$i")
+      .mkString("\n      UNION ALL ")
+    s"""${bpeOracleChain(k)}
+      $union
+      ORDER BY step"""
+  }
+
+  private def bpeStatsOracle(k: Int): String =
+    s"""${bpeOracleChain(k)},
+      tok AS (
+        SELECT word, cnt, unnest(string_split(trim(sym), '  ')) AS token
+        FROM w$k)
+      SELECT token, CAST(sum(cnt) AS BIGINT) AS freq,
+        CAST(count(DISTINCT word) AS BIGINT) AS n_words
+      FROM tok GROUP BY 1 ORDER BY freq DESC, token"""
+
+  val q186BpeMerges = GraftQuery(
+    "q186_bpe_merges",
+    "LLM-pipeline tokenizer training: BPE merge learning over the vocab relation (k=6)",
+    (s, d) => bpeMerges(s, d, k = 6),
+    Some(bpeMergesOracle(6)))
+
+  val q187BpeSubwords = GraftQuery(
+    "q187_bpe_subwords",
+    "LLM-pipeline tokenizer training: post-merge subword vocabulary coverage (k=6)",
+    (s, d) => bpeSubwordStats(s, d, k = 6),
+    Some(bpeStatsOracle(6)))
+
+  // ---------------------------------------------------------------------
   // q182: repetition-based quality filter (the Gopher rules)
   // ---------------------------------------------------------------------
 
@@ -2425,5 +2588,5 @@ object TextAnalysis {
     q135InvertedIndex, q136BooleanRetrieval,
     q139GroupOutliers, q140Cooccurrence, q141Bm25, q142Triangles,
     q147PrioritySample, q148RetrievalEval, q182RepetitionFilter,
-    q184MixtureSample, q185StreamedMixture)
+    q184MixtureSample, q185StreamedMixture, q186BpeMerges, q187BpeSubwords)
 }

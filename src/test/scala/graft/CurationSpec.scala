@@ -137,4 +137,65 @@ class CurationSpec extends SparkSpec {
       .collect().toSet
     assert(c1 == c2, "replayed count batch mutated state")
   }
+
+  /** Single-threaded reference BPE (Sennrich §3.2): weighted pair counts
+    * over the vocab, (max freq, lexicographic) argmax, left-to-right
+    * non-overlapping merge. The distributed q186 must match exactly. */
+  private def refBpe(words: Seq[(String, Long)], k: Int)
+      : (Seq[(Int, String, String, Long)], Seq[(Vector[String], Long)]) = {
+    var vocab: Seq[(Vector[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>") -> c }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to k) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        (0 until syms.length - 1).foreach { i =>
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      val ((a, b), f) = counts.toSeq
+        .sortBy { case ((x, y), n) => (-n, x, y) }.head
+      out += ((step, a, b, f))
+      vocab = vocab.map { case (syms, c) =>
+        val buf = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            buf += a + b; i += 2
+          } else { buf += syms(i); i += 1 }
+        }
+        buf.result() -> c
+      }
+    }
+    (out.result(), vocab)
+  }
+
+  test("q186 distributed BPE == reference BPE, including adjacent-occurrence merges") {
+    // 'abab' forces the adjacent-occurrence case: after merging (a, b)
+    // both occurrences must merge in the SAME pass (the double-space
+    // encoding claim); 'aaa' exercises overlapping-count + greedy merge
+    val corpus = Seq(
+      (1L, "low low low lower lower", "s"),
+      (2L, "newest newest newest widest widest abab abab abab", "s"),
+      (3L, "abab aaa aaa low newest", "s"))
+    val dir = docsDir(corpus)
+    val words = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }.toSeq
+    val (expected, refVocab) = refBpe(words, 8)
+    val got = TextAnalysis.bpeMerges(spark, dir, 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    // q187: the distributed post-merge subword stats equal the reference
+    // final vocabulary's explode+aggregate
+    val refStats = refVocab
+      .flatMap { case (syms, c) => syms.map(t => (t, c, syms)) }
+      .groupBy(_._1)
+      .map { case (t, g) =>
+        (t, g.map(_._2).sum, g.map(_._3).distinct.size.toLong) }
+      .toSeq.sortBy { case (t, f, _) => (-f, t) }
+    val gotStats = TextAnalysis.bpeSubwordStats(spark, dir, 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotStats == refStats, s"got $gotStats\nexpected $refStats")
+  }
 }

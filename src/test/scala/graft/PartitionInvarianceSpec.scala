@@ -19,9 +19,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q132_heavy_hitters", "q145_order_statistics", "q147_priority_sample",
     "q167_hll_registers", "q170_prefix_jaccard", "q171_rendezvous_shard",
     "q178_equidepth_hist",
-    // round-7 curation trio: per-doc argmax tie-break (window), integer
-    // mixture targets over a broadcast Σweights scalar
-    "q182_repetition_filter", "q184_mixture_sample")
+    // round-7 curation wave: per-doc argmax tie-break (window), integer
+    // mixture targets over a broadcast Σweights scalar, iterative BPE
+    // argmax (driver-collected 1-row top with lexicographic tie-break)
+    "q182_repetition_filter", "q184_mixture_sample", "q186_bpe_merges")
 
   private def canon(name: String): Seq[Seq[String]] =
     Registry.byName(name).run(spark, sfTiny)
