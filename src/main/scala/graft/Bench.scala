@@ -60,7 +60,6 @@ object Bench {
       "\"" + k + "\":\"" + esc(m) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
     // Also persist the full artifact: the driver's BENCH_r* capture
     // truncates stdout at 2,000 chars, which loses the per-query map for
     // most of the suite — the file keeps cross-round per-query
@@ -72,6 +71,10 @@ object Bench {
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     if (results.exists(_._3.isDefined)) System.err.println(
       s"[bench] ${results.count(_._3.isDefined)} queries FAILED — totals are not comparable")
+    // Stop the session BEFORE printing, so the JSON is the FINAL stdout
+    // line of the run — the driver tail-parses stdout and anything Spark
+    // emits during shutdown after an early print could bury it.
     spark.stop()
+    println(line)
   }
 }

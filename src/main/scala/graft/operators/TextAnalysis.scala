@@ -2151,16 +2151,20 @@ object TextAnalysis {
       nBatches: Int): DataFrame = {
     require(nBatches >= 1)
     val stateDir = java.nio.file.Files.createTempDirectory("graft_idx_state").toString
-    val docs = Tables.documents(s, d)
-    (0 until nBatches).foreach { i =>
-      graft.streaming.StreamingJobs.applyIndexBatch(s,
-        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), "text",
-        i.toLong, maxPost, stateDir)
+    // try/finally: a failing batch/drain must not leak the temp state dir
+    val state = try {
+      val docs = Tables.documents(s, d)
+      (0 until nBatches).foreach { i =>
+        graft.streaming.StreamingJobs.applyIndexBatch(s,
+          docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), "text",
+          i.toLong, maxPost, stateDir)
+      }
+      graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+        .localCheckpoint(true)
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     }
-    val state = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
-      .localCheckpoint(true)
-    val sp = new org.apache.hadoop.fs.Path(stateDir)
-    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     renderIndex(state, maxPost)
   }
 
@@ -2182,8 +2186,11 @@ object TextAnalysis {
     * target_s = max(1, ⌊budget · w_s / Σw⌋) with w_s = ⌊√c_s⌋, then a
     * deterministic per-domain draw of target_s documents by md5
     * priority (the q147 reservoir: same priority, same picks, any run,
-    * any engine). Weights are INTEGER isqrt, not double sqrt, so Σw is
-    * exact integer arithmetic — a double Σ over domains would make the
+    * any engine). Weights are ⌊sqrt(c)⌋ — floor of the IEEE
+    * correctly-rounded double sqrt, which both engines share
+    * bit-for-bit (a true integer isqrt would only matter for counts
+    * approaching 2^52, far beyond any domain count) — so Σw is exact
+    * integer arithmetic: a double Σ over domains would make the
     * targets depend on summation order, which differs across engines
     * and partitionings (the q78 ulp lesson applied to planning, not
     * just scoring).
@@ -2240,21 +2247,26 @@ object TextAnalysis {
     require(nBatches >= 1)
     val sampleDir = java.nio.file.Files.createTempDirectory("graft_mix_sample").toString
     val countDir = java.nio.file.Files.createTempDirectory("graft_mix_count").toString
-    val docs = Tables.documents(s, d)
-    (0 until nBatches).foreach { i =>
-      val b = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
-      graft.streaming.StreamingJobs.applySampleBatch(s, b, i.toLong,
-        "source", "doc_id", budget, sampleDir)
-      graft.streaming.StreamingJobs.applyGroupCountBatch(s, b, "source",
-        i.toLong, countDir)
-    }
-    val sample = graft.streaming.StreamingJobs.latestAggState(s, sampleDir).get._2
-      .localCheckpoint(true)
-    val counts = graft.streaming.StreamingJobs.latestAggState(s, countDir).get._2
-      .localCheckpoint(true)
-    Seq(sampleDir, countDir).foreach { dir =>
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    // try/finally: a failing batch/drain must not leak the two temp
+    // state dirs
+    val (sample, counts) = try {
+      val docs = Tables.documents(s, d)
+      (0 until nBatches).foreach { i =>
+        val b = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
+        graft.streaming.StreamingJobs.applySampleBatch(s, b, i.toLong,
+          "source", "doc_id", budget, sampleDir)
+        graft.streaming.StreamingJobs.applyGroupCountBatch(s, b, "source",
+          i.toLong, countDir)
+      }
+      (graft.streaming.StreamingJobs.latestAggState(s, sampleDir).get._2
+          .localCheckpoint(true),
+        graft.streaming.StreamingJobs.latestAggState(s, countDir).get._2
+          .localCheckpoint(true))
+    } finally {
+      Seq(sampleDir, countDir).foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     }
     // ranking the ≤budget-per-group reservoir reproduces the global
     // ranks 1..budget exactly (bottom-k mergeability)
@@ -2496,6 +2508,11 @@ object TextAnalysis {
     val base = df
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .withColumn("n_chars", length(concat_ws(" ", col("tk"))))
+      // an empty/whitespace-only doc has n_chars = 0: Spark's IEEE /0
+      // yields NaN while DuckDB differs — exclude the degenerate docs in
+      // BOTH engines so the division is well-defined by construction
+      // (the q106/q186 empty-doc convention)
+      .filter(col("n_chars") > 0)
       .localCheckpoint(true) // three consumers: base, 2-gram, 5-gram legs
     def grams(n: Int): DataFrame =
       base.filter(size(col("tk")) >= n).select(col("doc_id"),
@@ -2539,7 +2556,8 @@ object TextAnalysis {
         FROM documents),
       base AS (
         SELECT doc_id, length(array_to_string(toks, ' ')) AS n_chars, toks
-        FROM tk),
+        FROM tk
+        WHERE length(array_to_string(toks, ' ')) > 0),
       g2 AS (
         SELECT doc_id,
           unnest(list_transform(range(1, len(toks)),
