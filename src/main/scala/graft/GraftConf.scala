@@ -21,11 +21,43 @@ object GraftConf {
   def embeddingDim(s: SparkSession): Int =
     s.conf.get("spark.graft.embedding.dim", "384").toInt
 
-  /** IVF coarse-quantizer cell count (reference `IVF100,Flat`, .env:7 —
-    * 100 cells at 90k rows; 12 matches the test corpus' natural cluster
-    * count, ~sqrt-N-scaled at real data sizes). */
-  def ivfCells(s: SparkSession): Int =
-    s.conf.get("spark.graft.ivf.cells", "12").toInt
+  /** IVF coarse-quantizer cell count. Default "auto": ⌊√rows⌉ of the
+    * corpus (floor 4), resolved from the cached TableStats relation at
+    * fit time — the faiss sizing rule, and the measured scale winner
+    * (SCALE.md ANN rehearsal: the old static default of 12 scans half
+    * the corpus whatever N — 2.4× vs the exact baseline at 10× — while
+    * √N cells hold per-probe work ~constant: 8.9× at recall 1.0000).
+    * A numeric value pins the count (reference `IVF100,Flat`, .env:7 —
+    * 100 cells at 90k rows ≈ the same √N rule, hand-applied). The
+    * RESOLVED count is part of the model-cache/artifact key
+    * (operators.Ann), so corpus growth re-fits the quantizer instead of
+    * silently reusing a stale one. */
+  def ivfCells(s: SparkSession, rows: Long): Int =
+    s.conf.get("spark.graft.ivf.cells", "auto") match {
+      case "auto" =>
+        // √N, floored so the average cell keeps >= minCellRows vectors:
+        // on weakly-clustered data recall needs a sane PROBED FRACTION,
+        // and uncapped √N collapses it exactly at small corpora (22
+        // cells at 500 rows measured 0.74 recall vs 0.94 at 12). The
+        // cap is ~N/minCellRows, so it only ever bites below
+        // N ≈ (nprobe-ish · minCellRows)² — at real corpus sizes the
+        // √N term governs alone (20k → 141, 10^9 → ~31.6k cells).
+        val sqrtN = math.round(math.sqrt(rows.toDouble))
+        val cap = math.max(1L, rows / ivfMinCellRows(s))
+        math.max(4L, math.min(sqrtN, cap)).toInt
+      case v => v.toInt
+    }
+
+  /** Average-cell-size floor for the auto IVF cell count (see
+    * [[ivfCells]]). 40 reproduces the tuned small-corpus cell counts
+    * (500 rows → 12 cells) that hold the 0.9 recall gates on the
+    * weakly-clustered test embeddings; lower it for strongly clustered
+    * corpora where constant-count probing already recalls well. */
+  def ivfMinCellRows(s: SparkSession): Int = {
+    val v = s.conf.get("spark.graft.ivf.minCellRows", "40").toInt
+    require(v >= 1, s"spark.graft.ivf.minCellRows must be >= 1, got $v")
+    v
+  }
 
   /** IVF probe width: how many nearest cells each query searches. */
   def ivfNprobe(s: SparkSession): Int =
@@ -260,6 +292,27 @@ object GraftConf {
   /** NSW search-time beam width (efSearch); recall/latency dial. */
   def nswEfSearch(s: SparkSession): Int =
     s.conf.get("spark.graft.nsw.efSearch", "48").toInt
+
+  /** NN-Descent refinement rounds for the ANN k-NN-graph builder
+    * (Graph.nnDescentEdges): each round is one 2-hop candidate join +
+    * exact re-score + bounded top-k, ≤ N·(2k)² candidate rows. 2 rounds
+    * lift the IVF seed's 0.74 edge recall past the 0.9 gate on the
+    * test corpus; more rounds buy recall at linear cost. */
+  def nnDescentRounds(s: SparkSession): Int = {
+    val v = s.conf.get("spark.graft.nndescent.rounds", "2").toInt
+    require(v >= 0, s"spark.graft.nndescent.rounds must be >= 0, got $v")
+    v
+  }
+
+  /** Internal NN-Descent list-width multiplier (the paper's K quality
+    * dial): the descent maintains width·k neighbors per node and
+    * truncates to k at the end. Candidate volume per round grows with
+    * (2·width·k)² — still linear in N. */
+  def nnDescentWidth(s: SparkSession): Int = {
+    val v = s.conf.get("spark.graft.nndescent.width", "3").toInt
+    require(v >= 1, s"spark.graft.nndescent.width must be >= 1, got $v")
+    v
+  }
 
   /** q131 classifier-filter keep threshold on P(high quality). 0.5 is
     * the calibrated default; raise it to trade corpus size for quality

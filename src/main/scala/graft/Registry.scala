@@ -33,7 +33,8 @@ object Registry {
       operators.Multimodal.queries ++
       operators.Events.queries ++
       sources.Sources.queries ++
-      plans.Scale.queries
+      plans.Scale.queries ++
+      plans.CurationPipeline.queries
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

@@ -113,12 +113,20 @@ object Ann {
   /** Full index handle including the quantizer model (for continuous
     * "add": streaming.StreamingJobs.runStreamingIndexAdd). */
   def ivfIndexFull(s: SparkSession, d: String): IvfIndex = {
-    val cells = GraftConf.ivfCells(s)
+    // resolve "auto" -> ⌊√rows⌉ from the cached footer stats (a
+    // metadata read, the same relation the pair/knn routers consult);
+    // the resolved count keys the cache AND the on-disk artifact, so a
+    // grown corpus re-fits instead of loading a stale quantizer
+    val rows = graft.plans.TableStats.embeddings(s, d).rows
+    val cells = GraftConf.ivfCells(s, rows)
     val maxIter = GraftConf.ivfMaxIter(s)
     val init = GraftConf.ivfInitMode(s)
     ivfCache.getOrElseUpdate(
-      (sessionKey(s), s"$d@cells=$cells,it=$maxIter,init=$init"),
-      fitIvfIndex(s, d, cells, maxIter, init))
+      (sessionKey(s), s"$d@cells=$cells,it=$maxIter,init=$init"), {
+        println(s"[graft] ivfIndex: rows=$rows, " +
+          s"conf=${s.conf.get("spark.graft.ivf.cells", "auto")} -> cells=$cells")
+        fitIvfIndex(s, d, cells, maxIter, init)
+      })
   }
 
   /** M3 "add" for an arbitrary (vec_id, embedding) frame: assign each
@@ -819,9 +827,70 @@ object Ann {
       SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(sim, 4) AS sim
       FROM ranked WHERE rank <= 2 ORDER BY qid, rank"""))
 
+  // ---------------------------------------------------------------------
+  // q191: SQ8 UNDER IVF — the composed compression tier (faiss
+  // `IVF…,SQ8` shape): probe nprobe cells, scan the probed cells in the
+  // COMPRESSED domain (one byte per dimension through the candidate
+  // join — the 4× memory/shuffle win SQ8 exists for), exact-refine the
+  // shortlist on full vectors.
+  // ---------------------------------------------------------------------
+
+  /** SQ8-under-IVF k-NN: same query/result shape as q30/q34/q177.
+    * Plan: per-dim (lo, hi) ranges are a 64-row driver artifact riding
+    * into codegen like the centroid matrix; the corpus side of the
+    * candidate join is (cell, nid, BINARY codes) — dim bytes per row
+    * instead of dim doubles — scored in one fused
+    * reconstruct-and-cosine kernel ([[graft.functions.Sq8CosineRecon]]);
+    * only the k·refine shortlist ever touches full-width vectors (the
+    * pqKnn discipline with a deterministic codebook). AnnSpec gates
+    * recall@2 ≥ 0.9 vs exact, code equality vs the oracle-checked q176
+    * relation, and score equality vs the q177 compose. */
+  def sq8IvfKnn(s: SparkSession, d: String, k: Int, nprobe: Int,
+      queryMod: Int): DataFrame = {
+    import graft.functions.Sq8Kernels._
+    val idx = ivfIndexFull(s, d)
+    val assigned = idx.assigned
+    val st = sq8DimStats(s, d).orderBy(col("dim")).collect()
+    val lo = st.map(_.getDouble(1)); val hi = st.map(_.getDouble(2))
+    val corpus = assigned.select(col("centroid_id"), col("vec_id").as("nid"),
+      sq8EncodeFast(col("vec"), lo, hi).as("codes"))
+    val cents = idx.model.clusterCenters.map(_.toArray)
+    val probed = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        explode(nearestCellsFast(col("vec"), cents, nprobe)).as("centroid_id"))
+    val refine = k * GraftConf.pqRefine(s)
+    val shortlist = probed
+      .join(corpus, Seq("centroid_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        sq8CosineFast(col("qvec"), col("codes"), lo, hi).as("asim"))
+      .withColumn("arank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("asim").desc, col("nid"))))
+      .filter(col("arank") <= refine)
+    shortlist
+      .join(assigned.select(col("vec_id").as("qid"), col("vec").as("qv")), Seq("qid"))
+      .join(assigned.select(col("vec_id").as("nid"), col("vec").as("nv")), Seq("nid"))
+      .select(col("qid"), col("nid"), cosineFast(col("qv"), col("nv")).as("sim"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q191: the composed SQ8-under-IVF tier (no SQL oracle: KMeans cell
+    * assignment; every deterministic piece is gated — see sq8IvfKnn). */
+  val q191Sq8IvfKnn = GraftQuery(
+    "q191_sq8_ivf_knn",
+    "M2-M4 composed compression tier: IVF probe + compressed-domain SQ8 scan + exact refine",
+    (s, d) => sq8IvfKnn(s, d, k = 2, nprobe = GraftConf.ivfNprobe(s), queryMod = 10),
+    None)
+
   def queries: Seq[GraftQuery] = Seq(
     q34IvfKnn, q35IvfRecall, q36LshNearDup, q37LshRecall, q56IvfNearDup,
     q57IvfPairRecall, q65PqQuantError, q66PqKnn, q67PqRecall,
     q149MultiProbeLsh, q150MultiProbeRecall, q156IvfKnnAgg,
-    q176Sq8Codes, q177Sq8Knn)
+    q176Sq8Codes, q177Sq8Knn, q191Sq8IvfKnn)
 }

@@ -893,10 +893,14 @@ object Dedup {
     * footnote) — text keys keep the DuckDB oracle byte-faithful here.
     * Output positions are 1-based token offsets. */
   def sharedSpans(s: SparkSession, d: String, n: Int, minLen: Int,
+      maxOcc: Int): DataFrame =
+    sharedSpansFrame(Tables.documents(s, d), n, minLen, maxOcc)
+
+  private[graft] def sharedSpansFrame(docs: DataFrame, n: Int, minLen: Int,
       maxOcc: Int): DataFrame = {
     require(n >= 2 && minLen >= n && maxOcc >= 2,
       s"need n >= 2, minLen >= n, maxOcc >= 2; got n=$n minLen=$minLen maxOcc=$maxOcc")
-    val ps = Tables.documents(s, d)
+    val ps = docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), posexplode(posShingleArray(col("t"), n)))
@@ -1477,6 +1481,64 @@ object Dedup {
         FROM alldocs)
       ORDER BY doc_id""")
     })
+
+  // ---------------------------------------------------------------------
+  // Frame-generic stage transforms for the composed curation pipeline
+  // (plans.CurationPipeline) — the same semantics as the registered
+  // (s, d)-form queries they mirror, over ANY document frame, so the
+  // pipeline can chain them stage-output-to-stage-input.
+  // ---------------------------------------------------------------------
+
+  /** Verified near-dup pairs (id1 < id2) of a document frame: MinHash
+    * band candidates → exact-Jaccard verify (the q59/q64 front half). */
+  private[graft] def verifiedPairsFrame(docs: DataFrame, threshold: Double): DataFrame = {
+    val banded = minhashBandedFrame(docs)
+    val a = banded.select(col("doc_id").as("id1"), col("b"), col("key"))
+    val b = banded.select(col("doc_id").as("id2"), col("b"), col("key"))
+    val cand = a.join(b, Seq("b", "key")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    verifyJaccardFrame(shingleKeysFrame(docs), cand, threshold)
+      .select(col("id1"), col("id2"))
+  }
+
+  /** q64's transitive clusters over a frame: verified pairs → connected
+    * components → singleton fill. (doc_id, cluster_id). */
+  private[graft] def dupClusterFrame(docs: DataFrame, threshold: Double): DataFrame = {
+    val comp = connectedComponents(verifiedPairsFrame(docs, threshold))
+      .withColumnRenamed("v", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** The ACTUAL substring excision q162 profiles (its doc-comment's
+    * "slice-and-rejoin", delivered): rewrite every document to its
+    * canonical token form (lowercased, single-spaced) with every
+    * keep-first repeated span removed — tokens at positions covered by
+    * any [start2, start2+len) interval of [[sharedSpansFrame]] are cut.
+    * Docs with no cuts pass through the same canonicalization, so the
+    * output text has ONE well-defined form in both engines; a doc whose
+    * every token is cut drops out entirely. */
+  private[graft] def exciseSpansFrame(docs: DataFrame, n: Int, minLen: Int,
+      maxOcc: Int): DataFrame = {
+    val cuts = sharedSpansFrame(docs, n, minLen, maxOcc)
+      .select(col("d2").as("doc_id"), col("start2").as("lo"),
+        (col("start2") + col("span_len") - 1).as("hi"))
+    val pos = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        posexplode(toks(col("text"))))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
+    val cutPos = cuts
+      .select(col("doc_id"), explode(sequence(col("lo"), col("hi"))).as("pos"))
+      .distinct()
+    pos.join(cutPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("o"))
+      .select(col("doc_id"),
+        expr("array_join(transform(o, p -> p.tok), ' ')").as("text"),
+        col("lang"), col("source"))
+  }
 
   def queries: Seq[GraftQuery] = Seq(
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{GraftQuery, Tables}
+import graft.{GraftConf, GraftQuery, Tables}
 import graft.functions.VectorKernels._
 
 /** Similarity-graph analytics over the embedding corpus — the
@@ -53,6 +53,99 @@ object Graph {
       .select(col("src"), col("e._2").as("dst"), col("e._1").as("sim"))
   }
 
+  /** Approximate k-NN edge relation from the IVF tier — the scale
+    * substrate the header prescribes, now a REGISTERED first-class
+    * builder instead of a doc-comment. Every node queries
+    * (queryMod = 1) through [[Ann.ivfKnnAgg]]: candidates are only the
+    * nprobe probed cells per node, so edge-build work is
+    * N·nprobe·(N/cells) ≈ nprobe·N^1.5 at the √N auto cell count —
+    * sub-quadratic (measured at 10× in SCALE.md) vs the exact builder's
+    * N², and the plan is the window-free bucket equi-join + bounded
+    * top-k heaps (no cartesian anywhere, so the quadratic-join tripwire
+    * passes with NO whitelist entry). Same (src, dst, sim) contract and
+    * tie discipline as [[knnEdges]]; out-degree can fall short of k only
+    * if a node's probed cells hold < k candidates (GraphSpec gates
+    * k-regularity at the test corpora). */
+  def annKnnEdges(s: SparkSession, d: String, k: Int): DataFrame =
+    nnDescentEdges(s, d, k, GraftConf.nnDescentRounds(s))
+
+  /** IVF seed for the ANN k-NN graph: every node's IVF-probed top-k,
+    * ids only (sims are recomputed exactly by the descent rounds). */
+  private def ivfSeedEdges(s: SparkSession, d: String, k: Int): DataFrame =
+    Ann.ivfKnnAgg(s, d, k, GraftConf.ivfNprobe(s), queryMod = 1)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+
+  /** Distributed NN-Descent k-NN-graph refinement [Dong, Charikar &
+    * Li, WWW 2011 — the standard algorithm behind large-scale k-NN
+    * graph construction]: seed each node's neighbor list from the IVF
+    * tier, then iterate "a neighbor of my neighbor is probably my
+    * neighbor" — per round, candidates are the 2-hop pairs over the
+    * UNDIRECTED current graph (fwd ∪ rev, both directions, the paper's
+    * reverse-neighbor trick), scored exactly and reduced to per-node
+    * top-k by the bounded [[graft.functions.TopKAggregator]] heaps.
+    *
+    * Why this is the 100 TB edge substrate: every step is an equi-join
+    * or hash aggregate on a relation of ≤ N·(2k)² candidate rows —
+    * LINEAR in N per round (vs the exact builder's N² and the pure
+    * IVF probe's nprobe·N²/cells), and it repairs exactly the miss
+    * mode cell pruning has on weakly-clustered corpora (a true
+    * neighbor in an unprobed cell is still reachable through a shared
+    * neighbor). Measured at the test corpus: IVF seed recall 0.74 at
+    * the auto √N cell count → ≥ 0.9 after the descent rounds
+    * (GraphSpec gate). Deterministic end-to-end: seed, exact cosine
+    * re-scores, and (sim DESC, nid ASC) heap ties are all
+    * partitioning-independent. */
+  def nnDescentEdges(s: SparkSession, d: String, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    // the descent runs at a WIDER internal list (K' = width·k, the
+    // paper's quality dial): 2-hop exploration reach grows with the
+    // list width, and the plateau of a k-width descent on weakly
+    // clustered data sits below the recall gate (measured: k-width
+    // plateaus at 0.82, the wide build clears 0.9). Final truncate
+    // back to k keeps the contract.
+    val kb = k * GraftConf.nnDescentWidth(s)
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(base.select(col("vec_id").as("src"), col("embedding").as("sv")), Seq("src"))
+      .join(base.select(col("vec_id").as("dst"), col("embedding").as("dv")), Seq("dst"))
+      .select(col("src"), col("dst"), cosineFast(col("sv"), col("dv")).as("sim"))
+    def topkOf(scored: DataFrame, kk: Int): DataFrame = {
+      val topk = udaf(new graft.functions.TopKAggregator(kk))
+      scored
+        .groupBy(col("src")).agg(topk(col("sim"), col("dst")).as("top"))
+        .select(col("src"), explode(col("top")).as("e"))
+        .select(col("src"), col("e._2").as("dst"), col("e._1").as("sim"))
+    }
+    var edges = topkOf(score(ivfSeedEdges(s, d, kb)), kb).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val fwd = edges.select(col("src"), col("dst"))
+      val und = fwd.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      // 2-hop candidates over the undirected graph; dropDuplicates so a
+      // pair reachable through several shared neighbors scores once and
+      // occupies one heap slot
+      val cand = und.join(und.select(col("src").as("mid"), col("dst").as("dst2")),
+          col("dst") === col("mid"))
+        .filter(col("src") =!= col("dst2"))
+        .select(col("src"), col("dst2").as("dst"))
+        .union(fwd)
+        .dropDuplicates("src", "dst")
+      edges = topkOf(score(cand), kb).localCheckpoint(true)
+    }
+    topkOf(edges, k)
+  }
+
+  /** Approximate threshold similarity graph from the IVF candidate tier
+    * (the q31/q56 pair feeder): cos ≥ t pairs restricted to vectors
+    * sharing a probed cell, symmetrized into the undirected-relation
+    * encoding [[kCorePeel]] consumes — the scale twin of
+    * [[similarityEdges]]. */
+  def annSimilarityEdges(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val pairs = Ann.ivfNearDup(s, d, threshold, GraftConf.ivfNprobe(s))
+      .select(col("id1"), col("id2"))
+    pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+  }
+
   /** Shared oracle CTE: the same k-NN edge set in DuckDB SQL. */
   private def edgesSql(k: Int): String =
     s"""base AS (
@@ -78,20 +171,24 @@ object Graph {
     * Plan: after the edge tier, this is ONE hash aggregate on dst and
     * one left join back to the node list — shuffle bounded by the edge
     * count N·k, never N². */
+  /** Degree-scoring tail shared by the exact (q163) and ANN (q188)
+    * forms: one hash aggregate on dst + one left join back to the node
+    * list — tier-agnostic like the other analytics. */
+  private def degreeScores(s: SparkSession, d: String, edges: DataFrame): DataFrame = {
+    val inDeg = edges.groupBy(col("dst"))
+      .agg(count(lit(1)).as("in_degree"), round(avg(col("sim")), 4).as("avg_in_sim"))
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(inDeg, col("vec_id") === col("dst"), "left")
+      .select(col("vec_id"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        col("avg_in_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   val q163KnnGraphDegree = GraftQuery(
     "q163_knn_graph_degree",
     "LLM-pipeline data pruning: k-NN-graph in-degree density scores; J1a,A1,T1",
-    (s, d) => {
-      val edges = knnEdges(s, d, k = 5)
-      val inDeg = edges.groupBy(col("dst"))
-        .agg(count(lit(1)).as("in_degree"), round(avg(col("sim")), 4).as("avg_in_sim"))
-      Tables.embeddings(s, d).select(col("vec_id"))
-        .join(inDeg, col("vec_id") === col("dst"), "left")
-        .select(col("vec_id"),
-          coalesce(col("in_degree"), lit(0L)).as("in_degree"),
-          col("avg_in_sim"))
-        .orderBy(col("vec_id"))
-    },
+    (s, d) => degreeScores(s, d, knnEdges(s, d, k = 5)),
     Some(s"""WITH ${edgesSql(5)},
       indeg AS (
         SELECT dst, count(*) AS in_degree, round(avg(sim), 4) AS avg_in_sim
@@ -129,64 +226,92 @@ object Graph {
     ranks
   }
 
+  /** Fixed-point integer PageRank: the [[pageRank]] recurrence in EXACT
+    * integer arithmetic (the q166 integer-path-count discipline applied
+    * to centrality). With damping 17/20 and uniform out-degree k, write
+    * r_i = R_i / (n·(20k)^i): then R_0 = 1 and
+    *
+    *   R_{i+1} = 3k·(20k)^i + 17·Σ_in R_i
+    *
+    * — every term integer, no floor anywhere (the common denominator
+    * absorbs both the (1−d)/n teleport and the d/k edge split), so the
+    * i-th state is the exact RATIONAL PageRank with denominator
+    * n·(20k)^i. No float summation ever feeds the result, so the hash
+    * is stable under any engine, partitioning, or summation order — the
+    * q78/q164-double lesson closed for good. Mass invariant:
+    * Σ R_i = n·(20k)^i exactly (spec-gated). Capacity: BIGINT holds
+    * n ≤ 2^63/(20k)^iters nodes (~9·10^8 at k=5, iters=5); beyond that
+    * widen the state to DECIMAL(38,0) — same recurrence, ~10^28 nodes. */
+  def pageRankScaled(nodes: DataFrame, edges: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var ranks = nodes.select(col("vec_id"), lit(1L).as("r"))
+    var pow = 1L // (20k)^i at entry of iteration i+1
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, col("src") === col("vec_id"))
+        .groupBy(col("dst")).agg(sum(col("r")).as("in_r"))
+      ranks = nodes.select(col("vec_id"))
+        .join(contrib, col("vec_id") === col("dst"), "left")
+        .select(col("vec_id"),
+          (lit(3L * k * pow) + lit(17L) * coalesce(col("in_r"), lit(0L))).as("r"))
+      pow = pow * (20L * k)
+    }
+    ranks
+  }
+
+  /** Shared oracle chain for the fixed-point PageRank: unrolled
+    * per-iteration CTEs generated from one template (the bpeOracleChain
+    * convention — Spark loop and SQL chain cannot drift). DuckDB's
+    * sum(BIGINT) widens to HUGEINT; the CAST back to BIGINT matches
+    * Spark's long state. */
+  private def pageRankScaledSql(k: Int, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      // integer (20k)^(i-1), not a double pow — the state is exact, the
+      // literal that seeds it must be too
+      val teleport = 3L * k * Seq.fill(i - 1)(20L * k).product
+      s"""r$i AS (SELECT e.vec_id,
+               CAST($teleport + 17 * coalesce(sum(p.r), 0) AS BIGINT) AS r
+             FROM embeddings e
+             LEFT JOIN edges ed ON ed.dst = e.vec_id
+             LEFT JOIN r${i - 1} p ON p.vec_id = ed.src
+             GROUP BY e.vec_id)"""
+    }.mkString(",\n      ")
+    s"""n AS (SELECT count(*) AS n FROM embeddings),
+      r0 AS (SELECT vec_id, CAST(1 AS BIGINT) AS r FROM embeddings),
+      $steps"""
+  }
+
   /** q164: PageRank over the exact k-NN graph — representative-ranking
     * for data curation (the graph-global complement of q163's local
     * in-degree: a node pointed at by other WELL-POINTED-AT nodes ranks
     * higher; the within-corpus analogue of host-level PageRank in
-    * Common Crawl pipelines). 5 unrolled power iterations at d=0.85,
-    * replayed move-for-move by the DuckDB oracle; out-degree is
-    * exactly k for every node, so no dangling-mass correction is
-    * needed and total mass stays 1 (spec-gated). */
+    * Common Crawl pipelines). 5 unrolled power iterations at d = 17/20,
+    * computed in the EXACT integer fixed point ([[pageRankScaled]]) and
+    * replayed move-for-move by the DuckDB oracle: `rank_scaled` is the
+    * integer state itself (hash-exact by construction), `rank` the
+    * normalized probability — ONE double division of two exact integers
+    * per node (both < 2^53, so both engines produce the identical
+    * double; the q141/q172 rational-arithmetic convention). Ordering is
+    * on the integer column, so even rank ties are deterministic. */
   val q164KnnGraphPagerank = GraftQuery(
     "q164_knn_graph_pagerank",
-    "LLM-pipeline data curation: PageRank centrality over the k-NN graph; iterative joins",
+    "LLM-pipeline data curation: integer-exact PageRank centrality over the k-NN graph; iterative joins",
     (s, d) => {
       val nodes = Tables.embeddings(s, d).select(col("vec_id"))
-      val pr = pageRank(nodes, knnEdges(s, d, k = 5), k = 5, iters = 5, damping = 0.85)
-      pr.select(col("vec_id"), round(col("r"), 8).as("rank"))
-        .orderBy(col("rank").desc, col("vec_id"))
+      val pr = pageRankScaled(nodes, knnEdges(s, d, k = 5), k = 5, iters = 5)
+      val n = nodes.count()
+      // denominator n·(20k)^iters = n·10^10: exact below 2^53 for any
+      // corpus this BIGINT state admits
+      val denom = n.toDouble * 1e10
+      pr.select(col("vec_id"), col("r").as("rank_scaled"),
+        round(col("r").cast("double") / lit(denom), 8).as("rank"))
+        .orderBy(col("rank_scaled").desc, col("vec_id"))
     },
     Some(s"""WITH ${edgesSql(5)},
-      n AS (SELECT count(*) AS n FROM embeddings),
-      r0 AS (SELECT vec_id, CAST(1 AS DOUBLE) / (SELECT n FROM n) AS r
-             FROM embeddings),
-      r1 AS (SELECT e.vec_id,
-               (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
-                 + CAST(0.85 AS DOUBLE) * coalesce(sum(p.r / 5), 0) AS r
-             FROM embeddings e
-             LEFT JOIN edges ed ON ed.dst = e.vec_id
-             LEFT JOIN r0 p ON p.vec_id = ed.src
-             GROUP BY e.vec_id),
-      r2 AS (SELECT e.vec_id,
-               (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
-                 + CAST(0.85 AS DOUBLE) * coalesce(sum(p.r / 5), 0) AS r
-             FROM embeddings e
-             LEFT JOIN edges ed ON ed.dst = e.vec_id
-             LEFT JOIN r1 p ON p.vec_id = ed.src
-             GROUP BY e.vec_id),
-      r3 AS (SELECT e.vec_id,
-               (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
-                 + CAST(0.85 AS DOUBLE) * coalesce(sum(p.r / 5), 0) AS r
-             FROM embeddings e
-             LEFT JOIN edges ed ON ed.dst = e.vec_id
-             LEFT JOIN r2 p ON p.vec_id = ed.src
-             GROUP BY e.vec_id),
-      r4 AS (SELECT e.vec_id,
-               (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
-                 + CAST(0.85 AS DOUBLE) * coalesce(sum(p.r / 5), 0) AS r
-             FROM embeddings e
-             LEFT JOIN edges ed ON ed.dst = e.vec_id
-             LEFT JOIN r3 p ON p.vec_id = ed.src
-             GROUP BY e.vec_id),
-      r5 AS (SELECT e.vec_id,
-               (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
-                 + CAST(0.85 AS DOUBLE) * coalesce(sum(p.r / 5), 0) AS r
-             FROM embeddings e
-             LEFT JOIN edges ed ON ed.dst = e.vec_id
-             LEFT JOIN r4 p ON p.vec_id = ed.src
-             GROUP BY e.vec_id)
-      SELECT vec_id, round(r, 8) AS rank FROM r5
-      ORDER BY rank DESC, vec_id"""))
+      ${pageRankScaledSql(5, 5)}
+      SELECT vec_id, r AS rank_scaled,
+        round(r / ((SELECT n FROM n) * 10000000000.0), 8) AS rank
+      FROM r5 ORDER BY rank_scaled DESC, vec_id"""))
 
   /** Semi-supervised label propagation over an (src, dst) k-regular
     * edge relation [Zhu & Ghahramani 2002, label spreading]: seeds keep
@@ -359,7 +484,45 @@ object Graph {
       SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS core_deg
       FROM u3 GROUP BY src ORDER BY vec_id"""))
 
+  /** q188: q163's in-degree density scores over the ANN (IVF-tier)
+    * edge relation — the form that actually runs at 100 TB, where the
+    * exact N² edge build is inadmissible. No SQL oracle (KMeans cells);
+    * GraphSpec gates edge recall vs the exact builder and per-node
+    * degree agreement, and the tripwire proves the plan cartesian-free
+    * WITHOUT a whitelist entry — the property q163 could not have. */
+  val q188AnnGraphDegree = GraftQuery(
+    "q188_ann_graph_degree",
+    "LLM-pipeline data pruning at scale: in-degree density over IVF-tier ANN edges (no SQL oracle: KMeans)",
+    (s, d) => degreeScores(s, d, annKnnEdges(s, d, k = 5)),
+    None)
+
+  /** q189: q164's integer fixed-point PageRank over the ANN edge
+    * relation — same exact arithmetic (the state is integer whatever
+    * the edge tier), approximate only in WHICH edges exist. GraphSpec
+    * gates rank agreement (top-decile overlap) vs the exact-edge
+    * baseline. */
+  val q189AnnGraphPagerank = GraftQuery(
+    "q189_ann_graph_pagerank",
+    "LLM-pipeline curation at scale: integer-exact PageRank over IVF-tier ANN edges (no SQL oracle: KMeans)",
+    (s, d) => {
+      val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+      val pr = pageRankScaled(nodes, annKnnEdges(s, d, k = 5), k = 5, iters = 5)
+      pr.select(col("vec_id"), col("r").as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("vec_id"))
+    },
+    None)
+
+  /** q190: q169's k-core peel over the ANN (IVF candidate) threshold
+    * graph — candidate volume is Σ|cell|² at the √N cell count, never
+    * N². GraphSpec gates survivor-set agreement vs the exact-edge
+    * peel. */
+  val q190AnnKCore = GraftQuery(
+    "q190_ann_kcore",
+    "LLM-pipeline curation at scale: k-core peel over the IVF-tier similarity graph (no SQL oracle: KMeans)",
+    (s, d) => kCorePeel(annSimilarityEdges(s, d, threshold = 0.3), c = 4, rounds = 3),
+    None)
+
   def queries: Seq[GraftQuery] =
     Seq(q163KnnGraphDegree, q164KnnGraphPagerank, q166LabelPropagation,
-      q169KCore)
+      q169KCore, q188AnnGraphDegree, q189AnnGraphPagerank, q190AnnKCore)
 }

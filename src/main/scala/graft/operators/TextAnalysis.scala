@@ -810,40 +810,48 @@ object TextAnalysis {
     * crawls differ, you keep the richest copy, not the first-seen one.
     * One declarative plan: scan -> per-row exprs -> one window -> output;
     * shuffle volume is one row per doc, never the token explosion. */
+  /** The q46 composite as a frame transform (shared with the composed
+    * curation pipeline, plans.CurationPipeline stage 1): per-doc
+    * metrics → hard gates → content-fp dedup keeping the richest copy.
+    * Returns the surviving metric rows; callers project/join as
+    * needed. */
+  private[graft] def corpusGateDeduped(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val metrics = docs
+      .select(col("doc_id"), col("lang"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .cast("binary")).as("fp"),
+        dupLineRatio(col("text")).as("dup_line_ratio"),
+        toks(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"), col("fp"),
+        size(col("t")).as("n_tok"),
+        size(filter(col("t"), t => t.isInCollection(stopwords))).as("n_stop"),
+        col("dup_line_ratio"),
+        top2gramFrac(col("t")).as("top_2gram_frac"))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tok"), 4))
+    // hard gates: token range, stopword ratio, and the Gopher
+    // repetition signals (dup-line <= 0.3, top-2-gram <= 0.2 — a
+    // document that is mostly one repeated bigram is spam, not data)
+    val gated = metrics
+      .filter(col("n_tok") >= 20 && col("n_tok") <= 2000 &&
+        col("stop_ratio") <= 0.5 &&
+        col("dup_line_ratio") <= 0.3 && col("top_2gram_frac") <= 0.2)
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+    gated
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
   val q46CorpusFilter = GraftQuery(
     "q46_corpus_filter",
     "F5,F6,F8,D1-variant,P4,A9; §LLM corpus filter composite + Gopher repetition gate",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val metrics = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-            .cast("binary")).as("fp"),
-          dupLineRatio(col("text")).as("dup_line_ratio"),
-          toks(col("text")).as("t"))
-        .select(col("doc_id"), col("lang"), col("fp"),
-          size(col("t")).as("n_tok"),
-          size(filter(col("t"), t => t.isInCollection(stopwords))).as("n_stop"),
-          col("dup_line_ratio"),
-          top2gramFrac(col("t")).as("top_2gram_frac"))
-        .withColumn("stop_ratio",
-          round(col("n_stop").cast("double") / col("n_tok"), 4))
-      // hard gates: token range, stopword ratio, and the Gopher
-      // repetition signals (dup-line <= 0.3, top-2-gram <= 0.2 — a
-      // document that is mostly one repeated bigram is spam, not data)
-      val gated = metrics
-        .filter(col("n_tok") >= 20 && col("n_tok") <= 2000 &&
-          col("stop_ratio") <= 0.5 &&
-          col("dup_line_ratio") <= 0.3 && col("top_2gram_frac") <= 0.2)
-      val w = Window.partitionBy(col("fp"))
-        .orderBy(col("n_tok").desc, col("doc_id"))
-      gated
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+    (s, d) =>
+      corpusGateDeduped(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("n_tok"), col("stop_ratio"),
           col("top_2gram_frac"), col("fp"))
-        .orderBy(col("doc_id"))
-    },
+        .orderBy(col("doc_id")),
     Some("""WITH tk AS (
         SELECT doc_id, lang, text,
           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
@@ -918,26 +926,30 @@ object TextAnalysis {
     * md5 (not Spark's murmur3 hash()) keeps the shard assignment
     * oracle-replayable. Emits per-sequence doc counts and fill levels —
     * the packing-efficiency profile. */
+  /** q48's packing as a frame transform (shared with
+    * plans.CurationPipeline's final stage). */
+  private[graft] def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shards = graft.GraftConf.packShards(docs.sparkSession)
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tok"),
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % shards).as("shard"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", floor((col("cum") - col("n_tok")) / budget))
+      .groupBy(col("source"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("shard"), col("seq_id"))
+  }
+
   val q48SequencePacking = GraftQuery(
     "q48_sequence_packing",
     "LLM-pipeline: token-budget sequence packing; sharded window cumsum",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val shards = graft.GraftConf.packShards(s)
-      val w = Window.partitionBy(col("source"), col("shard"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          size(toks(col("text"))).cast("long").as("n_tok"),
-          (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
-            16, 10).cast("long") % shards).as("shard"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .withColumn("seq_id", floor((col("cum") - col("n_tok")) / 512L))
-        .groupBy(col("source"), col("shard"), col("seq_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-        .orderBy(col("source"), col("shard"), col("seq_id"))
-    },
+    (s, d) => packSequences(Tables.documents(s, d), budget = 512L),
     Some("""WITH t AS (
         SELECT doc_id, source,
           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
@@ -1712,16 +1724,20 @@ object TextAnalysis {
     require(nBatches >= 1)
     val depth = 4; val width = 1024
     val stateDir = java.nio.file.Files.createTempDirectory("graft_cms_state").toString
-    val docs = Tables.documents(s, d)
-    (0 until nBatches).foreach { i =>
-      graft.streaming.StreamingJobs.applyCmsBatch(s,
-        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), "text",
-        i.toLong, depth, width, stateDir)
+    // try/finally: a failing batch/drain must not leak the temp state dir
+    val sketch = try {
+      val docs = Tables.documents(s, d)
+      (0 until nBatches).foreach { i =>
+        graft.streaming.StreamingJobs.applyCmsBatch(s,
+          docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), "text",
+          i.toLong, depth, width, stateDir)
+      }
+      graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+        .localCheckpoint(true)
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     }
-    val sketch = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
-      .localCheckpoint(true)
-    val sp = new org.apache.hadoop.fs.Path(stateDir)
-    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     cmsProbe(s, d, sketch, depth, width)
   }
 
@@ -2339,39 +2355,50 @@ object TextAnalysis {
     * both engines' `replace` share the left-to-right non-overlap
     * contract. The DuckDB oracle unrolls the k steps programmatically
     * from the same step template. */
-  private def bpeTrain(s: SparkSession, d: String, k: Int)
+  /** Character-split vocabulary relation (word, cnt, sym) of a document
+    * frame — BPE's training state. */
+  private def bpeVocab(docs: DataFrame): DataFrame = docs
+    .select(explode(toks(col("text"))).as("word"))
+    // an empty token (whitespace-only doc) would hit Spark's
+    // DESCENDING sequence(1, 0) and diverge from DuckDB's empty
+    // range(1, 1) — exclude it in both engines
+    .filter(col("word") =!= "")
+    .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    .select(col("word"), col("cnt"),
+      concat(lit(" "),
+        concat_ws("  ",
+          concat(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            array(lit("</w>")))),
+        lit(" ")).as("sym"))
+    .localCheckpoint(true)
+
+  /** Pair counts of the current vocab state, ordered (freq DESC, a, b)
+    * — the ordering BOTH the driver selection and the oracle share. */
+  private def bpePairCounts(vocab: DataFrame): DataFrame = vocab
+    .select(col("cnt"), split(trim(col("sym")), "  ").as("s"))
+    // a fully-merged word (one symbol left) has no pairs; without
+    // this guard Spark's sequence(1, 0) descends into
+    // element_at(s, 0), an ANSI error — DuckDB's range(1, 1) is
+    // just empty
+    .filter(size(col("s")) >= 2)
+    .select(col("cnt"), explode(expr(
+      "transform(sequence(1, size(s)-1), i -> struct(element_at(s, i) AS a, element_at(s, i+1) AS b))"))
+      .as("p"))
+    .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    .agg(sum(col("cnt")).as("freq"))
+    .orderBy(col("freq").desc, col("a"), col("b"))
+
+  /** The sequential reference trainer: ONE merge per driver round —
+    * kept as the specification the batched trainer must equal
+    * (CurationSpec proves equality on adversarial adjacent/overlapping
+    * shapes; the unrolled DuckDB oracle replays THIS definition). */
+  private[graft] def bpeTrainSequential(docs: DataFrame, k: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    require(k >= 1 && k <= 32)
-    var vocab = Tables.documents(s, d)
-      .select(explode(toks(col("text"))).as("word"))
-      // an empty token (whitespace-only doc) would hit Spark's
-      // DESCENDING sequence(1, 0) and diverge from DuckDB's empty
-      // range(1, 1) — exclude it in both engines
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .select(col("word"), col("cnt"),
-        concat(lit(" "),
-          concat_ws("  ",
-            concat(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-              array(lit("</w>")))),
-          lit(" ")).as("sym"))
-      .localCheckpoint(true)
+    require(k >= 1)
+    var vocab = bpeVocab(docs)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     (1 to k).foreach { step =>
-      val top = vocab
-        .select(col("cnt"), split(trim(col("sym")), "  ").as("s"))
-        // a fully-merged word (one symbol left) has no pairs; without
-        // this guard Spark's sequence(1, 0) descends into
-        // element_at(s, 0), an ANSI error — DuckDB's range(1, 1) is
-        // just empty
-        .filter(size(col("s")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(s)-1), i -> struct(element_at(s, i) AS a, element_at(s, i+1) AS b))"))
-          .as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("freq"))
-        .orderBy(col("freq").desc, col("a"), col("b"))
-        .limit(1).collect()
+      val top = bpePairCounts(vocab).limit(1).collect()
       require(top.nonEmpty, s"BPE step $step: no pairs left (k too large for corpus)")
       val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((step, a, b, f))
@@ -2381,6 +2408,81 @@ object TextAnalysis {
     }
     (merges.result(), vocab)
   }
+
+  /** BATCHED trainer: many merges per driver round, PROVABLY equal to
+    * [[bpeTrainSequential]] (the standard pair-cache/batching trick,
+    * done conservatively enough to be exact). Per round, collect the
+    * top-M pair window (freq DESC, a, b — the argmax order), then
+    * accept a PREFIX of it, stopping before any pair that could be
+    * reordered by the merges already accepted this round:
+    *
+    *   1. symbol-sharing stop — a pair sharing ANY symbol with an
+    *      accepted merge may have its count changed by it (right-shares-
+    *      left and left-shares-right occurrences are literally consumed;
+    *      the other sharings are stopped conservatively);
+    *   2. new-pair bound stop — a merge (a,b) can only CREATE pairs
+    *      (x, ab) / (ab, y) with count ≤ count(x,a) / count(b,y), so
+    *      `bound` tracks the max count of any window pair adjacent to an
+    *      accepted merge, and the max possible count of any pair OUTSIDE
+    *      the window (the M-th count, `cutoff`); acceptance stops when
+    *      the next pair's count ≤ bound — a created pair could outrank
+    *      it.
+    *
+    * By induction the accepted prefix is exactly the sequence the
+    * one-merge-per-round loop would emit: every accepted pair's count is
+    * unchanged by the earlier accepted merges (disjoint), every
+    * not-yet-merged pair ranks at or below its original position
+    * (counts only decrease), and every created pair ranks strictly
+    * below the acceptance point (bound). Head pair counts are Zipfian,
+    * so rounds typically commit several merges — k merges in far fewer
+    * than k driver rounds (the SCALE.md k-driver-rounds cliff, fixed). */
+  private[graft] def bpeTrainBatched(docs: DataFrame, k: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(k >= 1 && k <= 256, s"merge budget k=$k outside [1, 256]")
+    val lookahead = 512
+    var vocab = bpeVocab(docs)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 0
+    while (step < k) {
+      val window = bpePairCounts(vocab).limit(lookahead).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(window.nonEmpty, s"BPE step ${step + 1}: no pairs left (k too large for corpus)")
+      val cutoff = if (window.length == lookahead) window.last._3 else 0L
+      val used = scala.collection.mutable.Set.empty[String]
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var bound = cutoff
+      var stop = false
+      var i = 0
+      while (!stop && i < window.length && accepted.size < k - step) {
+        val (a, b, f) = window(i)
+        if (accepted.nonEmpty && (f <= bound || used(a) || used(b))) stop = true
+        else {
+          accepted += ((a, b, f))
+          used += a; used += b
+          val share = window.iterator
+            .filter { case (qa, qb, _) => (qb == a || qa == b) && !(qa == a && qb == b) }
+            .map(_._3).foldLeft(0L)(math.max)
+          bound = math.max(bound, share)
+          i += 1
+        }
+      }
+      // apply the whole batch as ONE chained projection — replace
+      // composes left-to-right exactly like the sequential loop's
+      // one-per-round rewrites
+      val sym = accepted.foldLeft(col("sym")) { case (c, (a, b, _)) =>
+        replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+      }
+      vocab = vocab.withColumn("sym", sym).localCheckpoint(true)
+      accepted.foreach { case (a, b, f) =>
+        step += 1; merges += ((step, a, b, f))
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  private def bpeTrain(s: SparkSession, d: String, k: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeTrainBatched(Tables.documents(s, d), k)
 
   def bpeMerges(s: SparkSession, d: String, k: Int): DataFrame = {
     val (m, _) = bpeTrain(s, d, k)
@@ -2421,12 +2523,16 @@ object TextAnalysis {
           FROM (SELECT cnt, string_split(trim(sym), '  ') AS s FROM w${i - 1})) u
         GROUP BY 1, 2),
       t$i AS (SELECT a, b, freq FROM p$i ORDER BY freq DESC, a, b LIMIT 1),
-      w$i AS (
+      w$i AS MATERIALIZED (
         SELECT word, cnt,
           replace(sym, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS sym
         FROM w${i - 1} CROSS JOIN t$i)"""
     }.mkString(",\n      ")
-    s"""WITH w0 AS (
+    // MATERIALIZED: DuckDB's default CTE inlining re-expands the deep
+    // w-chain (the k=64 unroll ran out of file descriptors re-opening
+    // the corpus); materializing each vocab state evaluates every step
+    // exactly once — which is also what the Spark loop does.
+    s"""WITH w0 AS MATERIALIZED (
         SELECT word, CAST(count(*) AS BIGINT) AS cnt,
           ' ' || array_to_string(
             list_append(list_transform(range(1, length(word) + 1),
@@ -2468,6 +2574,19 @@ object TextAnalysis {
     "LLM-pipeline tokenizer training: post-merge subword vocabulary coverage (k=6)",
     (s, d) => bpeSubwordStats(s, d, k = 6),
     Some(bpeStatsOracle(6)))
+
+  /** q192: BPE at production merge depth — k=64 through the BATCHED
+    * trainer, oracle-checked against the 64-step SEQUENTIAL unroll (the
+    * hash match IS the proof that the batch rule commits exactly the
+    * sequential merge sequence on the real corpus; CurationSpec proves
+    * it on adversarial adjacent/overlapping shapes). The driver-rounds
+    * cliff documented in SCALE.md is closed by batching, not by a cheaper
+    * round. */
+  val q192BpeMergesK64 = GraftQuery(
+    "q192_bpe_merges_k64",
+    "LLM-pipeline tokenizer training at depth: batched BPE, k=64 merges in few driver rounds",
+    (s, d) => bpeMerges(s, d, k = 64),
+    Some(bpeMergesOracle(64)))
 
   // ---------------------------------------------------------------------
   // q182: repetition-based quality filter (the Gopher rules)
@@ -2606,5 +2725,6 @@ object TextAnalysis {
     q135InvertedIndex, q136BooleanRetrieval,
     q139GroupOutliers, q140Cooccurrence, q141Bm25, q142Triangles,
     q147PrioritySample, q148RetrievalEval, q182RepetitionFilter,
-    q184MixtureSample, q185StreamedMixture, q186BpeMerges, q187BpeSubwords)
+    q184MixtureSample, q185StreamedMixture, q186BpeMerges, q187BpeSubwords,
+    q192BpeMergesK64)
 }

@@ -496,26 +496,53 @@ object StreamingJobs {
     * versioned contract). The CMS is ADDITIVE — summing cell counts of
     * two corpora is the sketch of their union — so the merge is one
     * ≤ depth×width-row union+sum; state stays ≤ depth×width rows
-    * forever. The streamed sketch is bit-identical to the one-shot
-    * batch sketch (q154 carries q151's full oracle to prove it).
+    * (+ one marker row per folded batch) forever. The streamed sketch
+    * is bit-identical to the one-shot batch sketch (q154 carries q151's
+    * full oracle to prove it).
     *
-    * PRECONDITION: batches must partition the corpus by document. The
-    * batchId guard makes exact replays no-ops, but a document
-    * re-delivered under a NEW batchId (at-least-once upstream) inflates
-    * cell counts, and that inflation is unrecoverable from the sketch —
-    * additivity is the whole design. Dedup upstream when the source is
-    * at-least-once (e.g. the applySampleBatch set-union pattern over
-    * doc_ids before sketching). */
+    * Redelivery contract: the batchId guard makes exact replays no-ops,
+    * and each committed state additionally carries a PAYLOAD
+    * fingerprint row per folded batch — (j = −1, cell = bit_xor of the
+    * rows' xxhash64(idCol), cnt = row count), an order- and
+    * partitioning-independent id-set signature committed ATOMICALLY
+    * with the cells it covers (same parquet + _SUCCESS). A batch whose
+    * payload fingerprint is already in the state — the at-least-once
+    * "same data, NEW batchId" redelivery the plain version guard cannot
+    * see — is a no-op (StreamingSpec gates it). Consumers join on
+    * j ∈ [0, depth), so marker rows are invisible to every probe.
+    *
+    * Remaining PRECONDITION: a batch that re-delivers a strict SUBSET
+    * of a committed batch's documents is indistinguishable from new
+    * data and still inflates cells — additivity is the design. Dedup
+    * upstream when the source re-slices batches (the applySampleBatch
+    * set-union pattern over doc_ids). */
   def applyCmsBatch(spark: SparkSession, batch: DataFrame, textCol: String,
-      batchId: Long, depth: Int, width: Int, stateDir: String): Boolean =
+      batchId: Long, depth: Int, width: Int, stateDir: String,
+      idCol: String = "doc_id"): Boolean = {
+    val fp = batch.agg(
+      coalesce(expr(s"bit_xor(xxhash64(`$idCol`))"), lit(0L)).as("x"),
+      count(lit(1)).as("n")).head()
+    val (x, nrows) = (fp.getLong(0), fp.getLong(1))
+    val alreadyFolded = latestAggState(spark, stateDir).exists { case (_, p) =>
+      p.filter(col("j") === -1 && col("cell") === x && col("cnt") === nrows)
+        .limit(1).count() > 0
+    }
+    if (alreadyFolded) return false
     withStateVersion(spark, stateDir, batchId) { prev =>
       val delta = graft.operators.TextAnalysis.cmsCells(batch, textCol, depth, width)
+      val marker = spark.range(1).select(
+        lit(-1).as("j"), lit(x).as("cell"), lit(nrows).as("cnt"))
       prev match {
-        case Some(p) => p.unionByName(delta)
+        case Some(p) => p.filter(col("j") >= 0).unionByName(delta)
           .groupBy(col("j"), col("cell")).agg(sum(col("cnt")).as("cnt"))
-        case None => delta
+          // markers ride along OUTSIDE the sum (distinct payloads may
+          // collide on (j, cell) but must stay distinct rows)
+          .unionByName(p.filter(col("j") === -1))
+          .unionByName(marker)
+        case None => delta.unionByName(marker)
       }
     }
+  }
 
   /** Merge one micro-batch of documents into a persistent HLL register
     * relation, exactly once per batchId (the [[applyAggBatch]] versioned

@@ -198,4 +198,21 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(gotStats == refStats, s"got $gotStats\nexpected $refStats")
   }
+
+  test("batched BPE == sequential BPE at depth (k=20) on the adversarial shapes") {
+    // same corpus as above: 'abab' (adjacent occurrences), 'aaa'
+    // (overlapping counts) are exactly the shapes where a careless
+    // batch rule diverges from one-merge-at-a-time; 24 merges walk the
+    // vocabulary deep into the multi-round regime (21 merges exhaust it)
+    val corpus = Seq(
+      (1L, "low low low lower lower", "s"),
+      (2L, "newest newest newest widest widest abab abab abab", "s"),
+      (3L, "abab aaa aaa low newest", "s"))
+    val docs = Tables.documents(spark, docsDir(corpus))
+    val (batched, _) = TextAnalysis.bpeTrainBatched(docs, 20)
+    val (sequential, _) = TextAnalysis.bpeTrainSequential(docs, 20)
+    assert(batched == sequential,
+      s"batch rule diverged from the sequential reference:\n" +
+        s" batched    $batched\n sequential $sequential")
+  }
 }

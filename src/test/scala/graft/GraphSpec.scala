@@ -29,6 +29,23 @@ class GraphSpec extends SparkSpec {
     assert(pr.filter(col("r") < floor - 1e-12).count() === 0)
   }
 
+  test("fixed-point PageRank: exact integer mass n·(20k)^iters; matches the double iteration") {
+    val scaled = Graph.pageRankScaled(nodes, edges, k = 5, iters = 5)
+    // mass invariant holds EXACTLY — no float drift to tolerate
+    val mass = scaled.agg(sum(col("r"))).head.getLong(0)
+    val denom = n * 100L * 100L * 100L * 100L * 100L
+    assert(mass === denom, s"integer mass $mass != n*(20k)^5 $denom")
+    // normalized, the integer state is the same distribution the double
+    // power iteration computes, up to float summation error
+    val dbl = Graph.pageRank(nodes, edges, k = 5, iters = 5, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Graph.pageRankScaled(nodes, edges, k = 5, iters = 5).collect().foreach { r =>
+      val exact = r.getLong(1).toDouble / denom
+      assert(math.abs(exact - dbl(r.getLong(0))) < 1e-9,
+        s"node ${r.getLong(0)}: exact $exact vs double ${dbl(r.getLong(0))}")
+    }
+  }
+
   test("power iteration converges: L1 residual shrinks geometrically") {
     def ranksAt(i: Int): Map[Long, Double] =
       Graph.pageRank(nodes, edges, k = 5, iters = i, damping = 0.85)
@@ -83,6 +100,56 @@ class GraphSpec extends SparkSpec {
     assert(out.count() === n)
     val total = out.agg(sum(col("in_degree"))).head.getLong(0)
     assert(total === n * 5)
+  }
+
+  test("ANN edge relation (q188 substrate): k-regular, no self loops, edge recall >= 0.9 vs exact") {
+    val ann = Graph.annKnnEdges(spark, sfTiny, k = 5).cache()
+    val deg = ann.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    assert(deg.filter(col("d") =!= 5).count() === 0,
+      "ANN edge build must stay 5-regular at the test corpus")
+    assert(deg.count() === n)
+    assert(ann.filter(col("src") === col("dst")).count() === 0)
+    val exactSet = edges.select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annSet = ann.select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (annSet & exactSet).size.toDouble / exactSet.size
+    assert(recall >= 0.9, s"ANN edge recall $recall (${exactSet.size} exact edges)")
+    ann.unpersist()
+  }
+
+  test("q188 degree scores agree with exact-edge q163 (mean |Δdeg| <= 0.2·k)") {
+    val exact = Registry.byName("q163_knn_graph_degree").run(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = Registry.byName("q188_ann_graph_degree").run(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ann.keySet === exact.keySet, "q188 must cover every node like q163")
+    val meanAbsDelta = exact.map { case (id, d) => math.abs(d - ann(id)) }.sum.toDouble / n
+    assert(meanAbsDelta <= 0.2 * 5,
+      s"per-node in-degree drifted: mean |Δ| $meanAbsDelta at k=5")
+  }
+
+  test("q189 ANN PageRank agrees with the exact-edge ranking (top-decile overlap >= 0.8)") {
+    // both outputs are ordered rank_scaled DESC, vec_id — the head IS
+    // the top of the ranking
+    def topDecile(q: String): Set[Long] = {
+      val rows = Registry.byName(q).run(spark, sfTiny).collect()
+      rows.take(math.max(1, rows.length / 10)).map(_.getLong(0)).toSet
+    }
+    val exactTop = topDecile("q164_knn_graph_pagerank")
+    val annTop = topDecile("q189_ann_graph_pagerank")
+    val overlap = (exactTop & annTop).size.toDouble / exactTop.size
+    assert(overlap >= 0.8, s"top-decile overlap $overlap (${exactTop.size} nodes)")
+  }
+
+  test("q190 ANN k-core survivors agree with exact-edge q169 (Jaccard >= 0.9)") {
+    val exact = Registry.byName("q169_kcore").run(spark, sfTiny)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Registry.byName("q190_ann_kcore").run(spark, sfTiny)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty)
+    val jac = (exact & ann).size.toDouble / (exact | ann).size
+    assert(jac >= 0.9, s"survivor Jaccard $jac (${exact.size} exact, ${ann.size} ann)")
   }
 
   test("q169 k-core peel: non-vacuous, monotone, and k-core-true at the fixed point") {

@@ -32,7 +32,8 @@ class IndexPersistenceSpec extends SparkSpec {
 
   test("IVF KMeans model persists and is loaded, not refit") {
     withIndexDir { dir =>
-      val cells = GraftConf.ivfCells(spark)
+      val cells = GraftConf.ivfCells(spark,
+        plans.TableStats.embeddings(spark, sfTiny).rows)
       val (_, centroids) = Ann.ivfIndex(spark, sfTiny)
       assert(centroids.count() == cells)
       val path = Ann.indexArtifactPath(spark, "ivf_kmeans", sfTiny,
@@ -102,7 +103,8 @@ class IndexPersistenceSpec extends SparkSpec {
     Ann.clearCaches()
     assert(GraftConf.indexDir(spark).isEmpty)
     val (_, centroids) = Ann.ivfIndex(spark, sfTiny)
-    assert(centroids.count() == GraftConf.ivfCells(spark))
+    assert(centroids.count() == GraftConf.ivfCells(spark,
+      plans.TableStats.embeddings(spark, sfTiny).rows))
     Ann.clearCaches()
   }
 }

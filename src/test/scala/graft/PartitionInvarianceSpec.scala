@@ -22,7 +22,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round-7 curation wave: per-doc argmax tie-break (window), integer
     // mixture targets over a broadcast Σweights scalar, iterative BPE
     // argmax (driver-collected 1-row top with lexicographic tie-break)
-    "q182_repetition_filter", "q184_mixture_sample", "q186_bpe_merges")
+    "q182_repetition_filter", "q184_mixture_sample", "q186_bpe_merges",
+    // r8: integer fixed-point PageRank — the state is exact, so the
+    // result must survive ANY partitioning bit-for-bit
+    "q164_knn_graph_pagerank")
 
   private def canon(name: String): Seq[Seq[String]] =
     Registry.byName(name).run(spark, sfTiny)

@@ -39,6 +39,50 @@ class PipelineSpec extends SparkSpec {
     assert(n == Tables.documents(spark, sfTiny).count())
   }
 
+  test("curation pipeline (q193): resume-from-checkpoint recomputes only the invalidated suffix") {
+    import graft.plans.CurationPipeline
+    val work = Files.createTempDirectory("graft_cur_resume").toString
+    def mtime(stage: String): Long =
+      new java.io.File(s"$work/$stage/_DONE").lastModified()
+    val m1 = CurationPipeline.manifest(
+      CurationPipeline.runStages(spark, sfTiny, work, withClassifier = false,
+        budget = 60)).collect().map(_.toSeq).toSeq
+    assert(m1.size == 8, s"expected 8 stage rows, got ${m1.size}")
+    val (t1Gate, t1Split) = (mtime("s1_gate"), mtime("s5_split"))
+    // full re-run: every stage served from the cache, manifest identical
+    val m2 = CurationPipeline.manifest(
+      CurationPipeline.runStages(spark, sfTiny, work, withClassifier = false,
+        budget = 60)).collect().map(_.toSeq).toSeq
+    assert(m2 == m1, "cached re-run changed the manifest")
+    assert(mtime("s1_gate") == t1Gate && mtime("s5_split") == t1Split,
+      "cached re-run rewrote a committed stage")
+    // crash recovery: invalidate a mid-chain stage, resume — only the
+    // invalidated stage is recomputed (downstream stages are still
+    // committed and content-identical, so their caches stay valid)
+    new graft.plans.Pipeline(spark, work).invalidate("s5_split")
+    val m3 = CurationPipeline.manifest(
+      CurationPipeline.runStages(spark, sfTiny, work, withClassifier = false,
+        budget = 60)).collect().map(_.toSeq).toSeq
+    assert(m3 == m1, "resume after invalidate changed the manifest")
+    assert(mtime("s1_gate") == t1Gate, "resume recomputed an upstream stage")
+    assert(mtime("s5_split") > t1Split, "invalidated stage was not recomputed")
+  }
+
+  test("curation pipeline with the classifier stage on: 9 rows, monotone counts") {
+    import graft.plans.CurationPipeline
+    val work = Files.createTempDirectory("graft_cur_clf").toString
+    val m = CurationPipeline.manifest(
+      CurationPipeline.runStages(spark, sfTiny, work, withClassifier = true,
+        budget = 60)).collect()
+    val names = m.map(_.getString(1)).toSeq
+    assert(names == Seq("input", "gate", "classifier", "sketch_dedup",
+      "excise", "decontaminate", "split", "mixture", "pack"))
+    // every doc-shaped stage can only shrink the corpus
+    val counts = m.take(7).map(_.getLong(2)).toSeq
+    assert(counts == counts.sorted.reverse, s"counts not monotone: $counts")
+    assert(counts.last > 0, "pipeline emptied the corpus — vacuous")
+  }
+
   test("JSONL source tolerates corrupt lines (PERMISSIVE null rows, no job failure)") {
     // a 100 TB JSONL landing zone WILL contain malformed lines; the scan
     // must quarantine them as null rows, not kill the job

@@ -353,7 +353,10 @@ class PlanSpec extends SparkSpec {
       "q178_equidepth_hist",
       // q184 crossJoins the broadcast 1-row Σweights aggregate (q185
       // renders the same tail from drained state)
-      "q184_mixture_sample", "q185_streamed_mixture")
+      "q184_mixture_sample", "q185_streamed_mixture",
+      // q193's mixture stage is q184's broadcast-Σweights tail; every
+      // other stage of the composed chain is equi-join/agg only
+      "q193_curation_pipeline")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))

@@ -511,6 +511,44 @@ class StreamingSpec extends SparkSpec {
     assert(snap() == once)
   }
 
+  test("applyCmsBatch: same payload under a NEW batchId is a no-op (fingerprint guard)") {
+    val stateDir = Files.createTempDirectory("graft_cms_redeliver").toString
+    try {
+      val docs = Tables.documents(spark, sfTiny).limit(30).localCheckpoint(true)
+      val b0 = docs.filter(col("doc_id") % 2 === 0)
+      val b1 = docs.filter(col("doc_id") % 2 === 1)
+      assert(StreamingJobs.applyCmsBatch(spark, b0, "text", 0L, 4, 256, stateDir))
+      assert(StreamingJobs.applyCmsBatch(spark, b1, "text", 1L, 4, 256, stateDir))
+      def snap() = StreamingJobs.latestAggState(spark, stateDir).get._2
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val once = snap()
+      // exact replay (old batchId): version guard no-ops it
+      assert(!StreamingJobs.applyCmsBatch(spark, b0, "text", 1L, 4, 256, stateDir))
+      // at-least-once redelivery: b0's PAYLOAD again under batchId 2 —
+      // the version guard is blind to this; the payload fingerprint
+      // committed with the state must no-op it (state unchanged)
+      assert(!StreamingJobs.applyCmsBatch(spark, b0, "text", 2L, 4, 256, stateDir))
+      assert(snap() == once, "redelivered payload inflated the sketch")
+      // genuinely new data still folds in
+      val b2 = Tables.documents(spark, sfTiny)
+        .filter(col("doc_id") >= 30 && col("doc_id") < 40)
+      assert(StreamingJobs.applyCmsBatch(spark, b2, "text", 3L, 4, 256, stateDir))
+      assert(snap() != once)
+      // the cell payload (marker rows excluded) equals the one-shot
+      // sketch of everything folded exactly once
+      val cells = StreamingJobs.latestAggState(spark, stateDir).get._2
+        .filter(col("j") >= 0)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val oneShot = operators.TextAnalysis.cmsCells(
+          docs.unionByName(b2), "text", 4, 256)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(cells == oneShot, "streamed cells diverge from the one-shot sketch")
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    }
+  }
+
   test("streaming dedup (dropDuplicates + watermark) == batch keep-first key set") {
     StreamingJobs.runStreamingDedup(spark, streamDir, "dedup_test")
     val streamedKeys = spark.table("dedup_test")
