@@ -314,6 +314,14 @@ object GraftConf {
     v
   }
 
+  /** Distinct-word cutoff under which BPE training collects the
+    * (word, cnt) vocabulary and runs the merge loop DRIVER-LOCAL (the
+    * shape real tokenizer trainers use: distributed counting, in-RAM
+    * merging) — at 1M words ≈ tens of MB. Above it the distributed
+    * batched loop takes over; 0 forces the distributed loop. */
+  def bpeLocalVocabCutoff(s: SparkSession): Int =
+    s.conf.get("spark.graft.bpe.localVocabCutoff", "1000000").toInt
+
   /** q131 classifier-filter keep threshold on P(high quality). 0.5 is
     * the calibrated default; raise it to trade corpus size for quality
     * (the knob public pipelines sweep per data source). */

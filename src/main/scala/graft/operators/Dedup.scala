@@ -1288,14 +1288,18 @@ object Dedup {
     val stateDir = java.nio.file.Files.createTempDirectory("graft_cc_state").toString
     val pairs = sketchVerifiedPairs(s, d, threshold)
       .select(col("id1"), col("id2")).localCheckpoint(true)
-    (0 until nBatches).foreach { i =>
-      graft.streaming.StreamingJobs.applyCcBatch(s,
-        pairs.filter(pmod(col("id1"), lit(nBatches)) === i), i.toLong, stateDir)
+    // try/finally: a failing batch/drain must not leak the temp state dir
+    val comp = try {
+      (0 until nBatches).foreach { i =>
+        graft.streaming.StreamingJobs.applyCcBatch(s,
+          pairs.filter(pmod(col("id1"), lit(nBatches)) === i), i.toLong, stateDir)
+      }
+      graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+        .withColumnRenamed("v", "doc_id").localCheckpoint(true)
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     }
-    val comp = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
-      .withColumnRenamed("v", "doc_id").localCheckpoint(true)
-    val sp = new org.apache.hadoop.fs.Path(stateDir)
-    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     val labeled = Tables.documents(s, d).select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))

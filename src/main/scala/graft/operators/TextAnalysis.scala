@@ -381,17 +381,21 @@ object TextAnalysis {
     val k = denom // k+1 > denom: the catch bound (see scaladoc)
     val stateDir = java.nio.file.Files.createTempDirectory("graft_hh_state").toString
     val docs = Tables.documents(s, d)
-    (0 until nBatches).foreach { i =>
-      graft.streaming.StreamingJobs.applyMgBatch(s,
-        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i),
-        "text", i.toLong, k, stateDir)
+    // try/finally: a failing batch/drain must not leak the temp state dir
+    val (total, candTerms) = try {
+      (0 until nBatches).foreach { i =>
+        graft.streaming.StreamingJobs.applyMgBatch(s,
+          docs.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          "text", i.toLong, k, stateDir)
+      }
+      val state = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+      (state.agg(max(col("total_n"))).head().getLong(0),
+        state.filter(col("term").isNotNull)
+          .select(col("term")).collect().map(_.getString(0)).toSeq)
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     }
-    val state = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
-    val total = state.agg(max(col("total_n"))).head().getLong(0)
-    val candTerms = state.filter(col("term").isNotNull)
-      .select(col("term")).collect().map(_.getString(0)).toSeq
-    val sp = new org.apache.hadoop.fs.Path(stateDir)
-    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     val minCount = (total + denom - 1) / denom
     import s.implicits._
     val cands = candTerms.toDF("term")
@@ -1850,15 +1854,19 @@ object TextAnalysis {
     val m = 256
     val stateDir = java.nio.file.Files.createTempDirectory("graft_hll_state").toString
     val docs = Tables.documents(s, d)
-    (0 until nBatches).foreach { i =>
-      graft.streaming.StreamingJobs.applyHllBatch(s,
-        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), "text",
-        i.toLong, m, stateDir)
+    // try/finally: a failing batch/drain must not leak the temp state dir
+    val state = try {
+      (0 until nBatches).foreach { i =>
+        graft.streaming.StreamingJobs.applyHllBatch(s,
+          docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), "text",
+          i.toLong, m, stateDir)
+      }
+      graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+        .localCheckpoint(true)
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     }
-    val state = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
-      .localCheckpoint(true)
-    val sp = new org.apache.hadoop.fs.Path(stateDir)
-    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     hllFill(s, state, m)
   }
 
@@ -1928,15 +1936,19 @@ object TextAnalysis {
     val m = 64
     val stateDir = java.nio.file.Files.createTempDirectory("graft_whll_state").toString
     val ev = Tables.eventsWithTs(s, d)
-    (0 until nBatches).foreach { i =>
-      graft.streaming.StreamingJobs.applyDayHllBatch(s,
-        ev.filter(pmod(col("event_id"), lit(nBatches)) === i),
-        i.toLong, m, stateDir)
+    // try/finally: a failing batch/drain must not leak the temp state dir
+    val state = try {
+      (0 until nBatches).foreach { i =>
+        graft.streaming.StreamingJobs.applyDayHllBatch(s,
+          ev.filter(pmod(col("event_id"), lit(nBatches)) === i),
+          i.toLong, m, stateDir)
+      }
+      graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+        .localCheckpoint(true)
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     }
-    val state = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
-      .localCheckpoint(true)
-    val sp = new org.apache.hadoop.fs.Path(stateDir)
-    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     state.orderBy(col("day"), col("reg"))
   }
 
@@ -2082,15 +2094,19 @@ object TextAnalysis {
     require(nBatches >= 1)
     val stateDir = java.nio.file.Files.createTempDirectory("graft_ctf_state").toString
     val docs = Tables.documents(s, d)
-    (0 until nBatches).foreach { i =>
-      graft.streaming.StreamingJobs.applyClassTfBatch(s,
-        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), "source",
-        i.toLong, stateDir)
+    // try/finally: a failing batch/drain must not leak the temp state dir
+    val state = try {
+      (0 until nBatches).foreach { i =>
+        graft.streaming.StreamingJobs.applyClassTfBatch(s,
+          docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), "source",
+          i.toLong, stateDir)
+      }
+      graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+        .localCheckpoint(true)
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     }
-    val state = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
-      .localCheckpoint(true)
-    val sp = new org.apache.hadoop.fs.Path(stateDir)
-    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     classTfidfFromCounts(state, k)
   }
 
@@ -2137,15 +2153,19 @@ object TextAnalysis {
     require(nBatches >= 1)
     val stateDir = java.nio.file.Files.createTempDirectory("graft_samp_state").toString
     val docs = Tables.documents(s, d)
-    (0 until nBatches).foreach { i =>
-      graft.streaming.StreamingJobs.applySampleBatch(s,
-        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), i.toLong,
-        "lang", "doc_id", k, stateDir)
+    // try/finally: a failing batch/drain must not leak the temp state dir
+    val state = try {
+      (0 until nBatches).foreach { i =>
+        graft.streaming.StreamingJobs.applySampleBatch(s,
+          docs.filter(pmod(col("doc_id"), lit(nBatches)) === i), i.toLong,
+          "lang", "doc_id", k, stateDir)
+      }
+      graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+        .localCheckpoint(true)
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     }
-    val state = graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
-      .localCheckpoint(true)
-    val sp = new org.apache.hadoop.fs.Path(stateDir)
-    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     prioritySample(state, "lang", "doc_id", k)
   }
 
@@ -2370,6 +2390,13 @@ object TextAnalysis {
           concat(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
             array(lit("</w>")))),
         lit(" ")).as("sym"))
+    // the merge loop's state is the DISTINCT-WORD relation — Heaps-law
+    // bounded, a few MB at any corpus size — so it lives on a couple of
+    // partitions: each of the k driver rounds then schedules 2-task
+    // stages instead of 32-task ones, and round latency (the only
+    // per-merge cost) drops ~3×. The corpus-wide word-count scan above
+    // this line stays fully distributed.
+    .repartition(2)
     .localCheckpoint(true)
 
   /** Pair counts of the current vocab state, ordered (freq DESC, a, b)
@@ -2416,10 +2443,19 @@ object TextAnalysis {
     * accept a PREFIX of it, stopping before any pair that could be
     * reordered by the merges already accepted this round:
     *
-    *   1. symbol-sharing stop — a pair sharing ANY symbol with an
-    *      accepted merge may have its count changed by it (right-shares-
-    *      left and left-shares-right occurrences are literally consumed;
-    *      the other sharings are stopped conservatively);
+    *   1. consumption stop — a pair whose RIGHT symbol equals an
+    *      accepted merge's LEFT symbol (x, a), or whose LEFT symbol
+    *      equals an accepted merge's RIGHT symbol (b, y), may have had
+    *      occurrences consumed by that merge (the 'a' of an "x a"
+    *      adjacency disappears exactly when followed by b; the 'b' of a
+    *      "b y" adjacency exactly when preceded by a) — its count is
+    *      stale, stop. The SAME-side sharings are provably safe for
+    *      a ≠ b — an (a, y≠b) occurrence's 'a' is never consumed (it
+    *      is not followed by b, and 'a' is only ever a left part), and
+    *      symmetrically (x≠a, b) — so the Zipf head's ubiquitous
+    *      shared-'</w>'-right pairs batch together (the distinction is
+    *      the difference between ~1.5 and ~8 merges per round,
+    *      measured);
     *   2. new-pair bound stop — a merge (a,b) can only CREATE pairs
     *      (x, ab) / (ab, y) with count ≤ count(x,a) / count(b,y), so
     *      `bound` tracks the max count of any window pair adjacent to an
@@ -2443,22 +2479,28 @@ object TextAnalysis {
     var vocab = bpeVocab(docs)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 0
+    var rounds = 0
     while (step < k) {
+      rounds += 1
       val window = bpePairCounts(vocab).limit(lookahead).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       require(window.nonEmpty, s"BPE step ${step + 1}: no pairs left (k too large for corpus)")
       val cutoff = if (window.length == lookahead) window.last._3 else 0L
-      val used = scala.collection.mutable.Set.empty[String]
+      val leftSyms = scala.collection.mutable.Set.empty[String]
+      val rightSyms = scala.collection.mutable.Set.empty[String]
       val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       var bound = cutoff
       var stop = false
       var i = 0
       while (!stop && i < window.length && accepted.size < k - step) {
         val (a, b, f) = window(i)
-        if (accepted.nonEmpty && (f <= bound || used(a) || used(b))) stop = true
+        // self-pairs (a == b) interact with everything adjacent to a —
+        // accept them only as the round's first merge
+        if (accepted.nonEmpty &&
+          (f <= bound || leftSyms(b) || rightSyms(a) || a == b)) stop = true
         else {
           accepted += ((a, b, f))
-          used += a; used += b
+          leftSyms += a; rightSyms += b
           val share = window.iterator
             .filter { case (qa, qb, _) => (qb == a || qa == b) && !(qa == a && qb == b) }
             .map(_._3).foldLeft(0L)(math.max)
@@ -2468,21 +2510,121 @@ object TextAnalysis {
       }
       // apply the whole batch as ONE chained projection — replace
       // composes left-to-right exactly like the sequential loop's
-      // one-per-round rewrites
+      // one-per-round rewrites. Checkpoint every few rounds, not every
+      // round: the uncheckpointed tail is a handful of narrow
+      // string-replace projections over the 2-partition vocab state —
+      // re-deriving it inside the next round's aggregate is cheaper
+      // than a materialization job per round (round latency IS the
+      // k-scaling term; lineage stays bounded by the checkpoint cadence)
       val sym = accepted.foldLeft(col("sym")) { case (c, (a, b, _)) =>
         replace(c, lit(s" $a  $b "), lit(s" $a$b "))
       }
-      vocab = vocab.withColumn("sym", sym).localCheckpoint(true)
+      vocab = vocab.withColumn("sym", sym)
+      if (rounds % 8 == 0) vocab = vocab.localCheckpoint(true)
       accepted.foreach { case (a, b, f) =>
         step += 1; merges += ((step, a, b, f))
+      }
+    }
+    println(s"[graft] bpe: $k merges in $rounds driver rounds")
+    (merges.result(), vocab)
+  }
+
+  /** Unsigned-UTF-8-byte string ordering — Spark's (and DuckDB's)
+    * binary string comparison, NOT Java's UTF-16 compareTo: the local
+    * trainer's tie-breaks must match the engines'. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** DRIVER-LOCAL exact BPE over a collected (word, cnt) vocabulary —
+    * the algorithm [[bpeTrainSequential]] specifies, run where real
+    * tokenizer trainers run it (HF/sentencepiece train in RAM after the
+    * corpus-scale counting pass): the corpus scan is distributed, the
+    * merge loop is not, because its state is the Heaps-law-bounded
+    * vocabulary. Every choice (weighted pair counts, max-freq argmax
+    * with UTF-8-binary lexicographic tie-break, left-to-right
+    * non-overlapping merge) replays the engine/oracle definition
+    * move-for-move — CurationSpec proves equality against both the
+    * distributed trainer and the reference. */
+  private[graft] def bpeTrainLocalArr(words: Array[(String, Long)], k: Int)
+      : (Seq[(Int, String, String, Long)], Array[(String, Long, Array[String])]) = {
+    var vocab: Array[(String, Long, Array[String])] =
+      words.map { case (w, c) => (w, c, w.map(_.toString).toArray :+ "</w>") }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    (1 to k).foreach { step =>
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (_, c, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      require(counts.nonEmpty, s"BPE step $step: no pairs left (k too large for corpus)")
+      var best: ((String, String), Long) = null
+      counts.foreach { e =>
+        if (best == null || e._2 > best._2 ||
+          (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+            (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2))))) best = e
+      }
+      val ((a, b), f) = best
+      merges += ((step, a, b, f))
+      vocab = vocab.map { case (w, c, syms) =>
+        val buf = Array.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            buf += a + b; i += 2
+          } else { buf += syms(i); i += 1 }
+        }
+        (w, c, buf.result())
       }
     }
     (merges.result(), vocab)
   }
 
   private def bpeTrain(s: SparkSession, d: String, k: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) =
-    bpeTrainBatched(Tables.documents(s, d), k)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val wordCounts = docs
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // stats-routed like knnAuto/nearDupPairsAuto: the merge loop's
+    // state is the vocabulary. Under the cutoff, ONE distributed
+    // counting scan + a driver-local loop (zero per-merge job latency —
+    // the k-driver-rounds term vanishes); over it, the batched
+    // distributed loop. Both proven equal to the sequential reference.
+    val cutoff = graft.GraftConf.bpeLocalVocabCutoff(s)
+    val localWords =
+      if (cutoff <= 0) null
+      else {
+        val rows = wordCounts.limit(cutoff + 1)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        if (rows.length > cutoff) null else rows
+      }
+    if (localWords == null) {
+      println(s"[graft] bpe: vocab over localVocabCutoff=$cutoff -> distributed loop")
+      bpeTrainBatched(docs, k)
+    } else {
+      println(s"[graft] bpe: vocab=${localWords.length} <= cutoff=$cutoff -> local loop")
+      val (merges, vocab) = bpeTrainLocalArr(localWords, k)
+      val ss = s
+      import ss.implicits._
+      val vocabDf = vocab.toSeq
+        .map { case (w, c, syms) => (w, c, syms.mkString(" ", "  ", " ")) }
+        .toDF("word", "cnt", "sym")
+      (merges, vocabDf)
+    }
+  }
 
   def bpeMerges(s: SparkSession, d: String, k: Int): DataFrame = {
     val (m, _) = bpeTrain(s, d, k)

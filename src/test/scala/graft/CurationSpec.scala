@@ -214,5 +214,14 @@ class CurationSpec extends SparkSpec {
     assert(batched == sequential,
       s"batch rule diverged from the sequential reference:\n" +
         s" batched    $batched\n sequential $sequential")
+    // the third trainer — the stats-routed driver-local loop — commits
+    // the identical merge sequence (same counts, same UTF-8 tie-break,
+    // same left-to-right merge)
+    val words = docs.select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (local, _) = TextAnalysis.bpeTrainLocalArr(words, 20)
+    assert(local == sequential,
+      s"local loop diverged:\n local      $local\n sequential $sequential")
   }
 }
