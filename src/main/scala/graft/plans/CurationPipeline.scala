@@ -377,5 +377,18 @@ object CurationPipeline {
     (s, d) => runManifest(s, d, withClassifier = false, budget = 60),
     Some(manifestOracle))
 
-  def queries: Seq[GraftQuery] = Seq(q193CurationPipeline)
+  /** q194: the same chain WITH the distilled-classifier stage (q131)
+    * between the heuristic gate and the sketch dedup — the full
+    * production shape. The classifier is a seeded MLlib fit (not
+    * SQL-expressible), so this variant has no DuckDB oracle; its gates
+    * are PipelineSpec (9 stage rows, monotone doc counts, resume) plus
+    * the classifier's own AUC/determinism gates in QualityFilterSpec,
+    * and every deterministic stage is the oracle-checked q193 code. */
+  val q194CurationPipelineClf = GraftQuery(
+    "q194_curation_pipeline_clf",
+    "LLM-pipeline COMPOSED + classifier stage (no SQL oracle: seeded LR; spec-gated)",
+    (s, d) => runManifest(s, d, withClassifier = true, budget = 60),
+    None)
+
+  def queries: Seq[GraftQuery] = Seq(q193CurationPipeline, q194CurationPipelineClf)
 }

@@ -94,7 +94,13 @@ object ScaleRehearsal {
       // the no-cross-doc-state linear path — time AND shuffle bytes must
       // scale ~factor
       "q182_repetition_filter" -> (d => graft.operators.TextAnalysis
-        .repetitionProfile(Tables.documents(spark, d), 0.20, 0.15)))
+        .repetitionProfile(Tables.documents(spark, d), 0.20, 0.15)),
+      // the COMPOSED curation chain (q193): 8 checkpointed stages in a
+      // throwaway workDir — the product-shaped end-to-end number; its
+      // scaling is bounded by its worst stage (the q59/q64 sketch
+      // machinery above), everything else is linear per-doc work
+      "q193_curation_pipeline" -> (d => graft.plans.CurationPipeline
+        .runManifest(spark, d, withClassifier = false, budget = 60)))
 
     // warm-up so JIT/codegen startup lands outside both measured scales
     Tables.documents(spark, baseDir).count()

@@ -354,9 +354,9 @@ class PlanSpec extends SparkSpec {
       // q184 crossJoins the broadcast 1-row Σweights aggregate (q185
       // renders the same tail from drained state)
       "q184_mixture_sample", "q185_streamed_mixture",
-      // q193's mixture stage is q184's broadcast-Σweights tail; every
-      // other stage of the composed chain is equi-join/agg only
-      "q193_curation_pipeline")
+      // q193/q194's mixture stage is q184's broadcast-Σweights tail;
+      // every other stage of the composed chain is equi-join/agg only
+      "q193_curation_pipeline", "q194_curation_pipeline_clf")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))
