@@ -146,6 +146,24 @@ object Graph {
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
   }
 
+  /** Stats-routed k-NN edge builder — the [[Similarity.knnAuto]]
+    * discipline applied to the graph substrate: the exact N² builder
+    * while corpus stats say the kernel work fits (it IS the
+    * oracle-replayable tier), the NN-Descent build past the cutoff.
+    * Decision logged like every router. */
+  def knnEdgesAuto(s: SparkSession, d: String, k: Int): DataFrame = {
+    val st = graft.plans.TableStats.embeddings(s, d)
+    val tier =
+      if (st.rows <= GraftConf.knnExactCutoff(s) &&
+        st.bytes <= GraftConf.exactPairMaxBytes(s)) "exact" else "nndescent"
+    println(s"[graft] knnEdgesAuto: rows=${st.rows} " +
+      s"(exactCutoff ${GraftConf.knnExactCutoff(s)}), bytes=${st.bytes} -> $tier")
+    tier match {
+      case "exact" => knnEdges(s, d, k)
+      case _ => annKnnEdges(s, d, k)
+    }
+  }
+
   /** Shared oracle CTE: the same k-NN edge set in DuckDB SQL. */
   private def edgesSql(k: Int): String =
     s"""base AS (
@@ -522,7 +540,20 @@ object Graph {
     (s, d) => kCorePeel(annSimilarityEdges(s, d, threshold = 0.3), c = 4, rounds = 3),
     None)
 
+  /** q195: q163's degree scores through the ROUTED edge builder — at
+    * every test scale factor the corpus sits under the exact cutoff, so
+    * the routed substrate IS the exact builder and q195 carries q163's
+    * full oracle (the q181 carried-oracle trick applied to the graph
+    * family); GraphSpec proves the NN-Descent branch reachable by conf
+    * and agreement-gated. */
+  val q195GraphDegreeAuto = GraftQuery(
+    "q195_graph_degree_auto",
+    "Graph-family router: stats-routed edge substrate (exact | NN-Descent), carried exact oracle",
+    (s, d) => degreeScores(s, d, knnEdgesAuto(s, d, k = 5)),
+    q163KnnGraphDegree.oracle)
+
   def queries: Seq[GraftQuery] =
     Seq(q163KnnGraphDegree, q164KnnGraphPagerank, q166LabelPropagation,
-      q169KCore, q188AnnGraphDegree, q189AnnGraphPagerank, q190AnnKCore)
+      q169KCore, q188AnnGraphDegree, q189AnnGraphPagerank, q190AnnKCore,
+      q195GraphDegreeAuto)
 }

@@ -152,6 +152,26 @@ class GraphSpec extends SparkSpec {
     assert(jac >= 0.9, s"survivor Jaccard $jac (${exact.size} exact, ${ann.size} ann)")
   }
 
+  test("q195 routed edges: exact branch under the cutoff; NN-Descent branch reachable by conf") {
+    // default conf at sfTiny: under the cutoff -> the routed output IS
+    // the exact q163 result (the carried oracle depends on this)
+    val routed = Registry.byName("q195_graph_degree_auto").run(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    val exact = Registry.byName("q163_knn_graph_degree").run(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(routed == exact, "routed tier diverged from exact under the cutoff")
+    // force the scale branch: routed == the registered ANN form
+    spark.conf.set("spark.graft.knn.exactCutoff", "0")
+    try {
+      val ann = Registry.byName("q195_graph_degree_auto").run(spark, sfTiny)
+        .collect().map(_.toSeq).toSeq
+      val annDirect = Registry.byName("q188_ann_graph_degree").run(spark, sfTiny)
+        .collect().map(_.toSeq).toSeq
+      assert(ann == annDirect, "forced NN-Descent branch diverged from q188")
+      assert(ann != exact, "forcing the cutoff must actually flip the branch")
+    } finally spark.conf.unset("spark.graft.knn.exactCutoff")
+  }
+
   test("q169 k-core peel: non-vacuous, monotone, and k-core-true at the fixed point") {
     import graft.operators.Graph
     val edges = Graph.similarityEdges(spark, sfTiny, threshold = 0.3)

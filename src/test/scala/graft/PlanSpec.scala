@@ -322,10 +322,12 @@ class PlanSpec extends SparkSpec {
       // router's cutoff keeps exact while Q·N fits; NSW past it)
       "q181_knn_auto",
       // q163/q164 consume the labeled exact k-NN edge builder (the
-      // oracle-replayable ground-truth tier; swap in IVF/LSH/NSW edges
-      // at scale — Graph.scala header)
+      // oracle-replayable ground-truth tier; q188-q190 are the
+      // registered ANN-edge twins, cartesian-free with NO whitelist
+      // entry); q195 routes to the exact builder under the cutoff (the
+      // q181 pattern — NN-Descent past it)
       "q163_knn_graph_degree", "q164_knn_graph_pagerank",
-      "q166_label_propagation",
+      "q166_label_propagation", "q195_graph_degree_auto",
       // q169 peels the labeled exact threshold-similarity graph (same
       // ground-truth tier; at scale the edge relation comes from the
       // q31 candidate feeders — Graph.similarityEdges doc)
