@@ -60,6 +60,12 @@ object Bench {
       "\"" + k + "\":\"" + esc(m) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // Compact final line for the driver: its tail capture is ~2,000 chars
+    // and the full per-query map is ~6 KB, so a full-line final print
+    // starts mid-line in BENCH_r* ("parsed": null). The compact line
+    // carries total/counts/sf only (≤ 200 chars); the full per-query map
+    // lives in the artifact file below.
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
     // Also persist the full artifact: the driver's BENCH_r* capture
     // truncates stdout at 2,000 chars, which loses the per-query map for
     // most of the suite — the file keeps cross-round per-query
@@ -73,8 +79,11 @@ object Bench {
       s"[bench] ${results.count(_._3.isDefined)} queries FAILED — totals are not comparable")
     // Stop the session BEFORE printing, so the JSON is the FINAL stdout
     // line of the run — the driver tail-parses stdout and anything Spark
-    // emits during shutdown after an early print could bury it.
+    // emits during shutdown after an early print could bury it. The full
+    // line prints first (greppable locally), the compact line LAST (the
+    // driver's 2,000-char tail always contains it whole).
     spark.stop()
     println(line)
+    println(compact)
   }
 }

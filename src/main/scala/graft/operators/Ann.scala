@@ -859,24 +859,33 @@ object Ann {
       .select(col("vec_id").as("qid"), col("vec").as("qvec"),
         explode(nearestCellsFast(col("vec"), cents, nprobe)).as("centroid_id"))
     val refine = k * GraftConf.pqRefine(s)
+    // Both top-k stages run through the bounded TopKAggregator heap (the
+    // q156 pattern): a row_number window here would shuffle and SORT the
+    // full nprobe·N/cells candidate relation per query (~190k rows/query
+    // at N=10⁹ with auto-√N cells), where the partial→final heap ships
+    // ≤ refine rows per query per map task. PlanSpec pins the window-free
+    // plan; the aggregator's (-score, id) tie-break is byte-identical to
+    // the window's (sim DESC, nid) order, so recall gates are unchanged.
+    val topShort = udaf(new graft.functions.TopKAggregator(refine))
     val shortlist = probed
       .join(corpus, Seq("centroid_id"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         sq8CosineFast(col("qvec"), col("codes"), lo, hi).as("asim"))
-      .withColumn("arank",
-        row_number().over(Window.partitionBy(col("qid"))
-          .orderBy(col("asim").desc, col("nid"))))
-      .filter(col("arank") <= refine)
+      .groupBy(col("qid"))
+      .agg(topShort(col("asim"), col("nid")).as("short"))
+      .select(col("qid"), explode(col("short")).as("c"))
+      .select(col("qid"), col("c._2").as("nid"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
     shortlist
       .join(assigned.select(col("vec_id").as("qid"), col("vec").as("qv")), Seq("qid"))
       .join(assigned.select(col("vec_id").as("nid"), col("vec").as("nv")), Seq("nid"))
       .select(col("qid"), col("nid"), cosineFast(col("qv"), col("nv")).as("sim"))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("nid"))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+      .groupBy(col("qid"))
+      .agg(topk(col("sim"), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("nid"), round(col("col._1"), 4).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }
 

@@ -262,7 +262,34 @@ object Graph {
     * widen the state to DECIMAL(38,0) — same recurrence, ~10^28 nodes. */
   def pageRankScaled(nodes: DataFrame, edges: DataFrame, k: Int,
       iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // k-REGULARITY REPAIR: the recurrence absorbs the d/k edge split
+    // into the common denominator, which is exact only when every node
+    // emits exactly k edges. ANN-tier builders (annKnnEdges) can fall
+    // short when a node's probed cells hold < k candidates — a
+    // deficient node would silently LEAK rank mass and break the
+    // Σ R_i = n·(20k)^i invariant the spec gates. Pad each deficient
+    // node with (k − outdeg) self-loop copies: the missing share stays
+    // with the node (the standard dangling-mass-to-self policy),
+    // out-degree is uniformly k again, and the state stays
+    // integer-exact. On k-regular input (the exact q164 builder) the
+    // pad is empty and the edge relation is untouched. Out-degree > k
+    // is NOT repairable here and remains a caller contract (every
+    // builder in this engine emits top-k, never more).
+    // checkpoint the incoming edges FIRST: deg and pad both derive from
+    // them, and an uncheckpointed lineage (an NN-Descent build) would
+    // otherwise be evaluated once for the degree scan and again for the
+    // padded union
+    val base = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = base.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val pad = nodes.select(col("vec_id"))
+      .join(deg, col("vec_id") === col("src"), "left")
+      .select(col("vec_id"),
+        (lit(k.toLong) - coalesce(col("outdeg"), lit(0L))).as("miss"))
+      .filter(col("miss") > 0)
+      .select(col("vec_id").as("src"), col("vec_id").as("dst"),
+        explode(expr("sequence(1, miss)")).as("i"))
+      .select(col("src"), col("dst"))
+    val e = base.unionByName(pad).localCheckpoint(true)
     var ranks = nodes.select(col("vec_id"), lit(1L).as("r"))
     var pow = 1L // (20k)^i at entry of iteration i+1
     for (_ <- 1 to iters) {
@@ -516,9 +543,12 @@ object Graph {
 
   /** q189: q164's integer fixed-point PageRank over the ANN edge
     * relation — same exact arithmetic (the state is integer whatever
-    * the edge tier), approximate only in WHICH edges exist. GraphSpec
-    * gates rank agreement (top-decile overlap) vs the exact-edge
-    * baseline. */
+    * the edge tier), approximate only in WHICH edges exist. ANN edges
+    * may fall short of k where probed cells hold < k candidates;
+    * [[pageRankScaled]]'s self-loop repair keeps the mass invariant
+    * exact in that case (GraphSpec gates it on a deliberately deficient
+    * relation). GraphSpec also gates rank agreement (top-decile
+    * overlap) vs the exact-edge baseline. */
   val q189AnnGraphPagerank = GraftQuery(
     "q189_ann_graph_pagerank",
     "LLM-pipeline curation at scale: integer-exact PageRank over IVF-tier ANN edges (no SQL oracle: KMeans)",

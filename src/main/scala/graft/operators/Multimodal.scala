@@ -19,6 +19,11 @@ final case class PngPayload(doc_id: Long, png: Array[Byte])
 final case class PixelStats(doc_id: Long, n_px: Int, px_checksum: Long,
     px_min: Int, px_max: Int)
 
+/** Typed rows for the q199 REAL WAV codec boundary. */
+final case class WavPayload(doc_id: Long, wav: Array[Byte])
+final case class ChannelStats(doc_id: Long, ch: Int, n_smp: Int,
+    smp_checksum: Long, smp_min: Int, smp_max: Int)
+
 /** Multimodal binary-column plumbing (north-star extension; the
   * reference's only binary artifacts are its .npy/.pkl sidecars,
   * app/generate_embeddings.py:52-68 — no image/audio surface exists
@@ -27,14 +32,16 @@ final case class PixelStats(doc_id: Long, n_px: Int, px_checksum: Long,
   * feature-extract / frame-sample operator shapes a training-data pipeline
   * needs.
   *
-  * The container has no external image/audio codecs, so the GENERIC
-  * decode step (q62) is a clearly-marked deterministic STUB (md5-derived
-  * bytes) behind real per-partition batch plumbing. The IMAGE leg,
-  * however, is real end-to-end since q179: the JDK's own `javax.imageio`
-  * PNG codec encodes and decodes genuine PNG payloads, with losslessness
-  * proven by the codec-free DuckDB oracle (see q179). The audio/video
-  * modalities keep the stub. The q60-q63 payloads are the utf-8 encoding
-  * of `documents.text` so DuckDB can replay every byte (`encode(text)`).
+  * The container has no external media codecs, so the GENERIC decode
+  * step (q62) is a clearly-marked deterministic STUB (md5-derived
+  * bytes) behind real per-partition batch plumbing. The IMAGE leg is
+  * real end-to-end since q179 (the JDK's own `javax.imageio` PNG codec,
+  * losslessness proven by the codec-free DuckDB oracle) and the AUDIO
+  * leg since q199 (`javax.sound.sampled` WAV/PCM, per-channel sample
+  * stats re-derived from the hash by the oracle). Only the video
+  * modality keeps the stub — the JDK ships no video codec. The q60-q63
+  * payloads are the utf-8 encoding of `documents.text` so DuckDB can
+  * replay every byte (`encode(text)`).
   *
   * At 100 TB the payload column dominates I/O: every query here projects
   * only the columns it needs (parquet column pruning keeps un-read
@@ -262,7 +269,101 @@ object Multimodal {
         CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
       FROM px GROUP BY 1 ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------------
+  // q199: REAL audio codec round trip — javax.sound.sampled WAV/PCM
+  // ---------------------------------------------------------------------
+
+  private val WavRate = 8000f
+  private val WavChannels = 2
+  private val WavFrames = 4 // 4 stereo frames = 8 16-bit samples = 16 bytes
+
+  /** Deterministic stereo PCM clip per document — the 16 md5(text)
+    * bytes as 4 frames of interleaved little-endian 16-bit samples —
+    * encoded to REAL WAV bytes with the JDK's own audio stack
+    * (`javax.sound.sampled.AudioSystem`, pure JVM: the second genuine
+    * codec this container ships, after q179's imageio PNG). One
+    * format/codec instance per partition — the per-partition batch
+    * shape q62 documents. */
+  def encodeWav(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[WavPayload]
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          WavRate, 16, WavChannels, 2 * WavChannels, WavRate, false)
+        val codec = MessageDigest.getInstance("MD5")
+        rows.map { case (id, payload) =>
+          codec.reset()
+          val pcm = codec.digest(payload) // 16 bytes = 4 stereo frames
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, WavFrames.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          WavPayload(id, out.toByteArray)
+        }
+      }(enc).toDF()
+  }
+
+  /** q199: the audio stub retired the way q179 retired the image stub —
+    * a REAL WAV encode → decode round trip. Samples are md5-derived, so
+    * the DuckDB oracle re-derives the per-channel sample statistics
+    * STRAIGHT FROM THE HASH, never touching a codec: hash equality
+    * PROVES the JDK WAV writer+reader pair preserves every sample,
+    * header field included (a byte-order, channel-interleave or header
+    * corruption would shift a checksum or a count and fail the gate).
+    * The video modality keeps the documented q62 stub — the container
+    * ships no video codec; image and audio are now real end-to-end. */
+  val q199WavRoundTrip = GraftQuery(
+    "q199_wav_roundtrip",
+    "north-star multimodal: REAL javax.sound WAV encode->decode, per-channel stats oracle-proven",
+    (s, d) => {
+      import s.implicits._
+      val enc = org.apache.spark.sql.Encoders.product[ChannelStats]
+      encodeWav(s, d).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, wav) =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(wav))
+            val f = ais.getFormat
+            require(f.getChannels == WavChannels
+              && f.getSampleSizeInBits == 16 && !f.isBigEndian,
+              s"decoded format drifted: $f")
+            val pcm = ais.readAllBytes()
+            require(pcm.length == 4 * WavFrames,
+              s"decoded ${pcm.length} bytes, expected ${4 * WavFrames}")
+            (0 until WavChannels).map { ch =>
+              val vs = (0 until WavFrames).map { fr =>
+                val i = 2 * (fr * WavChannels + ch)
+                (((pcm(i + 1) & 0xff) << 8) | (pcm(i) & 0xff)).toShort.toInt
+              }
+              ChannelStats(id, ch, vs.size,
+                vs.zipWithIndex.map { case (v, fr) => v.toLong * (fr + 1) }.sum,
+                vs.min, vs.max)
+            }
+          }
+        }(enc).toDF()
+        .orderBy(col("doc_id"), col("ch"))
+    },
+    Some("""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+      smp AS (
+        SELECT doc_id, CAST(i % 2 AS INT) AS ch, i // 2 AS frame,
+          ('0x' || substr(hx, CAST(4*i + 3 AS INT), 2))::INT * 256
+            + ('0x' || substr(hx, CAST(4*i + 1 AS INT), 2))::INT AS raw
+        FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS i)),
+      sv AS (
+        SELECT doc_id, ch, frame,
+          CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        FROM smp)
+      SELECT doc_id, ch, CAST(count(*) AS INT) AS n_smp,
+        CAST(sum(v * (frame + 1)) AS BIGINT) AS smp_checksum,
+        CAST(min(v) AS INT) AS smp_min, CAST(max(v) AS INT) AS smp_max
+      FROM sv GROUP BY 1, 2 ORDER BY doc_id, ch"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q60BinaryIngest, q61FrameSample, q62DecodeStub, q63ModalityAgg,
-    q179PngRoundTrip)
+    q179PngRoundTrip, q199WavRoundTrip)
 }

@@ -930,25 +930,32 @@ object TextAnalysis {
     * md5 (not Spark's murmur3 hash()) keeps the shard assignment
     * oracle-replayable. Emits per-sequence doc counts and fill levels —
     * the packing-efficiency profile. */
-  /** q48's packing as a frame transform (shared with
-    * plans.CurationPipeline's final stage). */
-  private[graft] def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+  /** The packing rule over an explicit (doc_id, source, n_tok) frame —
+    * shared by q48 (whitespace-token budget) and q197 (real BPE token
+    * budget): sharded running cumsum, start-offset bin assignment,
+    * per-sequence profile. */
+  private[graft] def packByTokens(withTok: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shards = graft.GraftConf.packShards(docs.sparkSession)
+    val shards = graft.GraftConf.packShards(withTok.sparkSession)
     val w = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col("doc_id"), col("source"),
-        size(toks(col("text"))).cast("long").as("n_tok"),
-        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
-          16, 10).cast("long") % shards).as("shard"))
+    withTok
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % shards)
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("seq_id", floor((col("cum") - col("n_tok")) / budget))
       .groupBy(col("source"), col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("source"), col("shard"), col("seq_id"))
   }
+
+  /** q48's packing as a frame transform (shared with
+    * plans.CurationPipeline's final stage). */
+  private[graft] def packSequences(docs: DataFrame, budget: Long): DataFrame =
+    packByTokens(docs.select(col("doc_id"), col("source"),
+      size(toks(col("text"))).cast("long").as("n_tok")), budget)
 
   val q48SequencePacking = GraftQuery(
     "q48_sequence_packing",
@@ -2488,6 +2495,14 @@ object TextAnalysis {
       val cutoff = if (window.length == lookahead) window.last._3 else 0L
       val leftSyms = scala.collection.mutable.Set.empty[String]
       val rightSyms = scala.collection.mutable.Set.empty[String]
+      // string concatenations the accepted merges CREATE: a pre-existing
+      // window pair whose symbol is string-equal to a created symbol
+      // (e.g. "abc" already produced by an earlier-round (ab, c) while
+      // this round accepts (a, bc)) would have created occurrences ADDED
+      // to its stale count — outside the `bound` argument, which only
+      // covers pairs with genuinely new symbol keys. Stop before any
+      // such pair.
+      val createdSyms = scala.collection.mutable.Set.empty[String]
       val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       var bound = cutoff
       var stop = false
@@ -2497,10 +2512,11 @@ object TextAnalysis {
         // self-pairs (a == b) interact with everything adjacent to a —
         // accept them only as the round's first merge
         if (accepted.nonEmpty &&
-          (f <= bound || leftSyms(b) || rightSyms(a) || a == b)) stop = true
+          (f <= bound || leftSyms(b) || rightSyms(a) || a == b ||
+            createdSyms(a) || createdSyms(b))) stop = true
         else {
           accepted += ((a, b, f))
-          leftSyms += a; rightSyms += b
+          leftSyms += a; rightSyms += b; createdSyms += a + b
           val share = window.iterator
             .filter { case (qa, qb, _) => (qb == a || qa == b) && !(qa == a && qb == b) }
             .map(_._3).foldLeft(0L)(math.max)
@@ -2557,7 +2573,16 @@ object TextAnalysis {
   private[graft] def bpeTrainLocalArr(words: Array[(String, Long)], k: Int)
       : (Seq[(Int, String, String, Long)], Array[(String, Long, Array[String])]) = {
     var vocab: Array[(String, Long, Array[String])] =
-      words.map { case (w, c) => (w, c, w.map(_.toString).toArray :+ "</w>") }
+      // split by Unicode CODE POINT, not UTF-16 unit: Spark's
+      // substring/length (and DuckDB's word[i]) are code-point based, so
+      // a surrogate-pair split here would hand the local trainer a
+      // different symbol alphabet than the distributed one on non-BMP
+      // text (emoji, supplementary CJK) — the stats routing must be
+      // semantically invisible
+      words.map { case (w, c) =>
+        (w, c, w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))) :+ "</w>")
+      }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     (1 to k).foreach { step =>
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -2731,6 +2756,255 @@ object TextAnalysis {
     Some(bpeMergesOracle(64)))
 
   // ---------------------------------------------------------------------
+  // q196/q197: BPE APPLY — corpus tokenization with the trained merges
+  // ---------------------------------------------------------------------
+
+  /** The shipped tokenizer artifact: the learned merge table plus the
+    * symbol→token-id vocabulary — base alphabet (every distinct corpus
+    * code point + `</w>`) in UTF-8-binary order gets ids `0..n_base-1`,
+    * then merge step `i` assigns id `n_base + i - 1` to its product
+    * `a+b`; on a string collision (two merges or a merge and a base
+    * symbol producing the same string — possible, e.g. (ab,c) and
+    * (a,bc) both creating "abc") the SMALLEST id wins, so the map is a
+    * function of the symbol string alone, like every real BPE vocab.
+    * This is to the tokenizer what the PQ codebook is to the ANN tier:
+    * the S6 artifact it ships (reference analogue: the MiniLM tokenizer
+    * implicit in app/generate_embeddings.py:25-50). */
+  final case class BpeModel(k: Int, merges: Seq[(Int, String, String, Long)],
+      vocab: Seq[(String, Int)])
+
+  private val bpeModelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), BpeModel]
+
+  private def bpeSessionKey(s: SparkSession): String =
+    System.identityHashCode(s).toString
+
+  private def bpeArtifactExists(s: SparkSession, p: String): Boolean = {
+    // vocab is written LAST in saveBpeModel, so its _SUCCESS is the
+    // commit marker for the whole artifact
+    val path = new org.apache.hadoop.fs.Path(s"$p/vocab", "_SUCCESS")
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  private[graft] def saveBpeModel(s: SparkSession, m: BpeModel, p: String): Unit = {
+    val ss = s; import ss.implicits._
+    m.merges.toDF("step", "left_sym", "right_sym", "pair_freq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/merges")
+    m.vocab.toDF("sym", "id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/vocab")
+  }
+
+  private[graft] def loadBpeModel(s: SparkSession, p: String, k: Int): BpeModel = {
+    val mg = s.read.parquet(s"$p/merges").orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val vb = s.read.parquet(s"$p/vocab").orderBy(col("id")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    BpeModel(k, mg, vb)
+  }
+
+  private[graft] def fitBpeModel(s: SparkSession, d: String, k: Int): BpeModel = {
+    val (merges, _) = bpeTrain(s, d, k)
+    // the base alphabet is a DISTINCT-code-point collect — bounded by
+    // the corpus alphabet (≤ a few thousand symbols even multilingual),
+    // the same driver-scalar discipline as the centroid/codebook
+    // artifacts
+    val chars = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("ch"))
+      .distinct().collect().map(_.getString(0))
+    val base = (chars.toSeq :+ "</w>").distinct.sortWith(utf8Lt)
+    val ids = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    base.zipWithIndex.foreach { case (c, i) => ids.update(c, i) }
+    merges.foreach { case (step, a, b, _) =>
+      val sym = a + b
+      // first creation wins = smallest id per symbol string (steps ascend)
+      if (!ids.contains(sym)) ids.update(sym, base.length + step - 1)
+    }
+    BpeModel(k, merges, ids.toSeq)
+  }
+
+  /** Train-or-load the tokenizer artifact: cached per (session, dataset,
+    * k) and persisted under `spark.graft.index.dir` as two parquet
+    * relations (merges, vocab) — S6 parity with the PQ codebook. */
+  def bpeModel(s: SparkSession, d: String, k: Int): BpeModel =
+    bpeModelCache.getOrElseUpdate((bpeSessionKey(s), s"$d@k=$k"), {
+      ModelStore.artifactPath(s, "bpe_model", d, s"k=$k") match {
+        case Some(p) if bpeArtifactExists(s, p) => loadBpeModel(s, p, k)
+        case Some(p) => val m = fitBpeModel(s, d, k); saveBpeModel(s, m, p); m
+        case None => fitBpeModel(s, d, k)
+      }
+    })
+
+  /** BPE-encode a document frame with a trained model: `(doc_id,
+    * token_ids ARRAY<INT>, n_tokens)` — the missing half of the
+    * tokenizer (train q186/q192 emits the merge table; this applies it),
+    * the step every training-data pipeline runs right after training.
+    *
+    * Distribution shape: the k-merge chain runs once per DISTINCT word
+    * (the Heaps-law-bounded training-state discipline applied to
+    * inference — never corpus rows) as chained left-to-right
+    * non-overlapping `replace`s, the EXACT contract the trainers use, so
+    * encode(w) is by construction the trainer's final segmentation of w.
+    * Symbols map to ids through the broadcast vocab relation, words
+    * re-assemble to documents keyed by (word position, symbol position):
+    * one bounded word-relation shuffle + one doc-keyed shuffle, both
+    * linear. Unknown symbols (code points absent from the training
+    * alphabet, possible when encoding a different corpus) map to -1, the
+    * documented UNK id. Empty/whitespace-only docs encode to the empty
+    * sequence, not null. */
+  def bpeEncodeDocs(docs: DataFrame, model: BpeModel): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sym0 = concat(lit(" "), concat_ws("  ",
+      concat(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        array(lit("</w>")))), lit(" "))
+    val symk = model.merges.foldLeft(sym0) { case (c, (_, a, b, _)) =>
+      replace(c, lit(s" $a  $b "), lit(s" $a$b ")) }
+    val vocabDf = model.vocab.toDF("tok", "id")
+    val wordIds = docs
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .select(col("word"), posexplode(split(trim(symk), "  ")).as(Seq("sub", "tok")))
+      .join(broadcast(vocabDf), Seq("tok"), "left")
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(struct(col("sub"),
+        coalesce(col("id"), lit(-1)).cast("int").as("tid")))).as("st"))
+      .select(col("word"), expr("transform(st, x -> x.tid)").as("word_ids"))
+    val perDoc = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+      .join(wordIds, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "flatten(transform(sort_array(collect_list(struct(pos, word_ids))), x -> x.word_ids))")
+        .as("token_ids"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("token_ids"), expr("CAST(array() AS ARRAY<INT>)")).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("int"))
+  }
+
+  /** q197: q48's packing twin with REAL token counts — the budget is the
+    * BPE token count from [[bpeEncodeDocs]], not the whitespace proxy
+    * (q48 keeps the proxy as the cheap-estimate form; this is what a
+    * production packer bins by). Same sharded-cumsum rule, same
+    * per-sequence profile. */
+  def packSequencesBpe(s: SparkSession, d: String, budget: Long, k: Int): DataFrame = {
+    val model = bpeModel(s, d, k)
+    val docs = Tables.documents(s, d)
+    val enc = bpeEncodeDocs(docs, model).select(col("doc_id"), col("n_tokens"))
+    packByTokens(
+      docs.select(col("doc_id"), col("source")).join(enc, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens").cast("long").as("n_tok")),
+      budget)
+  }
+
+  /** The vocab-id relation of the q196/q197 oracles, appended to the
+    * training chain: base alphabet ids by binary order, merge-product
+    * ids by step, min-id per symbol string — the SQL replay of
+    * [[fitBpeModel]]. */
+  private def bpeVocabOracle(k: Int): String = {
+    val mt = (1 to k)
+      .map(i => s"SELECT $i AS step, a, b FROM t$i")
+      .mkString("\n        UNION ALL ")
+    s"""chars AS (
+        SELECT DISTINCT unnest(list_transform(range(1, length(word) + 1),
+          i -> word[i])) AS sym
+        FROM w0),
+      base AS MATERIALIZED (
+        SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INTEGER) AS id
+        FROM (SELECT sym FROM chars UNION SELECT '</w>' AS sym)),
+      mt AS ($mt),
+      vocab AS MATERIALIZED (
+        SELECT sym, CAST(min(id) AS INTEGER) AS id FROM (
+          SELECT sym, id FROM base
+          UNION ALL
+          SELECT a || b AS sym,
+            (SELECT CAST(count(*) AS INTEGER) FROM base) + step - 1 AS id
+          FROM mt)
+        GROUP BY sym)"""
+  }
+
+  private def bpeEncodeOracle(k: Int): String =
+    s"""${bpeOracleChain(k)},
+      ${bpeVocabOracle(k)},
+      wt AS MATERIALIZED (
+        SELECT word, string_split(trim(sym), '  ') AS tl FROM w$k),
+      dtok AS (
+        SELECT doc_id, (u.e).w AS word, (u.e).i AS pos FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+            i -> {'w': ws[i], 'i': i})) AS e
+          FROM (SELECT doc_id,
+              string_split_regex(lower(trim(text)), '\\s+') AS ws
+            FROM documents)) u
+        WHERE (u.e).w <> ''),
+      sub AS (
+        SELECT doc_id, pos, (v.e).j AS sub, (v.e).t AS tok FROM (
+          SELECT doc_id, pos, unnest(list_transform(range(1, len(tl) + 1),
+            j -> {'t': tl[j], 'j': j})) AS e
+          FROM dtok JOIN wt USING (word)) v),
+      enc AS (
+        SELECT doc_id,
+          list(coalesce(vv.id, -1) ORDER BY pos, sub) AS tid
+        FROM sub LEFT JOIN vocab vv ON vv.sym = sub.tok
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(len(e.tid), 0) AS INTEGER) AS n_tokens,
+        coalesce(array_to_string(
+          list_transform(e.tid, x -> CAST(x AS VARCHAR)), ','), '') AS token_ids
+      FROM documents d LEFT JOIN enc e USING (doc_id)
+      ORDER BY d.doc_id"""
+
+  private def bpePackOracle(k: Int, budget: Long): String =
+    s"""${bpeOracleChain(k)},
+      wt AS MATERIALIZED (
+        SELECT word,
+          CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS wtok
+        FROM w$k),
+      dw AS (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents),
+      dn AS (
+        SELECT doc_id, CAST(sum(wtok) AS BIGINT) AS n_tok
+        FROM dw JOIN wt USING (word) WHERE word <> '' GROUP BY doc_id),
+      t AS (
+        SELECT d.doc_id, d.source, coalesce(dn.n_tok, 0) AS n_tok,
+          ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+        FROM documents d LEFT JOIN dn USING (doc_id)),
+      c AS (
+        SELECT doc_id, source, shard, n_tok,
+          sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT source, shard,
+        CAST(floor((cum - n_tok) / $budget) AS BIGINT) AS seq_id,
+        count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** q196: the tokenizer APPLY — every doc encoded to its token-id
+    * sequence with the k=6 trained merges (ids stringified for the
+    * cross-engine hash, q135's postings convention; the product API
+    * [[bpeEncodeDocs]] returns the real ARRAY<INT>). */
+  val q196BpeEncode = GraftQuery(
+    "q196_bpe_encode",
+    "LLM-pipeline tokenizer APPLY: BPE-encode the corpus with the trained merge table (k=6)",
+    (s, d) => bpeEncodeDocs(Tables.documents(s, d), bpeModel(s, d, 6))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')")
+          .as("token_ids"))
+      .orderBy(col("doc_id")),
+    Some(bpeEncodeOracle(6)))
+
+  val q197BpePacking = GraftQuery(
+    "q197_bpe_packing",
+    "LLM-pipeline: sequence packing budgeted by REAL BPE token counts (q48 twin)",
+    (s, d) => packSequencesBpe(s, d, budget = 2048L, k = 6),
+    Some(bpePackOracle(6, 2048L)))
+
+  // ---------------------------------------------------------------------
   // q182: repetition-based quality filter (the Gopher rules)
   // ---------------------------------------------------------------------
 
@@ -2868,5 +3142,5 @@ object TextAnalysis {
     q139GroupOutliers, q140Cooccurrence, q141Bm25, q142Triangles,
     q147PrioritySample, q148RetrievalEval, q182RepetitionFilter,
     q184MixtureSample, q185StreamedMixture, q186BpeMerges, q187BpeSubwords,
-    q192BpeMergesK64)
+    q192BpeMergesK64, q196BpeEncode, q197BpePacking)
 }

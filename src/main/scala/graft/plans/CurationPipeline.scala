@@ -40,7 +40,7 @@ import graft.operators.{Dedup, QualityFilter, TextAnalysis}
   */
 object CurationPipeline {
 
-  private def toksOf(c: Column): Column = split(lower(trim(c)), "\\s+")
+  private[graft] def toksOf(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** md5-bucket of a long id/cluster into [0, 100) — the q76/q183
     * split convention. */
@@ -50,9 +50,97 @@ object CurationPipeline {
 
   /** 60-bit md5-derived row key over `parts` joined with chr(1) — the
     * q130 fingerprint convention. */
-  private def rowKey(parts: Column*): Column =
+  private[graft] def rowKey(parts: Column*): Column =
     conv(substring(md5(concat_ws("\u0001", parts.map(_.cast("string")): _*)
       .cast("binary")), 1, 15), 16, 10).cast("long")
+
+  // -------------------------------------------------------------------
+  // The stage computations as pure frame transforms — ONE definition
+  // shared by the staged batch runner (runStages wraps each in the
+  // `_DONE` stage cache) and the streamed twin (StreamingJobs
+  // .applyCurationBatch maintains the gate incrementally; the suffix
+  // derives from the committed state at read time), so the two forms
+  // cannot drift apart semantically.
+  // -------------------------------------------------------------------
+
+  /** Gate stage: q46 heuristics + exact content dedup (richest copy per
+    * content fingerprint survives). The heuristic gates are
+    * per-document and the per-fp keep-richest is an associative argmax,
+    * so gate(A ∪ B) = gate(gate(A) ∪ B) — the property that makes the
+    * streamed twin's incremental merge exact under ANY arrival order. */
+  private[graft] def gateStage(s0: DataFrame): DataFrame =
+    s0.join(TextAnalysis.corpusGateDeduped(s0).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  /** Sketch near-dup dedup (q59, J >= 0.8 drops the higher id). */
+  private[graft] def sketchDedupStage(s1c: DataFrame): DataFrame =
+    s1c.join(Dedup.verifiedPairsFrame(s1c, threshold = 0.8)
+      .select(col("id2").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
+  /** Substring excision (the destructive half of q161/q162). */
+  private[graft] def exciseStage(s2: DataFrame): DataFrame =
+    Dedup.exciseSpansFrame(s2, n = 5, minLen = 20, maxOcc = 100)
+
+  /** Eval decontamination (q109/q133 semantics: md5 bucket >= 90 is the
+    * held-out benchmark; it and every doc sharing an 8-shingle with it
+    * leave the corpus). */
+  private[graft] def decontaminateStage(s3: DataFrame): DataFrame = {
+    val keyed = s3.withColumn("b", bucket100(col("doc_id")))
+    val sh = keyed
+      .select(col("doc_id"), col("b"), toksOf(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("b"),
+        explode(graft.functions.SketchFunctions.shingleArray(col("t"), 8)).as("sgl"))
+    val bench = sh.filter(col("b") >= 90).select(col("sgl")).distinct()
+    val hit = sh.filter(col("b") < 90)
+      .join(bench, Seq("sgl"), "left_semi")
+      .select(col("doc_id")).distinct()
+    keyed.filter(col("b") < 90)
+      .join(hit, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+  }
+
+  /** Leakage-safe split (q183: cluster-atomic 80/10/10). */
+  private[graft] def splitStage(s4: DataFrame): DataFrame = {
+    val clusters = Dedup.dupClusterFrame(s4, threshold = 0.8)
+      .withColumn("b5", bucket100(col("cluster_id")))
+      .select(col("doc_id"),
+        when(col("b5") < 80, "train").when(col("b5") < 90, "val")
+          .otherwise("test").as("split"))
+    s4.join(clusters, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("split"))
+  }
+
+  /** Temperature mixture draw over the train split (q184, α = 1/2). */
+  private[graft] def mixtureStage(s5: DataFrame, budget: Int): DataFrame = {
+    val train = s5.filter(col("split") === "train")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    train.join(TextAnalysis.temperatureMixtureSample(
+        train, "source", "doc_id", budget).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+  }
+
+  /** Sequence packing (q48, 512-token budget). */
+  private[graft] def packStage(s6: DataFrame): DataFrame =
+    TextAnalysis.packSequences(s6, budget = 512L)
+
+  /** The deterministic post-gate chain over an s1-shaped frame, in
+    * manifest order. `checkpoint` eagerly truncates lineage between
+    * stages (the batch runner materializes through the stage cache
+    * instead). */
+  private[graft] def suffixStages(s1c: DataFrame, budget: Int,
+      checkpoint: Boolean): Seq[(String, DataFrame)] = {
+    def cp(df: DataFrame) = if (checkpoint) df.localCheckpoint(true) else df
+    val s2 = cp(sketchDedupStage(s1c))
+    val s3 = cp(exciseStage(s2))
+    val s4 = cp(decontaminateStage(s3))
+    val s5 = cp(splitStage(s4))
+    val s6 = cp(mixtureStage(s5, budget))
+    val s7 = cp(packStage(s6))
+    Seq("sketch_dedup" -> s2, "excise" -> s3, "decontaminate" -> s4,
+      "split" -> s5, "mixture" -> s6, "pack" -> s7)
+  }
 
   /** One manifest row over a doc-shaped stage output. */
   private def docManifestRow(ord: Int, name: String, docs: DataFrame,
@@ -72,60 +160,29 @@ object CurationPipeline {
   def runStages(s: SparkSession, d: String, workDir: String,
       withClassifier: Boolean, budget: Int): Seq[(String, DataFrame)] = {
     val pipe = new Pipeline(s, workDir)
+    // the stage cache is keyed by stage NAME only, so every run
+    // parameter that changes a stage's content is folded into the
+    // names: stages downstream of the classifier fork carry the gate
+    // tag, mixture/pack additionally carry the budget — a resume
+    // against the same persistent workDir with different parameters
+    // misses the cache instead of silently serving another run's
+    // committed stages.
+    val gateTag = if (withClassifier) "clf" else "hx"
     val s0 = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val s1 = pipe.stage("s1_gate") {
-      s0.join(TextAnalysis.corpusGateDeduped(s0).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-    }
+    val s1 = pipe.stage("s1_gate") { gateStage(s0) }
     val s1c =
       if (!withClassifier) s1
       else pipe.stage("s1c_classifier") {
         s1.join(QualityFilter.scored(s, d).filter(col("keep") === 1)
           .select(col("doc_id")), Seq("doc_id"), "left_semi")
       }
-    val s2 = pipe.stage("s2_sketch_dedup") {
-      s1c.join(Dedup.verifiedPairsFrame(s1c, threshold = 0.8)
-        .select(col("id2").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-    }
-    val s3 = pipe.stage("s3_excise") {
-      Dedup.exciseSpansFrame(s2, n = 5, minLen = 20, maxOcc = 100)
-    }
-    val s4 = pipe.stage("s4_decontaminate") {
-      val keyed = s3.withColumn("b", bucket100(col("doc_id")))
-      val sh = keyed
-        .select(col("doc_id"), col("b"), toksOf(col("text")).as("t"))
-        .filter(size(col("t")) >= 8)
-        .select(col("doc_id"), col("b"),
-          explode(graft.functions.SketchFunctions.shingleArray(col("t"), 8)).as("sgl"))
-      val bench = sh.filter(col("b") >= 90).select(col("sgl")).distinct()
-      val hit = sh.filter(col("b") < 90)
-        .join(bench, Seq("sgl"), "left_semi")
-        .select(col("doc_id")).distinct()
-      keyed.filter(col("b") < 90)
-        .join(hit, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    }
-    val s5 = pipe.stage("s5_split") {
-      val clusters = Dedup.dupClusterFrame(s4, threshold = 0.8)
-        .withColumn("b5", bucket100(col("cluster_id")))
-        .select(col("doc_id"),
-          when(col("b5") < 80, "train").when(col("b5") < 90, "val")
-            .otherwise("test").as("split"))
-      s4.join(clusters, Seq("doc_id"))
-        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("split"))
-    }
-    val s6 = pipe.stage("s6_mixture") {
-      val train = s5.filter(col("split") === "train")
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      train.join(TextAnalysis.temperatureMixtureSample(
-          train, "source", "doc_id", budget).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-    }
-    val s7 = pipe.stage("s7_pack") {
-      TextAnalysis.packSequences(s6, budget = 512L)
-    }
+    val s2 = pipe.stage(s"s2_sketch_dedup_$gateTag") { sketchDedupStage(s1c) }
+    val s3 = pipe.stage(s"s3_excise_$gateTag") { exciseStage(s2) }
+    val s4 = pipe.stage(s"s4_decontaminate_$gateTag") { decontaminateStage(s3) }
+    val s5 = pipe.stage(s"s5_split_$gateTag") { splitStage(s4) }
+    val s6 = pipe.stage(s"s6_mixture_${gateTag}_b$budget") { mixtureStage(s5, budget) }
+    val s7 = pipe.stage(s"s7_pack_${gateTag}_b$budget") { packStage(s6) }
     Seq("input" -> s0, "gate" -> s1) ++
       (if (withClassifier) Seq("classifier" -> s1c) else Nil) ++
       Seq("sketch_dedup" -> s2, "excise" -> s3, "decontaminate" -> s4,
@@ -134,7 +191,33 @@ object CurationPipeline {
 
   /** The manifest relation over a completed stage chain. */
   def manifest(stages: Seq[(String, DataFrame)]): DataFrame =
-    stages.zipWithIndex.map { case ((name, df), ord) =>
+    manifestRows(stages, 0).orderBy(col("ord"))
+
+  /** Manifest over the streamed twin's committed state
+    * (StreamingJobs.applyCurationBatch): the input row from the
+    * set-deduped (doc_id, n_tok, rk) counters, the gate row from the
+    * incrementally-maintained s1 survivor relation, and the suffix
+    * derived by the SAME stage transforms the batch runner
+    * materializes — so the drained-state manifest equals the one-shot
+    * q193 manifest exactly. */
+  private[graft] def manifestFromState(state: DataFrame, budget: Int): DataFrame = {
+    val inRow = state.filter(col("rel") === "in")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"),
+        coalesce(expr("bit_xor(rk)"), lit(0L)).as("fp"))
+      .select(lit(0).as("ord"), lit("input").as("stage"),
+        col("n_rows"), col("n_tokens"), col("fp"))
+    val s1 = state.filter(col("rel") === "s1")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint(true)
+    val rest = manifestRows(
+      Seq("gate" -> s1) ++ suffixStages(s1, budget, checkpoint = true), 1)
+    inRow.unionByName(rest).orderBy(col("ord"))
+  }
+
+  private def manifestRows(stages: Seq[(String, DataFrame)], off: Int): DataFrame =
+    stages.zipWithIndex.map { case ((name, df), i) =>
+      val ord = i + off
       name match {
         case "split" => docManifestRow(ord, name, df, extraKey = Seq("split"))
         case "pack" => df
@@ -390,5 +473,43 @@ object CurationPipeline {
     (s, d) => runManifest(s, d, withClassifier = true, budget = 60),
     None)
 
-  def queries: Seq[GraftQuery] = Seq(q193CurationPipeline, q194CurationPipelineClf)
+  /** The streamed twin driven to drain over `nBatches` doc_id-mod
+    * slices — deliberately NOT ascending id ranges: the state contract
+    * (StreamingJobs.applyCurationBatch) is exact under ANY arrival
+    * order, unlike the q69 incremental-dedup family's ascending-id
+    * precondition — then the manifest derived from the drained state. */
+  def streamedManifest(s: SparkSession, d: String, nBatches: Int,
+      budget: Int): DataFrame = {
+    require(nBatches >= 1)
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_cur_stream").toString
+    try {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      (0 until nBatches).foreach { i =>
+        graft.streaming.StreamingJobs.applyCurationBatch(s,
+          docs.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          i.toLong, stateDir)
+      }
+      graft.streaming.StreamingJobs.latestCurationManifest(s, stateDir, budget)
+        .get._2.localCheckpoint(true)
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    }
+  }
+
+  /** q198: the composed pipeline's STREAMED twin (the eighth
+    * streamed/batch pairing) — per-batch incremental gate state on the
+    * versioned batchId-idempotent contract, read-time manifest, carried
+    * q193 oracle: the drained-state manifest must hash-match the same
+    * chained DuckDB replay the batch form does. */
+  val q198StreamedCuration = GraftQuery(
+    "q198_streamed_curation",
+    "LLM-pipeline COMPOSED + streaming: incremental curation state, drained manifest == q193",
+    (s, d) => streamedManifest(s, d, nBatches = 3, budget = 60),
+    Some(manifestOracle))
+
+  def queries: Seq[GraftQuery] =
+    Seq(q193CurationPipeline, q194CurationPipelineClf, q198StreamedCuration)
 }

@@ -511,14 +511,30 @@ object StreamingJobs {
     * see — is a no-op (StreamingSpec gates it). Consumers join on
     * j ∈ [0, depth), so marker rows are invisible to every probe.
     *
-    * Remaining PRECONDITION: a batch that re-delivers a strict SUBSET
-    * of a committed batch's documents is indistinguishable from new
-    * data and still inflates cells — additivity is the design. Dedup
-    * upstream when the source re-slices batches (the applySampleBatch
-    * set-union pattern over doc_ids). */
+    * Fingerprint caveats: XOR of 64-bit hashes is a weak SET signature
+    * — two genuinely different same-size id-sets can collide (any ids
+    * whose hashes XOR equal), in which case new data is silently
+    * dropped as "already folded"; negligible for organic ids
+    * (~2^-64 per candidate pair) but it is a silent-loss mode, and the
+    * marker relation grows one row per folded batch forever (the cells
+    * stay ≤ depth×width; compact markers out-of-band if batch counts
+    * reach millions). Both caveats — and the strict-SUBSET redelivery
+    * below — vanish under `dedupIds`.
+    *
+    * `dedupIds = false` (default) PRECONDITION: a batch that
+    * re-delivers a strict SUBSET of a committed batch's documents is
+    * indistinguishable from new data and still inflates cells —
+    * additivity is the design. `dedupIds = true` closes it exactly:
+    * incoming rows route through a set-union id state (the
+    * [[applySampleBatch]] pattern) — rows whose `idCol` (numeric,
+    * stored as `j = -2` state rows) was ever folded are dropped before
+    * the sketch fold, so ANY overlap pattern is a no-op at the cost of
+    * O(#docs-ever) extra state rows (at 100 TB keep that relation as a
+    * bucketed table or a Bloom front like q133 and accept its FP
+    * rate). */
   def applyCmsBatch(spark: SparkSession, batch: DataFrame, textCol: String,
       batchId: Long, depth: Int, width: Int, stateDir: String,
-      idCol: String = "doc_id"): Boolean = {
+      idCol: String = "doc_id", dedupIds: Boolean = false): Boolean = {
     val fp = batch.agg(
       coalesce(expr(s"bit_xor(xxhash64(`$idCol`))"), lit(0L)).as("x"),
       count(lit(1)).as("n")).head()
@@ -529,17 +545,31 @@ object StreamingJobs {
     }
     if (alreadyFolded) return false
     withStateVersion(spark, stateDir, batchId) { prev =>
-      val delta = graft.operators.TextAnalysis.cmsCells(batch, textCol, depth, width)
+      val fresh =
+        if (!dedupIds) batch
+        else prev match {
+          case Some(p) => batch.join(
+            p.filter(col("j") === -2).select(col("cell").as(idCol)),
+            Seq(idCol), "left_anti")
+          case None => batch
+        }
+      val delta = graft.operators.TextAnalysis.cmsCells(fresh, textCol, depth, width)
       val marker = spark.range(1).select(
         lit(-1).as("j"), lit(x).as("cell"), lit(nrows).as("cnt"))
+      val idRows =
+        if (!dedupIds) marker.limit(0)
+        else fresh.select(lit(-2).as("j"),
+          col(idCol).cast("long").as("cell"), lit(0L).as("cnt")).distinct()
       prev match {
         case Some(p) => p.filter(col("j") >= 0).unionByName(delta)
           .groupBy(col("j"), col("cell")).agg(sum(col("cnt")).as("cnt"))
-          // markers ride along OUTSIDE the sum (distinct payloads may
-          // collide on (j, cell) but must stay distinct rows)
-          .unionByName(p.filter(col("j") === -1))
+          // markers and id rows ride along OUTSIDE the sum (distinct
+          // payloads may collide on (j, cell) but must stay distinct
+          // rows; id rows are already distinct)
+          .unionByName(p.filter(col("j") < 0))
           .unionByName(marker)
-        case None => delta.unionByName(marker)
+          .unionByName(idRows)
+        case None => delta.unionByName(marker).unionByName(idRows)
       }
     }
   }
@@ -892,6 +922,84 @@ object StreamingJobs {
       .queryName(sinkName)
       .format("memory")
       .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Merge one micro-batch of raw documents into the persistent
+    * curation-pipeline state, exactly once per batchId (the
+    * [[applyAggBatch]] versioned contract). State is TWO relations in
+    * one parquet, discriminated by `rel`:
+    *   'in' — (doc_id, n_tok, rk): the input-manifest counters,
+    *     SET-deduped by doc_id, so overlapping at-least-once redelivery
+    *     is a no-op (not just exact replays, unlike the additive CMS);
+    *   's1' — the accumulated post-gate survivor corpus, merged as
+    *     gate(prev ∪ batch): exact because the heuristic gates are
+    *     per-document and the content-fp keep-richest is an associative
+    *     argmax ([[graft.plans.CurationPipeline.gateStage]]) — the
+    *     committed state equals the batch pipeline's s1 over everything
+    *     seen, under ANY arrival order and ANY redelivery overlap.
+    * The global suffix (near-dup, excision, decontamination, split,
+    * mixture, pack) is DERIVED from the committed gate state on read
+    * ([[latestCurationManifest]]): those stages are corpus-global by
+    * semantics — a later-arriving benchmark doc decontaminates an
+    * earlier survivor, a later near-dup evicts one — so per-trigger
+    * "incremental" maintenance would recompute state-sized relations
+    * anyway; deriving on read keeps per-trigger cost at the two
+    * state+batch merges and still yields the exact batch manifest
+    * (StreamingSpec proves drained == q193 plus replay AND overlap
+    * idempotency). At 100 TB the s1 state is a bucketed table merged by
+    * content-fp delta instead of a full rewrite; the read-time suffix
+    * is the same compute the batch pipeline runs from its s1 stage. */
+  def applyCurationBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, stateDir: String): Boolean =
+    withStateVersion(spark, stateDir, batchId, coalesceOne = false) { prev =>
+      import graft.plans.CurationPipeline
+      val b = batch.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val inDelta = b.select(lit("in").as("rel"), col("doc_id"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("source"),
+        size(CurationPipeline.toksOf(col("text"))).cast("long").as("n_tok"),
+        CurationPipeline.rowKey(col("doc_id"), col("text")).as("rk"))
+      val mergedIn = prev.map(_.filter(col("rel") === "in"))
+        .getOrElse(inDelta.limit(0))
+        .unionByName(inDelta).dropDuplicates("doc_id")
+      val prevS1 = prev.map(_.filter(col("rel") === "s1")
+          .select(col("doc_id"), col("text"), col("lang"), col("source")))
+        .getOrElse(b.limit(0))
+      val s1 = CurationPipeline.gateStage(
+        prevS1.unionByName(b).dropDuplicates("doc_id"))
+      mergedIn.unionByName(
+        s1.select(lit("s1").as("rel"), col("doc_id"), col("text"),
+          col("lang"), col("source"),
+          lit(null).cast("long").as("n_tok"),
+          lit(null).cast("long").as("rk")))
+    }
+
+  /** The q193 manifest over everything the curation state has folded so
+    * far — derived from the latest committed version; None before any
+    * batch. */
+  def latestCurationManifest(spark: SparkSession, stateDir: String,
+      budget: Int): Option[(Long, DataFrame)] =
+    latestAggState(spark, stateDir).map { case (bid, st) =>
+      (bid, graft.plans.CurationPipeline.manifestFromState(st, budget)) }
+
+  /** Streaming curation maintenance: document files arriving as a
+    * stream keep the composed-pipeline state current, one
+    * [[applyCurationBatch]] merge per micro-batch; read the manifest
+    * any time with [[latestCurationManifest]]. */
+  def runStreamingCuration(spark: SparkSession, streamDir: String,
+      stateDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCurationBatch(spark, batch, batchId, stateDir); ()
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -78,7 +78,12 @@ object AnnScaleRehearsal {
       // node queries, so this is the N·nprobe·(N/cells) edge substrate —
       // the exact twin (q163) is N² and inadmissible at factor×, which
       // is exactly the point of registering the ANN form
-      "graph_degree_ann" -> (d => graft.Registry.byName("q188_ann_graph_degree").run(spark, d)))
+      "graph_degree_ann" -> (d => graft.Registry.byName("q188_ann_graph_degree").run(spark, d)),
+      // q190's threshold-graph build + k-core peel: candidate volume is
+      // Σ|cell|² at the √N cell count — the one round-8 substrate
+      // without its own rehearsal row; cell balance (which that bound
+      // is only as good as) is reported separately below
+      "kcore_ann" -> (d => graft.Registry.byName("q190_ann_kcore").run(spark, d)))
 
     Tables.embeddings(spark, baseDir).count() // JIT/codegen warm-up
 
@@ -126,6 +131,54 @@ object AnnScaleRehearsal {
     val recall = (ivf & exact).size.toDouble / exact.size
     println(f"[ann-rehearsal] ivf_auto_recall@2 = $recall%.4f")
     out.append(f""""x$factor/ivf_auto_recall":$recall%.4f""").append(",")
+
+    // --- quantizer cell balance at factor× — the Σ|cell|² candidate
+    // bound of the q190 threshold graph is only as good as this: a
+    // perfectly balanced √N quantizer gives Σ|cell|² = N·√N; skew
+    // multiplies it by (max/mean)-ish. Report the measured ratio.
+    {
+      val sizes = graft.operators.Ann.ivfIndexFull(spark, work).assigned
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+        .select(col("n")).collect().map(_.getLong(0))
+      val n = sizes.sum
+      val cells = sizes.length
+      val sumSq = sizes.map(s => s * s).sum
+      val balancedSumSq = n.toDouble * n / cells // N·(N/cells) if uniform
+      val line = f""""x$factor/cell_balance":{"cells":$cells,"max_cell":${sizes.max},""" +
+        f""""mean_cell":${n.toDouble / cells}%.1f,"sum_sq":$sumSq,""" +
+        f""""skew_vs_balanced":${sumSq / balancedSumSq}%.2f}"""
+      println(s"[ann-rehearsal] $line")
+      out.append(line).append(",")
+    }
+
+    // --- NN-Descent sensitivity sweep (opt-in: 4th arg "sweep") —
+    // recall measured at 1× against the exact N² edge build (feasible
+    // there), wall measured at factor× where the exact build is not:
+    // the two knobs (rounds, width) ship with measured guidance.
+    if (args.length > 3 && args(3) == "sweep") {
+      val exactEdges = graft.operators.Graph.knnEdges(spark, baseDir, k = 5)
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val grid = Seq((1, 3), (2, 3), (3, 3), (2, 2), (2, 4))
+      grid.foreach { case (rounds, width) =>
+        spark.conf.set("spark.graft.nndescent.rounds", rounds.toString)
+        spark.conf.set("spark.graft.nndescent.width", width.toString)
+        val ann = graft.operators.Graph.annKnnEdges(spark, baseDir, k = 5)
+          .select(col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (ann & exactEdges).size.toDouble / exactEdges.size
+        m.reset()
+        val t0 = System.nanoTime()
+        graft.operators.Graph.annKnnEdges(spark, work, k = 5).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val line = f""""sweep/r${rounds}_w$width":{"recall_1x":$recall%.4f,""" +
+          f""""sec_x$factor":$sec%.1f,"shuffle_read_mb":${m.sr.get / 1e6}%.1f}"""
+        println(s"[ann-rehearsal] $line")
+        out.append(line).append(",")
+      }
+      spark.conf.unset("spark.graft.nndescent.rounds")
+      spark.conf.unset("spark.graft.nndescent.width")
+    }
 
     val json = out.dropRight(1).append("}").toString
     java.nio.file.Files.writeString(

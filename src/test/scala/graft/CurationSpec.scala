@@ -144,7 +144,11 @@ class CurationSpec extends SparkSpec {
   private def refBpe(words: Seq[(String, Long)], k: Int)
       : (Seq[(Int, String, String, Long)], Seq[(Vector[String], Long)]) = {
     var vocab: Seq[(Vector[String], Long)] =
-      words.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>") -> c }
+      // code-point split (not UTF-16 units), matching Spark/DuckDB
+      words.map { case (w, c) =>
+        (w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))).toVector :+ "</w>") -> c
+      }
     val out = Seq.newBuilder[(Int, String, String, Long)]
     for (step <- 1 to k) {
       val counts = scala.collection.mutable.Map[(String, String), Long]()
@@ -207,7 +211,12 @@ class CurationSpec extends SparkSpec {
     val corpus = Seq(
       (1L, "low low low lower lower", "s"),
       (2L, "newest newest newest widest widest abab abab abab", "s"),
-      (3L, "abab aaa aaa low newest", "s"))
+      (3L, "abab aaa aaa low newest", "s"),
+      // non-BMP (supplementary-plane) symbols: Spark/DuckDB split words
+      // by CODE POINT, so the local trainer must too — a UTF-16-unit
+      // split would hand it lone-surrogate symbols here and the three
+      // trainers would diverge (the stats routing must be invisible)
+      (4L, "🦙ab 🦙ab 🦙ab 🦙z", "s"))
     val docs = Tables.documents(spark, docsDir(corpus))
     val (batched, _) = TextAnalysis.bpeTrainBatched(docs, 20)
     val (sequential, _) = TextAnalysis.bpeTrainSequential(docs, 20)
@@ -223,5 +232,71 @@ class CurationSpec extends SparkSpec {
     val (local, _) = TextAnalysis.bpeTrainLocalArr(words, 20)
     assert(local == sequential,
       s"local loop diverged:\n local      $local\n sequential $sequential")
+  }
+
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0
+
+  test("q196 BPE encode equals the reference segmentation and round-trips to the text") {
+    val corpus = Seq(
+      (1L, "low low low lower lower", "s"),
+      (2L, "newest newest widest abab 🦙ab 🦙ab", "s"),
+      (3L, "   ", "s"), // whitespace-only doc -> EMPTY sequence, not null
+      (4L, "abab aaa low", "s"))
+    val dir = docsDir(corpus)
+    val k = 8
+    val model = TextAnalysis.bpeModel(spark, dir, k)
+    // the vocab is a function of the symbol string: distinct syms, distinct ids
+    assert(model.vocab.map(_._1).distinct.size == model.vocab.size)
+    assert(model.vocab.map(_._2).distinct.size == model.vocab.size)
+
+    // expected ids from the single-threaded reference: base alphabet
+    // (code points + </w>) in UTF-8-binary order, then merge products
+    val docWords = corpus.map { case (id, t, _) =>
+      id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val wordCounts = docWords.values.flatten.toSeq.groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }.toSeq
+    val (refMerges, refVocab) = refBpe(wordCounts, k)
+    val base = wordCounts.flatMap(_._1.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))).distinct
+      .:+("</w>").sortWith(utf8Lt)
+    val ids = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    base.zipWithIndex.foreach { case (c, i) => ids.update(c, i) }
+    refMerges.foreach { case (step, a, b, _) =>
+      if (!ids.contains(a + b)) ids.update(a + b, base.length + step - 1) }
+    assert(model.vocab.toMap == ids.toMap,
+      s"vocab diverged:\n got ${model.vocab.sortBy(_._2)}\n ref ${ids.toSeq.sortBy(_._2)}")
+    // refBpe keeps vocab aligned with the words seq it was given
+    val wordToSyms = wordCounts.map(_._1).zip(refVocab.map(_._1)).toMap
+    val expected = docWords.map { case (id, ws) =>
+      id -> ws.flatMap(w => wordToSyms(w)).map(ids(_)).toList }
+
+    val enc = TextAnalysis.bpeEncodeDocs(Tables.documents(spark, dir), model)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Int]]("token_ids").toList,
+        r.getAs[Int]("n_tokens"))).toSeq.sortBy(_._1)
+    assert(enc.map(_._1) == corpus.map(_._1), "every doc must encode")
+    enc.foreach { case (id, tids, n) =>
+      assert(n == tids.length)
+      assert(tids == expected(id), s"doc $id: got $tids expected ${expected(id)}")
+    }
+    // round-trip: decode via the reversed vocab; </w> re-separates words
+    val toSym = model.vocab.map { case (sym, i) => i -> sym }.toMap
+    enc.foreach { case (id, tids, _) =>
+      val decoded = tids.map(toSym).mkString
+        .split("</w>", -1).toSeq.filter(_.nonEmpty)
+      assert(decoded == docWords(id), s"doc $id round-trip: $decoded")
+    }
+    // determinism + artifact round-trip (the S6 contract)
+    val again = TextAnalysis.bpeEncodeDocs(Tables.documents(spark, dir), model)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Int]]("token_ids").toList)).toSeq.sortBy(_._1)
+    assert(again == enc.map(t => (t._1, t._2)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_art").toString
+    TextAnalysis.saveBpeModel(spark, model, tmp)
+    val loaded = TextAnalysis.loadBpeModel(spark, tmp, k)
+    assert(loaded.merges == model.merges && loaded.vocab.toMap == model.vocab.toMap,
+      "persisted tokenizer artifact did not round-trip")
   }
 }

@@ -46,6 +46,30 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("fixed-point PageRank repairs deficient out-degree: mass invariant holds, k-regular input untouched") {
+    // drop every out-edge of one node and one edge of another — the
+    // ANN-tier deficiency shape (probed cells holding < k candidates).
+    // Without the self-loop repair both leak rank mass and the exact
+    // invariant breaks.
+    val victims = nodes.limit(2).collect().map(_.getLong(0))
+    val deficient = edges
+      .filter(!(col("src") === victims(0)))
+      .filter(!(col("src") === victims(1) && col("dst") === edges
+        .filter(col("src") === victims(1)).select(col("dst"))
+        .head.getLong(0)))
+    val scaled = Graph.pageRankScaled(nodes, deficient, k = 5, iters = 5)
+    val mass = scaled.agg(sum(col("r"))).head.getLong(0)
+    val denom = n * 100L * 100L * 100L * 100L * 100L
+    assert(mass === denom,
+      s"deficient-degree mass $mass != n*(20k)^5 $denom — repair leaked")
+    // the repair is self-loops, not edge restoration: the state must
+    // genuinely differ from the full-edge ranking
+    val full = Graph.pageRankScaled(nodes, edges, k = 5, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rep = scaled.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full != rep, "repair silently reconstructed the dropped edges?")
+  }
+
   test("power iteration converges: L1 residual shrinks geometrically") {
     def ranksAt(i: Int): Map[Long, Double] =
       Graph.pageRank(nodes, edges, k = 5, iters = i, damping = 0.85)

@@ -28,4 +28,29 @@ class MultimodalSpec extends SparkSpec {
     catch { case _: Throwable => None }
     assert(decoded.isEmpty, "truncated PNG decoded — codec is not real")
   }
+
+  test("q199 payloads are genuine WAV: RIFF/WAVE header, container overhead, decodable format") {
+    val rows = Multimodal.encodeWav(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val wav = r.getAs[Array[Byte]]("wav")
+      // RIFF container: 'RIFF' at 0, 'WAVE' at 8
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF", "missing RIFF magic")
+      assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE", "missing WAVE tag")
+      assert(wav.length > 16, "16 raw PCM bytes can't fit a real WAV container")
+      // header round-trips the declared format, not a passthrough guess
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val f = ais.getFormat
+      assert(f.getChannels == 2 && f.getSampleSizeInBits == 16
+        && f.getSampleRate == 8000f && !f.isBigEndian, s"format drifted: $f")
+    }
+    // a headerless payload must fail to parse — the reader is a codec
+    val broken = rows.head.getAs[Array[Byte]]("wav").drop(12)
+    val parsed = try {
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(broken)); true
+    } catch { case _: Throwable => false }
+    assert(!parsed, "headerless WAV parsed — codec is not real")
+  }
 }

@@ -48,24 +48,24 @@ class PipelineSpec extends SparkSpec {
       CurationPipeline.runStages(spark, sfTiny, work, withClassifier = false,
         budget = 60)).collect().map(_.toSeq).toSeq
     assert(m1.size == 8, s"expected 8 stage rows, got ${m1.size}")
-    val (t1Gate, t1Split) = (mtime("s1_gate"), mtime("s5_split"))
+    val (t1Gate, t1Split) = (mtime("s1_gate"), mtime("s5_split_hx"))
     // full re-run: every stage served from the cache, manifest identical
     val m2 = CurationPipeline.manifest(
       CurationPipeline.runStages(spark, sfTiny, work, withClassifier = false,
         budget = 60)).collect().map(_.toSeq).toSeq
     assert(m2 == m1, "cached re-run changed the manifest")
-    assert(mtime("s1_gate") == t1Gate && mtime("s5_split") == t1Split,
+    assert(mtime("s1_gate") == t1Gate && mtime("s5_split_hx") == t1Split,
       "cached re-run rewrote a committed stage")
     // crash recovery: invalidate a mid-chain stage, resume — only the
     // invalidated stage is recomputed (downstream stages are still
     // committed and content-identical, so their caches stay valid)
-    new graft.plans.Pipeline(spark, work).invalidate("s5_split")
+    new graft.plans.Pipeline(spark, work).invalidate("s5_split_hx")
     val m3 = CurationPipeline.manifest(
       CurationPipeline.runStages(spark, sfTiny, work, withClassifier = false,
         budget = 60)).collect().map(_.toSeq).toSeq
     assert(m3 == m1, "resume after invalidate changed the manifest")
     assert(mtime("s1_gate") == t1Gate, "resume recomputed an upstream stage")
-    assert(mtime("s5_split") > t1Split, "invalidated stage was not recomputed")
+    assert(mtime("s5_split_hx") > t1Split, "invalidated stage was not recomputed")
   }
 
   test("curation pipeline with the classifier stage on: 9 rows, monotone counts") {

@@ -294,6 +294,21 @@ class PlanSpec extends SparkSpec {
       s"q156 still windows (probe or top-k):\n$plan")
   }
 
+  test("q191 SQ8-under-IVF shortlist is window-free (bounded partial top-k heaps)") {
+    // round-8 graded-weak plan: the compressed-domain shortlist used a
+    // row_number window over the full nprobe·N/cells candidate relation.
+    // Both the shortlist and the exact-refine tail must now run through
+    // the TopKAggregator partial->final heap — no Window anywhere.
+    val df = Registry.byName("q191_sq8_ivf_knn").run(spark, sfTiny)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q191 still sorts candidates behind a window:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topkaggregator")
+      || plan.toLowerCase.contains("partial_topkagg"),
+      s"no partial top-k aggregation in the q191 shortlist:\n$plan")
+  }
+
   test("q163 k-NN graph builds edges window-free (partial top-k heaps)") {
     val df = Registry.byName("q163_knn_graph_degree").run(spark, sfTiny)
     df.count()

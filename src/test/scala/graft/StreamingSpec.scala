@@ -549,6 +549,80 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("applyCmsBatch dedupIds: strict-subset redelivery folds nothing; new docs still fold") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_cms_dedup").toString
+    try {
+      val docs = Tables.documents(spark, sfTiny).filter(col("doc_id") < 30)
+      assert(StreamingJobs.applyCmsBatch(spark, docs, "text", 0L, 4, 256,
+        stateDir, dedupIds = true))
+      def cells(): Set[(Int, Long, Long)] =
+        StreamingJobs.latestAggState(spark, stateDir).get._2
+          .filter(col("j") >= 0)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val once = cells()
+      // a strict SUBSET of batch 0 under a NEW batchId: the payload
+      // fingerprint differs (different size), so only the id set-union
+      // state can stop the inflation — the documented precondition of
+      // the default mode, closed here
+      assert(StreamingJobs.applyCmsBatch(spark,
+        docs.filter(col("doc_id") < 10), "text", 1L, 4, 256,
+        stateDir, dedupIds = true))
+      assert(cells() == once, "subset redelivery inflated cells")
+      // a MIXED batch (overlap + genuinely new docs): only the new fold
+      val mixed = Tables.documents(spark, sfTiny)
+        .filter(col("doc_id") >= 20 && col("doc_id") < 40)
+      assert(StreamingJobs.applyCmsBatch(spark, mixed, "text", 2L, 4, 256,
+        stateDir, dedupIds = true))
+      val oneShot = operators.TextAnalysis.cmsCells(
+          Tables.documents(spark, sfTiny).filter(col("doc_id") < 40),
+          "text", 4, 256)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(cells() == oneShot,
+        "dedupIds state diverges from the exactly-once one-shot sketch")
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    }
+  }
+
+  test("streamed curation state: drained manifest == batch q193; replay AND overlap are no-ops") {
+    import graft.plans.CurationPipeline
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_cur_state").toString
+    val work = java.nio.file.Files.createTempDirectory("graft_cur_batch").toString
+    try {
+      val docs = Tables.documents(spark, sfTiny)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      // mod-slices, NOT ascending ranges: the gate-state contract is
+      // order-independent, unlike the q69 ascending-id precondition
+      (0 until 3).foreach { i =>
+        assert(StreamingJobs.applyCurationBatch(spark,
+          docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong, stateDir))
+      }
+      def mf(): Seq[Seq[Any]] =
+        StreamingJobs.latestCurationManifest(spark, stateDir, budget = 60)
+          .get._2.collect().map(_.toSeq).toSeq
+      val streamed = mf()
+      val batch = CurationPipeline.manifest(
+        CurationPipeline.runStages(spark, sfTiny, work,
+          withClassifier = false, budget = 60)).collect().map(_.toSeq).toSeq
+      assert(streamed == batch,
+        s"drained manifest diverged:\n streamed $streamed\n batch    $batch")
+      // exact replay of a committed batchId: no new version, no change
+      assert(!StreamingJobs.applyCurationBatch(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1), 1L, stateDir))
+      assert(mf() == streamed, "replayed batch mutated the state")
+      // OVERLAPPING redelivery under a NEW batchId (the case the CMS
+      // additive state documents as a precondition): the set-semantics
+      // 'in' counters and the idempotent gate merge absorb it
+      assert(StreamingJobs.applyCurationBatch(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2), 7L, stateDir))
+      assert(mf() == streamed, "overlap redelivery changed the manifest")
+    } finally Seq(stateDir, work).foreach { dir =>
+      val sp = new org.apache.hadoop.fs.Path(dir)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    }
+  }
+
   test("streaming dedup (dropDuplicates + watermark) == batch keep-first key set") {
     StreamingJobs.runStreamingDedup(spark, streamDir, "dedup_test")
     val streamedKeys = spark.table("dedup_test")
