@@ -289,7 +289,10 @@ object Graph {
       .select(col("vec_id").as("src"), col("vec_id").as("dst"),
         explode(expr("sequence(1, miss)")).as("i"))
       .select(col("src"), col("dst"))
-    val e = base.unionByName(pad).localCheckpoint(true)
+      .localCheckpoint(true) // tiny: deficient nodes only
+    // common case (every builder emits exact top-k): pad is empty — use
+    // the already-checkpointed base and skip a second materialization
+    val e = if (pad.isEmpty) base else base.unionByName(pad).localCheckpoint(true)
     var ranks = nodes.select(col("vec_id"), lit(1L).as("r"))
     var pow = 1L // (20k)^i at entry of iteration i+1
     for (_ <- 1 to iters) {

@@ -2927,7 +2927,9 @@ object TextAnalysis {
         GROUP BY sym)"""
   }
 
-  private def bpeEncodeOracle(k: Int): String =
+  /** Shared oracle chain ending in `enc` (doc_id, tid ARRAY) — the
+    * per-doc token-id replay behind q196 and q201. */
+  private def bpeEncodeChain(k: Int): String =
     s"""${bpeOracleChain(k)},
       ${bpeVocabOracle(k)},
       wt AS MATERIALIZED (
@@ -2945,11 +2947,14 @@ object TextAnalysis {
           SELECT doc_id, pos, unnest(list_transform(range(1, len(tl) + 1),
             j -> {'t': tl[j], 'j': j})) AS e
           FROM dtok JOIN wt USING (word)) v),
-      enc AS (
+      enc AS MATERIALIZED (
         SELECT doc_id,
           list(coalesce(vv.id, -1) ORDER BY pos, sub) AS tid
         FROM sub LEFT JOIN vocab vv ON vv.sym = sub.tok
-        GROUP BY doc_id)
+        GROUP BY doc_id)"""
+
+  private def bpeEncodeOracle(k: Int): String =
+    s"""${bpeEncodeChain(k)}
       SELECT d.doc_id,
         CAST(coalesce(len(e.tid), 0) AS INTEGER) AS n_tokens,
         coalesce(array_to_string(
@@ -3003,6 +3008,181 @@ object TextAnalysis {
     "LLM-pipeline: sequence packing budgeted by REAL BPE token counts (q48 twin)",
     (s, d) => packSequencesBpe(s, d, budget = 2048L, k = 6),
     Some(bpePackOracle(6, 2048L)))
+
+  /** BPE-decode token-id sequences back to whitespace-normalized text:
+    * ids map to symbols through the broadcast vocab, symbols
+    * concatenate per document (order restored from the encode
+    * position), and `</w>` markers re-separate words. The inverse every
+    * tokenizer ships next to encode — and, composed with
+    * [[bpeEncodeDocs]], a ROUND-TRIP: decode(encode(text)) must equal
+    * the whitespace-normalized text exactly, which is what q200's
+    * oracle states (the oracle is the normalized text itself — no
+    * replay of the chain at all, the strongest possible form).
+    * Caveats shared with every `</w>`-marker BPE (Sennrich): a word
+    * whose TEXT literally contains "</w>" would decode with an extra
+    * space (the oracle would catch it on any corpus where it occurs),
+    * and ids absent from the vocab (the -1 UNK) are dropped. */
+  def bpeDecodeDocs(encoded: DataFrame, model: BpeModel): DataFrame = {
+    val s = encoded.sparkSession
+    import s.implicits._
+    val vocabDf = model.vocab.map { case (sym, i) => (i, sym) }.toDF("tid", "sym")
+    val parts = encoded
+      .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("p", "tid")))
+      .join(broadcast(vocabDf), Seq("tid"))
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "array_join(transform(sort_array(collect_list(struct(p, sym))), x -> x.sym), '')")
+        .as("joined"))
+    encoded.select(col("doc_id")).join(parts, Seq("doc_id"), "left")
+      // symbols carry the </w> end-of-word marker: swap it for a single
+      // space and trim the trailing one — empty docs decode to ''
+      .select(col("doc_id"),
+        trim(replace(coalesce(col("joined"), lit("")), lit("</w>"), lit(" ")))
+          .as("text"))
+  }
+
+  /** The materialized training sequences — the end of the product path
+    * (tokenize → pack → EMIT): q197's bins carrying their actual packed
+    * token-id payloads, docs concatenated in doc_id order within each
+    * sequence (ids stringified for the cross-engine hash; a production
+    * sink writes the INT arrays as the training shards). Same sharded
+    * window as q48 — per-shard state, never a global sort. */
+  def packedSequencesBpe(s: SparkSession, d: String, budget: Long,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = bpeModel(s, d, k)
+    val docs = Tables.documents(s, d)
+    val shards = graft.GraftConf.packShards(s)
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"))
+      .join(bpeEncodeDocs(docs, model), Seq("doc_id"))
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % shards)
+      .withColumn("n_tok", col("n_tokens").cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", floor((col("cum") - col("n_tok")) / budget))
+      .withColumn("ids_str",
+        expr("array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')"))
+      .groupBy(col("source"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        expr("array_join(transform(sort_array(collect_list(struct(doc_id, ids_str))), x -> x.ids_str), ',')")
+          .as("token_ids"))
+      .orderBy(col("source"), col("shard"), col("seq_id"))
+  }
+
+  val q201TrainingSequences = GraftQuery(
+    "q201_training_sequences",
+    "LLM-pipeline END of the path: packed training sequences with their actual token-id payloads",
+    (s, d) => packedSequencesBpe(s, d, budget = 2048L, k = 6),
+    Some(s"""${bpeEncodeChain(6)},
+      dd AS (
+        SELECT d.doc_id, d.source,
+          coalesce(CAST(len(e.tid) AS BIGINT), 0) AS n_tok,
+          coalesce(array_to_string(
+            list_transform(e.tid, x -> CAST(x AS VARCHAR)), ','), '') AS ids_str,
+          ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+        FROM documents d LEFT JOIN enc e USING (doc_id)),
+      cc AS (
+        SELECT *, sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM dd)
+      SELECT source, shard,
+        CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS seq_id,
+        count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        array_to_string(list(ids_str ORDER BY doc_id), ',') AS token_ids
+      FROM cc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** q202: TOKEN-budget mixture — the q184 temperature draw re-based on
+    * what pretraining actually budgets: tokens, not documents. Per
+    * source, α = 1/2 temperature weights over the REAL BPE token mass
+    * (w = ⌊√Σtok⌋, integer targets via exact `div` — the q184
+    * discipline), then docs admit in the deterministic md5-priority
+    * order while their START offset sits under the source's token
+    * budget (q48's streaming greedy-fill rule — no partial documents,
+    * one per-source window pass). Output is the per-source mixture
+    * profile. At 100 TB the cumsum runs over the bounded top-R priority
+    * prefix (R ≥ budget/min-doc-tokens documents can ever admit), the
+    * prioritySample heap pattern — the window never needs the whole
+    * source. */
+  def tokenBudgetMixture(s: SparkSession, d: String, budgetTokens: Long,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = bpeModel(s, d, k)
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), col("source"))
+      .join(bpeEncodeDocs(docs, model).select(col("doc_id"), col("n_tokens")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tok"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13)
+          .as("pri"))
+    val w = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.withColumn("cum", sum(col("n_tok")).over(w))
+    val totals = base.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_total"))
+      .withColumn("w", floor(sqrt(col("tok_total"))).cast("long"))
+    val tw = totals.agg(sum(col("w")).as("sw"))
+    val budgets = totals.crossJoin(broadcast(tw))
+      .select(col("source"), col("tok_total"), col("w"),
+        greatest(lit(1L), expr(s"(${budgetTokens}L * w) div sw"))
+          .as("budget_tok"))
+    cum.join(broadcast(budgets), Seq("source"))
+      .filter(col("cum") - col("n_tok") < col("budget_tok"))
+      .groupBy(col("source"), col("tok_total"), col("w"), col("budget_tok"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+      .orderBy(col("source"))
+  }
+
+  val q202TokenMixture = GraftQuery(
+    "q202_token_mixture",
+    "LLM-pipeline: temperature mixture budgeted in REAL tokens (q184 × q196 × q48 compose)",
+    (s, d) => tokenBudgetMixture(s, d, budgetTokens = 30000L, k = 6),
+    Some(s"""${bpeEncodeChain(6)},
+      dv AS (
+        SELECT d.doc_id, d.source,
+          coalesce(CAST(len(e.tid) AS BIGINT), 0) AS n_tok,
+          substr(md5(d.doc_id::VARCHAR), 1, 13) AS pri
+        FROM documents d LEFT JOIN enc e USING (doc_id)),
+      tt AS (
+        SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_total,
+          CAST(floor(sqrt(sum(n_tok)::DOUBLE)) AS BIGINT) AS w
+        FROM dv GROUP BY 1),
+      swt AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM tt),
+      bg AS (
+        SELECT source, tok_total, w,
+          CAST(greatest(1, (30000 * w) // sw) AS BIGINT) AS budget_tok
+        FROM tt CROSS JOIN swt),
+      cm AS (
+        SELECT dv.*, sum(n_tok) OVER (PARTITION BY source
+          ORDER BY pri, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM dv)
+      SELECT source, tok_total, w, budget_tok,
+        count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_kept
+      FROM cm JOIN bg USING (source)
+      WHERE cum - n_tok < budget_tok
+      GROUP BY source, tok_total, w, budget_tok ORDER BY source"""))
+
+  /** q200: decode(encode(corpus)) == the whitespace-normalized corpus —
+    * the tokenizer round-trip as a REGISTERED query, not just a spec
+    * gate. The oracle never touches the merge chain: it is the
+    * normalized text directly, so a hash match proves the whole
+    * encode→decode composition lossless on every document. */
+  val q200BpeRoundTrip = GraftQuery(
+    "q200_bpe_roundtrip",
+    "LLM-pipeline tokenizer ROUND-TRIP: decode(encode(corpus)) == normalized corpus, oracle-exact",
+    (s, d) => {
+      val model = bpeModel(s, d, 6)
+      bpeDecodeDocs(bpeEncodeDocs(Tables.documents(s, d), model), model)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        trim(array_to_string(list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), w -> w <> ''), ' ')) AS text
+      FROM documents ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------------
   // q182: repetition-based quality filter (the Gopher rules)
@@ -3142,5 +3322,6 @@ object TextAnalysis {
     q139GroupOutliers, q140Cooccurrence, q141Bm25, q142Triangles,
     q147PrioritySample, q148RetrievalEval, q182RepetitionFilter,
     q184MixtureSample, q185StreamedMixture, q186BpeMerges, q187BpeSubwords,
-    q192BpeMergesK64, q196BpeEncode, q197BpePacking)
+    q192BpeMergesK64, q196BpeEncode, q197BpePacking, q200BpeRoundTrip,
+    q201TrainingSequences, q202TokenMixture)
 }

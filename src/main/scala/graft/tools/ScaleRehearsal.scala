@@ -100,14 +100,32 @@ object ScaleRehearsal {
       // scaling is bounded by its worst stage (the q59/q64 sketch
       // machinery above), everything else is linear per-doc work
       "q193_curation_pipeline" -> (d => graft.plans.CurationPipeline
-        .runManifest(spark, d, withClassifier = false, budget = 60)))
+        .runManifest(spark, d, withClassifier = false, budget = 60)),
+      // tokenizer APPLY (q196) and training-shard emit (q201): train is
+      // vocabulary-bounded, encode is k chained replaces over the
+      // DISTINCT-WORD relation + two keyed re-assembly shuffles — time
+      // and shuffle must scale ~linearly in the corpus (the distinct
+      // mode grows the vocabulary ~factor× too, the worst case for the
+      // word-keyed join)
+      "q196_bpe_encode" -> (d => graft.operators.TextAnalysis.bpeEncodeDocs(
+        Tables.documents(spark, d),
+        graft.operators.TextAnalysis.bpeModel(spark, d, 6))),
+      "q201_training_sequences" -> (d => graft.operators.TextAnalysis
+        .packedSequencesBpe(spark, d, budget = 2048L, k = 6)))
+
+    // optional 5th arg: comma-separated name prefixes to run a subset
+    // (a new-operator rehearsal need not re-measure the whole family)
+    val only: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(",").toSet) else None
+    val selected = queries.filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith)) }
 
     // warm-up so JIT/codegen startup lands outside both measured scales
     Tables.documents(spark, baseDir).count()
 
     val out = new StringBuilder("{")
     Seq("base" -> baseDir, s"x$factor" -> work).foreach { case (tag, dir) =>
-      queries.foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         m.reset()
         val t0 = System.nanoTime()

@@ -25,7 +25,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q182_repetition_filter", "q184_mixture_sample", "q186_bpe_merges",
     // r8: integer fixed-point PageRank — the state is exact, so the
     // result must survive ANY partitioning bit-for-bit
-    "q164_knn_graph_pagerank")
+    "q164_knn_graph_pagerank",
+    // r9: tokenizer APPLY — per-word chained replaces + two-level
+    // ordered re-assembly (sort_array over collect_list) must not
+    // leak partition order into the id sequences; and the packed
+    // training sequences concatenate per-sequence payloads in strict
+    // doc_id order
+    "q196_bpe_encode", "q201_training_sequences")
 
   private def canon(name: String): Seq[Seq[String]] =
     Registry.byName(name).run(spark, sfTiny)
