@@ -2712,6 +2712,12 @@ object TextAnalysis {
       $steps"""
   }
 
+  /** The w0..wk training chain WITHOUT the leading WITH keyword, for
+    * embedding into another query's CTE chain (the CurationPipeline
+    * manifest oracle's real-token packing stage). */
+  private[graft] def bpeOracleChainInner(k: Int): String =
+    bpeOracleChain(k).trim.stripPrefix("WITH")
+
   private def bpeMergesOracle(k: Int): String = {
     val union = (1 to k)
       .map(i => s"SELECT $i AS step, a AS left_sym, b AS right_sym, freq AS pair_freq FROM t$i")
@@ -3166,6 +3172,83 @@ object TextAnalysis {
       WHERE cum - n_tok < budget_tok
       GROUP BY source, tok_total, w, budget_tok ORDER BY source"""))
 
+  /** Token-id frequency counts of a document frame under a FROZEN
+    * tokenizer — the monitoring relation behind tokenizer-drift
+    * dashboards (fragmentation creep / OOV drift shows up as mass
+    * moving toward base-alphabet ids). Vocabulary-bounded output. */
+  def tokenCounts(docs: DataFrame, model: BpeModel): DataFrame =
+    bpeEncodeDocs(docs, model)
+      .select(explode(col("token_ids")).as("tid"))
+      .groupBy(col("tid")).agg(count(lit(1)).as("cnt"))
+
+  /** q203: the corpus token-id distribution under the trained
+    * tokenizer, symbols joined back for readability — what a training
+    * run monitors to catch tokenizer/corpus mismatch. */
+  def tokenDistribution(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    val model = bpeModel(s, d, k)
+    val vocabDf = model.vocab.toDF("token", "tid")
+    tokenCounts(Tables.documents(s, d), model)
+      .join(broadcast(vocabDf), Seq("tid"))
+      .select(col("tid"), col("token"), col("cnt"))
+      .orderBy(col("tid"))
+  }
+
+  private def tokenDistributionOracle(k: Int): String =
+    s"""${bpeEncodeChain(k)},
+      tc AS (SELECT unnest(tid) AS tid FROM enc),
+      ct AS (SELECT tid, CAST(count(*) AS BIGINT) AS cnt FROM tc GROUP BY 1)
+      SELECT ct.tid, v.sym AS token, ct.cnt
+      FROM ct JOIN vocab v ON v.id = ct.tid
+      ORDER BY ct.tid"""
+
+  val q203TokenDistribution = GraftQuery(
+    "q203_token_distribution",
+    "LLM-pipeline monitoring: corpus token-id distribution under the trained tokenizer",
+    (s, d) => tokenDistribution(s, d, k = 6),
+    Some(tokenDistributionOracle(6)))
+
+  /** q204: q203 maintained INCREMENTALLY — the NINTH streamed/batch
+    * pairing: document batches encode under the FROZEN tokenizer
+    * artifact and fold into the additive (tid, cnt) state on the
+    * versioned exactly-once contract
+    * (StreamingJobs.applyTokenCountBatch); the drained state renders
+    * through the same vocab join and carries q203's full oracle. The
+    * standing form of the drift monitor: per-trigger cost is one
+    * batch encode + a vocabulary-bounded merge, never a corpus
+    * rescan. Additive like CMS/c-TF-IDF: overlapping redelivery
+    * inflates counts — dedup upstream or fingerprint-guard as there. */
+  def streamedTokenDistribution(s: SparkSession, d: String,
+      nBatches: Int): DataFrame = {
+    import s.implicits._
+    require(nBatches >= 1)
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_tok_state").toString
+    val counts = try {
+      val docs = Tables.documents(s, d)
+      (0 until nBatches).foreach { i =>
+        graft.streaming.StreamingJobs.applyTokenCountBatch(s,
+          docs.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          i.toLong, d, 6, stateDir)
+      }
+      graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+        .localCheckpoint(true)
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    }
+    val vocabDf = bpeModel(s, d, 6).vocab.toDF("token", "tid")
+    counts.join(broadcast(vocabDf), Seq("tid"))
+      .select(col("tid"), col("token"), col("cnt"))
+      .orderBy(col("tid"))
+  }
+
+  val q204StreamedTokenCounts = GraftQuery(
+    "q204_streamed_token_counts",
+    "LLM-pipeline monitoring + streaming: incremental token-distribution state (carries q203's oracle)",
+    (s, d) => streamedTokenDistribution(s, d, nBatches = 3),
+    Some(tokenDistributionOracle(6)))
+
   /** q200: decode(encode(corpus)) == the whitespace-normalized corpus —
     * the tokenizer round-trip as a REGISTERED query, not just a spec
     * gate. The oracle never touches the merge chain: it is the
@@ -3323,5 +3406,6 @@ object TextAnalysis {
     q147PrioritySample, q148RetrievalEval, q182RepetitionFilter,
     q184MixtureSample, q185StreamedMixture, q186BpeMerges, q187BpeSubwords,
     q192BpeMergesK64, q196BpeEncode, q197BpePacking, q200BpeRoundTrip,
-    q201TrainingSequences, q202TokenMixture)
+    q201TrainingSequences, q202TokenMixture, q203TokenDistribution,
+    q204StreamedTokenCounts)
 }

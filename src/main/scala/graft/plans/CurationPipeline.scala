@@ -19,7 +19,7 @@ import graft.operators.{Dedup, QualityFilter, TextAnalysis}
   *     with it leave the corpus) →
   *   leakage-safe split (q183: cluster-atomic 80/10/10) →
   *   temperature mixture draw over the train split (q184, α = 1/2) →
-  *   sequence packing (q48, 512-token budget).
+  *   sequence packing (q48's rule, 512 REAL BPE tokens since r9).
   *
   * Each stage materializes through [[Pipeline]]'s `_DONE`-guarded stage
   * cache, so a crashed 100 TB run resumes from the last committed stage
@@ -121,23 +121,38 @@ object CurationPipeline {
       Seq("doc_id"), "left_semi")
   }
 
-  /** Sequence packing (q48, 512-token budget). */
-  private[graft] def packStage(s6: DataFrame): DataFrame =
-    TextAnalysis.packSequences(s6, budget = 512L)
+  /** Sequence packing (q48's rule, 512-token budget) — budgeted by the
+    * REAL BPE token counts of the q196 tokenizer since round 9, not
+    * the whitespace proxy: the chain trains/loads the corpus tokenizer
+    * artifact (k=6, frozen on the INPUT table `d` — the same artifact
+    * every registered tokenizer query ships) and bins the mixture draw
+    * by what a trainer actually consumes. The q48 whitespace form
+    * stays registered as the cheap estimate. */
+  private[graft] def packStage(s: SparkSession, d: String,
+      s6: DataFrame): DataFrame = {
+    val model = TextAnalysis.bpeModel(s, d, 6)
+    val enc = TextAnalysis.bpeEncodeDocs(s6, model)
+      .select(col("doc_id"), col("n_tokens"))
+    TextAnalysis.packByTokens(
+      s6.select(col("doc_id"), col("source")).join(enc, Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("n_tok")),
+      budget = 512L)
+  }
 
   /** The deterministic post-gate chain over an s1-shaped frame, in
     * manifest order. `checkpoint` eagerly truncates lineage between
     * stages (the batch runner materializes through the stage cache
     * instead). */
-  private[graft] def suffixStages(s1c: DataFrame, budget: Int,
-      checkpoint: Boolean): Seq[(String, DataFrame)] = {
+  private[graft] def suffixStages(s: SparkSession, d: String,
+      s1c: DataFrame, budget: Int, checkpoint: Boolean): Seq[(String, DataFrame)] = {
     def cp(df: DataFrame) = if (checkpoint) df.localCheckpoint(true) else df
     val s2 = cp(sketchDedupStage(s1c))
     val s3 = cp(exciseStage(s2))
     val s4 = cp(decontaminateStage(s3))
     val s5 = cp(splitStage(s4))
     val s6 = cp(mixtureStage(s5, budget))
-    val s7 = cp(packStage(s6))
+    val s7 = cp(packStage(s, d, s6))
     Seq("sketch_dedup" -> s2, "excise" -> s3, "decontaminate" -> s4,
       "split" -> s5, "mixture" -> s6, "pack" -> s7)
   }
@@ -182,7 +197,7 @@ object CurationPipeline {
     val s4 = pipe.stage(s"s4_decontaminate_$gateTag") { decontaminateStage(s3) }
     val s5 = pipe.stage(s"s5_split_$gateTag") { splitStage(s4) }
     val s6 = pipe.stage(s"s6_mixture_${gateTag}_b$budget") { mixtureStage(s5, budget) }
-    val s7 = pipe.stage(s"s7_pack_${gateTag}_b$budget") { packStage(s6) }
+    val s7 = pipe.stage(s"s7_pack_${gateTag}_b$budget") { packStage(s, d, s6) }
     Seq("input" -> s0, "gate" -> s1) ++
       (if (withClassifier) Seq("classifier" -> s1c) else Nil) ++
       Seq("sketch_dedup" -> s2, "excise" -> s3, "decontaminate" -> s4,
@@ -200,7 +215,8 @@ object CurationPipeline {
     * derived by the SAME stage transforms the batch runner
     * materializes — so the drained-state manifest equals the one-shot
     * q193 manifest exactly. */
-  private[graft] def manifestFromState(state: DataFrame, budget: Int): DataFrame = {
+  private[graft] def manifestFromState(s: SparkSession, d: String,
+      state: DataFrame, budget: Int): DataFrame = {
     val inRow = state.filter(col("rel") === "in")
       .agg(count(lit(1)).as("n_rows"),
         coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"),
@@ -211,7 +227,7 @@ object CurationPipeline {
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
       .localCheckpoint(true)
     val rest = manifestRows(
-      Seq("gate" -> s1) ++ suffixStages(s1, budget, checkpoint = true), 1)
+      Seq("gate" -> s1) ++ suffixStages(s, d, s1, budget, checkpoint = true), 1)
     inRow.unionByName(rest).orderBy(col("ord"))
   }
 
@@ -418,12 +434,26 @@ object CurationPipeline {
         SELECT doc_id FROM m_pr JOIN m_t USING (source)
         WHERE m_pr.rank <= m_t.target),
       s6 AS MATERIALIZED (SELECT * FROM m_tr WHERE doc_id IN (SELECT doc_id FROM m_ids)),
-      -- stage 7: q48 packing (512-token budget, 8 md5 shards)
-      p_t AS MATERIALIZED (
-        SELECT doc_id, source,
-          CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok,
-          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+      -- stage 7: q48's packing rule budgeted by REAL BPE token counts
+      -- (the q196 tokenizer trained on the input corpus — the chain
+      -- below is the q186/q196 training oracle verbatim; excision only
+      -- deletes whole tokens, so every s6 word is in the trained vocab
+      -- and the per-word segment-length lookup equals the encode count)
+      ${graft.operators.TextAnalysis.bpeOracleChainInner(6)},
+      bp_wt AS MATERIALIZED (
+        SELECT word, CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS wtok
+        FROM w6),
+      bp_dw AS (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
         FROM s6),
+      bp_dn AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(wtok) AS BIGINT) AS n_tok
+        FROM bp_dw JOIN bp_wt USING (word) WHERE word <> '' GROUP BY doc_id),
+      p_t AS MATERIALIZED (
+        SELECT doc_id, source, coalesce(n_tok, 0) AS n_tok,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+        FROM s6 LEFT JOIN bp_dn USING (doc_id)),
       p_c AS MATERIALIZED (
         SELECT doc_id, source, shard, n_tok,
           sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
@@ -491,7 +521,7 @@ object CurationPipeline {
           docs.filter(pmod(col("doc_id"), lit(nBatches)) === i),
           i.toLong, stateDir)
       }
-      graft.streaming.StreamingJobs.latestCurationManifest(s, stateDir, budget)
+      graft.streaming.StreamingJobs.latestCurationManifest(s, stateDir, d, budget)
         .get._2.localCheckpoint(true)
     } finally {
       val sp = new org.apache.hadoop.fs.Path(stateDir)

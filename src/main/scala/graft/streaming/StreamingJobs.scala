@@ -928,6 +928,26 @@ object StreamingJobs {
     q
   }
 
+  /** Merge one micro-batch of documents into the additive (tid, cnt)
+    * token-distribution state under the FROZEN tokenizer trained on
+    * `corpusDir` (loaded from the persisted artifact — never refit on
+    * the stream: drift monitoring only means anything against a fixed
+    * vocabulary), exactly once per batchId ([[applyCmsBatch]]'s
+    * contract on a vocabulary-bounded state, same additive overlap
+    * caveat). Per-trigger cost: one batch encode + a ≤|vocab|-row
+    * merge. */
+  def applyTokenCountBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, corpusDir: String, k: Int, stateDir: String): Boolean =
+    withStateVersion(spark, stateDir, batchId) { prev =>
+      val model = graft.operators.TextAnalysis.bpeModel(spark, corpusDir, k)
+      val delta = graft.operators.TextAnalysis.tokenCounts(batch, model)
+      prev match {
+        case Some(p) => p.unionByName(delta)
+          .groupBy(col("tid")).agg(sum(col("cnt")).as("cnt"))
+        case None => delta
+      }
+    }
+
   /** Merge one micro-batch of raw documents into the persistent
     * curation-pipeline state, exactly once per batchId (the
     * [[applyAggBatch]] versioned contract). State is TWO relations in
@@ -983,9 +1003,10 @@ object StreamingJobs {
     * far — derived from the latest committed version; None before any
     * batch. */
   def latestCurationManifest(spark: SparkSession, stateDir: String,
-      budget: Int): Option[(Long, DataFrame)] =
+      corpusDir: String, budget: Int): Option[(Long, DataFrame)] =
     latestAggState(spark, stateDir).map { case (bid, st) =>
-      (bid, graft.plans.CurationPipeline.manifestFromState(st, budget)) }
+      (bid, graft.plans.CurationPipeline.manifestFromState(
+        spark, corpusDir, st, budget)) }
 
   /** Streaming curation maintenance: document files arriving as a
     * stream keep the composed-pipeline state current, one

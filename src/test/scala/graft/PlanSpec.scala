@@ -373,7 +373,10 @@ class PlanSpec extends SparkSpec {
       "q184_mixture_sample", "q185_streamed_mixture",
       // q193/q194's mixture stage is q184's broadcast-Σweights tail;
       // every other stage of the composed chain is equi-join/agg only
-      "q193_curation_pipeline", "q194_curation_pipeline_clf")
+      "q193_curation_pipeline", "q194_curation_pipeline_clf",
+      // q202 crossJoins the broadcast 1-row Σweights aggregate —
+      // q184's scalar-denominator pattern on token mass
+      "q202_token_mixture")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))

@@ -585,6 +585,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("applyTokenCountBatch: drained == one-shot token counts under the frozen tokenizer; replay is a no-op") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_tok_test").toString
+    try {
+      val docs = Tables.documents(spark, sfTiny)
+      (0 until 3).foreach { i =>
+        assert(StreamingJobs.applyTokenCountBatch(spark,
+          docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong,
+          sfTiny, 6, stateDir))
+      }
+      def state(): Map[Int, Long] =
+        StreamingJobs.latestAggState(spark, stateDir).get._2
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val drained = state()
+      val model = operators.TextAnalysis.bpeModel(spark, sfTiny, 6)
+      val oneShot = operators.TextAnalysis.tokenCounts(docs, model)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(drained == oneShot, "streamed token counts diverge from one-shot")
+      // exact replay of a committed batchId must not double-count
+      assert(!StreamingJobs.applyTokenCountBatch(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1), 1L, sfTiny, 6, stateDir))
+      assert(state() == drained, "replayed batch inflated the counts")
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    }
+  }
+
   test("streamed curation state: drained manifest == batch q193; replay AND overlap are no-ops") {
     import graft.plans.CurationPipeline
     val stateDir = java.nio.file.Files.createTempDirectory("graft_cur_state").toString
@@ -599,7 +626,7 @@ class StreamingSpec extends SparkSpec {
           docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong, stateDir))
       }
       def mf(): Seq[Seq[Any]] =
-        StreamingJobs.latestCurationManifest(spark, stateDir, budget = 60)
+        StreamingJobs.latestCurationManifest(spark, stateDir, sfTiny, budget = 60)
           .get._2.collect().map(_.toSeq).toSeq
       val streamed = mf()
       val batch = CurationPipeline.manifest(
