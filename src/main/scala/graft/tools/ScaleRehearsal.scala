@@ -101,6 +101,12 @@ object ScaleRehearsal {
       // machinery above), everything else is linear per-doc work
       "q193_curation_pipeline" -> (d => graft.plans.CurationPipeline
         .runManifest(spark, d, withClassifier = false, budget = 60)),
+      // the STREAMED curation twin end-to-end (3 mod-slice batches +
+      // read-time manifest): per-trigger cost is two state+batch
+      // merges by construction; this row measures the whole drained
+      // composition against q193's one-shot number at both scales
+      "q198_streamed_curation" -> (d => graft.plans.CurationPipeline
+        .streamedManifest(spark, d, nBatches = 3, budget = 60)),
       // tokenizer APPLY (q196) and training-shard emit (q201): train is
       // vocabulary-bounded, encode is k chained replaces over the
       // DISTINCT-WORD relation + two keyed re-assembly shuffles — time
