@@ -3249,6 +3249,46 @@ object TextAnalysis {
     (s, d) => streamedTokenDistribution(s, d, nBatches = 3),
     Some(tokenDistributionOracle(6)))
 
+  /** q205: tokenizer FERTILITY (tokens emitted per word) by language
+    * and source — the standard tokenizer-quality metric: high fertility
+    * on a slice means the vocabulary under-serves it (drives both
+    * training cost and effective context length). One exact-integer
+    * division per group rounded to 4 (the q164 rational-arithmetic
+    * convention), so the profile hash-matches cross-engine. */
+  val q205TokenizerFertility = GraftQuery(
+    "q205_tokenizer_fertility",
+    "LLM-pipeline monitoring: tokens-per-word fertility by lang/source under the trained tokenizer",
+    (s, d) => {
+      val model = bpeModel(s, d, 6)
+      val docs = Tables.documents(s, d)
+      val enc = bpeEncodeDocs(docs, model).select(col("doc_id"), col("n_tokens"))
+      docs.select(col("doc_id"), col("lang"), col("source"),
+          size(filter(toks(col("text")), w => w =!= "")).cast("long").as("n_words"))
+        .join(enc, Seq("doc_id"))
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_words")).as("words"),
+          sum(col("n_tokens").cast("long")).as("tokens"))
+        .filter(col("words") > 0)
+        .select(col("lang"), col("source"), col("words"), col("tokens"),
+          round(col("tokens").cast("double") / col("words"), 4).as("fertility"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some(s"""${bpeEncodeChain(6)},
+      dw AS (
+        SELECT doc_id, lang, source,
+          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> w <> '')) AS BIGINT) AS n_words
+        FROM documents),
+      j AS (
+        SELECT dw.lang, dw.source, dw.n_words,
+          coalesce(CAST(len(e.tid) AS BIGINT), 0) AS n_tokens
+        FROM dw LEFT JOIN enc e USING (doc_id))
+      SELECT lang, source, CAST(sum(n_words) AS BIGINT) AS words,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        round(sum(n_tokens)::DOUBLE / sum(n_words), 4) AS fertility
+      FROM j GROUP BY 1, 2 HAVING sum(n_words) > 0
+      ORDER BY lang, source"""))
+
   /** q200: decode(encode(corpus)) == the whitespace-normalized corpus —
     * the tokenizer round-trip as a REGISTERED query, not just a spec
     * gate. The oracle never touches the merge chain: it is the
@@ -3407,5 +3447,5 @@ object TextAnalysis {
     q184MixtureSample, q185StreamedMixture, q186BpeMerges, q187BpeSubwords,
     q192BpeMergesK64, q196BpeEncode, q197BpePacking, q200BpeRoundTrip,
     q201TrainingSequences, q202TokenMixture, q203TokenDistribution,
-    q204StreamedTokenCounts)
+    q204StreamedTokenCounts, q205TokenizerFertility)
 }
