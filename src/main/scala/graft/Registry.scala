@@ -29,6 +29,7 @@ object Registry {
       operators.Graph.queries ++
       operators.Dedup.queries ++
       operators.QualityFilter.queries ++
+      operators.LanguageModel.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
       operators.Events.queries ++

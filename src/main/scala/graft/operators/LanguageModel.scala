@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** N-gram language-model perplexity scoring — the CCNet/Gopher quality
+  * gate the heuristic battery (q41) and the distilled classifier (q131)
+  * bracket from either side: train a cheap LM on a TRUSTED reference
+  * slice, score every document by how surprising the model finds it,
+  * and keep/bucket by perplexity (CCNet's head/middle/tail terciles).
+  * Public pattern (Wenzek et al., CCNet, LREC 2020; Rae et al., Gopher,
+  * §A.1.1); the reference engine has no LM gate — its quality signal is
+  * the embedding classifier (`app/generate_embeddings.py:25-50`), which
+  * q131 already covers. This tier adds the standard leading filter.
+  *
+  * Model: interpolated sentinel-prefixed bigram LM,
+  *   p(w2 | w1) = 0.75 · C(w1,w2)/C(w1·) + 0.25 · (C(w2)+1)/(T+V+1)
+  * with C(w1·) the CONTEXT marginal (Σ_w2 C(w1,w2) — so final tokens
+  * never skew denominators), add-one unigram smoothing carrying the UNK
+  * mass (an unseen token scores (0+1)/(T+V+1) > 0), and λ = 0.75 chosen
+  * as an EXACT binary double so the interpolation arithmetic is
+  * bit-identical cross-engine.
+  *
+  * Hash-stability discipline (the q78/q141 lesson, adapted): perplexity
+  * needs a log, so the one transcendental is taken ONCE per distinct
+  * corpus bigram and immediately rounded to an integer — the surprisal
+  * in MILLI-BITS, round(−1000·log2 p) — after which every aggregate is
+  * exact BIGINT arithmetic (the q164 integer-state convention): doc
+  * totals are Σ tf·s_mb, means are round-half-up integer division
+  * (2·total + n) div (2n). The double inputs to log2 are built by the
+  * same IEEE op sequence in both engines, so the only cross-engine
+  * freedom is the last ulp of log2 itself, rounded away by the
+  * 1000×-integer quantization except on a ~2⁻⁴⁰ knife edge per distinct
+  * bigram (not per token).
+  *
+  * Distribution shape (the 100 TB plan): the bigram stream is built
+  * array-side (zip_with over the token array — no window, no extra
+  * shuffle), aggregated per (doc, w1, w2) then per doc: two
+  * corpus-linear hash shuffles. Model relations are bounded by the
+  * reference slice's n-gram vocabulary (Heaps-law growth, like the BPE
+  * training state), joined by equi-join; the only cross join is the
+  * broadcast 1-row (T, V) totals aggregate (PlanSpec-whitelisted
+  * scalar pattern). Nothing quadratic anywhere.
+  */
+object LanguageModel {
+
+  private def wordsOf(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), w => w =!= "")
+
+  /** (doc_id, w1, w2): sentinel-prefixed bigram stream — one row per
+    * token, w1 = previous token or "&lt;s&gt;" at position 0. Built with
+    * zip_with over the token array: no window, no shuffle. */
+  private def bigramStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), wordsOf(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), explode(zip_with(
+        concat(array(lit("<s>")), slice(col("ws"), lit(1), size(col("ws")) - 1)),
+        col("ws"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Reference-slice counts: bigram C(w1,w2), context marginal C(w1·),
+    * unigram C(w2), and the (T, V) totals — all exact BIGINT. */
+  private def lmCounts(train: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val bg = bigramStream(train)
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1ctx = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1ctx"))
+    val c1 = bg.select(col("w2")).groupBy(col("w2")).agg(count(lit(1)).as("c1"))
+    val tot = bg.agg(count(lit(1)).as("t"), countDistinct(col("w2")).as("v"))
+    (c2, c1ctx, c1, tot)
+  }
+
+  /** Per-document surprisal under the reference-slice LM:
+    * (doc_id, n_tokens, total_millibits, mean_millibits). Train slice
+    * defaults to the English documents (the "trusted corpus" stand-in —
+    * CCNet trains on Wikipedia). */
+  def docSurprisal(s: SparkSession, d: String,
+      trainPred: Column = col("lang") === "en"): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (c2, c1ctx, c1, tot) = lmCounts(docs.filter(trainPred))
+    val tf = bigramStream(docs)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val dist = tf.select(col("w1"), col("w2")).distinct()
+    // identical IEEE op order to the oracle SQL: (0.75·cond) + (0.25·uni)
+    val p = lit(0.75) * when(coalesce(col("c1ctx"), lit(0L)) > 0,
+        coalesce(col("c2"), lit(0L)).cast("double") / col("c1ctx").cast("double"))
+      .otherwise(lit(0.0)) +
+      lit(0.25) * ((coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double") /
+        (col("t") + col("v") + lit(1L)).cast("double"))
+    val smb = dist
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1ctx, Seq("w1"), "left")
+      .join(c1, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        round(lit(-1000.0) * log2(p), 0).cast("long").as("s_mb"))
+    tf.join(smb, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("s_mb")).as("total_millibits"))
+      .select(col("doc_id"), col("n_tokens"), col("total_millibits"),
+        expr("(2 * total_millibits + n_tokens) div (2 * n_tokens)")
+          .as("mean_millibits"))
+  }
+
+  /** CCNet head/middle/tail: exact tercile cutoffs on mean surprisal
+    * via [[graft.plans.Scale.groupExactRank]] (two bounded group-local
+    * passes — no global sort), label by VALUE comparison (deterministic
+    * under ties), profile per (tercile, source). */
+  def perplexityTerciles(s: SparkSession, d: String): DataFrame = {
+    val doc = docSurprisal(s, d)
+    val r = doc.select(lit("all").as("g"), col("mean_millibits").as("v"))
+    val cuts = graft.plans.Scale.groupExactRank(s, r, "g", Seq(1.0 / 3, 2.0 / 3))
+      .agg(min(when(col("p") < 0.5, col("value"))).as("cut1"),
+        min(when(col("p") > 0.5, col("value"))).as("cut2"))
+    doc.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_tokens"), col("mean_millibits"),
+        when(col("mean_millibits") <= col("cut1"), lit("head"))
+          .when(col("mean_millibits") <= col("cut2"), lit("middle"))
+          .otherwise(lit("tail")).as("tercile"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("tercile"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("mean_millibits")).as("sum_mb"))
+      .select(col("tercile"), col("source"), col("n_docs"), col("tokens"),
+        expr("(2 * sum_mb + n_docs) div (2 * n_docs)").as("avg_millibits"))
+      .orderBy(col("tercile"), col("source"))
+  }
+
+  /** Shared oracle chain: the verbatim SQL replay of the LM train +
+    * score path down to `docm` (doc_id, n_tokens, total_millibits,
+    * mean_millibits). `trainPred` is a SQL predicate over (lang) rows
+    * of the bigram stream. Multi-referenced CTEs are MATERIALIZED
+    * (DuckDB inlining re-evaluates the chain per reference). */
+  private def lmDocChain(trainPred: String): String =
+    s"""WITH ws AS MATERIALIZED (
+        SELECT doc_id, lang,
+          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> w <> '') AS ws
+        FROM documents),
+      tok AS MATERIALIZED (
+        SELECT doc_id, lang, (u.e).i AS pos, (u.e).w AS w2 FROM (
+          SELECT doc_id, lang, unnest(list_transform(range(1, len(ws) + 1),
+            i -> {'i': i, 'w': ws[i]})) AS e
+          FROM ws) u),
+      bg AS MATERIALIZED (
+        SELECT doc_id, lang,
+          lag(w2, 1, '<s>') OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+          w2
+        FROM tok),
+      tbg AS MATERIALIZED (SELECT w1, w2 FROM bg WHERE $trainPred),
+      c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY 1, 2),
+      c1ctx AS MATERIALIZED (
+        SELECT w1, CAST(sum(c2) AS BIGINT) AS c1ctx FROM c2 GROUP BY 1),
+      c1 AS MATERIALIZED (SELECT w2, count(*) AS c1 FROM tbg GROUP BY 1),
+      tot AS (SELECT count(*) AS t, count(DISTINCT w2) AS v FROM tbg),
+      tf AS MATERIALIZED (
+        SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+      dist AS (SELECT DISTINCT w1, w2 FROM tf),
+      smb AS MATERIALIZED (
+        SELECT dist.w1, dist.w2,
+          CAST(round(-1000.0 * log2(
+            0.75 * (CASE WHEN coalesce(c1ctx.c1ctx, 0) > 0
+              THEN CAST(coalesce(c2.c2, 0) AS DOUBLE)
+                / CAST(c1ctx.c1ctx AS DOUBLE)
+              ELSE 0.0 END)
+            + 0.25 * (CAST(coalesce(c1.c1, 0) + 1 AS DOUBLE)
+              / CAST(t + v + 1 AS DOUBLE)))) AS BIGINT) AS s_mb
+        FROM dist
+        LEFT JOIN c2 ON dist.w1 = c2.w1 AND dist.w2 = c2.w2
+        LEFT JOIN c1ctx ON dist.w1 = c1ctx.w1
+        LEFT JOIN c1 ON dist.w2 = c1.w2
+        CROSS JOIN tot),
+      doc AS MATERIALIZED (
+        SELECT tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+          CAST(sum(tf * s_mb) AS BIGINT) AS total_millibits
+        FROM tf JOIN smb ON tf.w1 = smb.w1 AND tf.w2 = smb.w2
+        GROUP BY 1),
+      docm AS MATERIALIZED (
+        SELECT doc_id, n_tokens, total_millibits,
+          (2 * total_millibits + n_tokens) // (2 * n_tokens) AS mean_millibits
+        FROM doc)"""
+
+  private val TrainPredSql = "lang = 'en'"
+
+  /** q206: per-document LM perplexity scores. */
+  val q206LmPerplexity = GraftQuery(
+    "q206_lm_perplexity",
+    "LLM-pipeline: interpolated bigram LM surprisal per doc (CCNet gate)",
+    (s, d) => docSurprisal(s, d).orderBy(col("doc_id")),
+    Some(s"""${lmDocChain(TrainPredSql)}
+      SELECT doc_id, n_tokens, total_millibits, mean_millibits
+      FROM docm ORDER BY doc_id"""))
+
+  /** q207: CCNet head/middle/tail perplexity partition profile. */
+  val q207PerplexityTerciles = GraftQuery(
+    "q207_perplexity_terciles",
+    "LLM-pipeline: head/middle/tail perplexity terciles by source (CCNet)",
+    (s, d) => perplexityTerciles(s, d),
+    Some(s"""${lmDocChain(TrainPredSql)},
+      o AS (SELECT mean_millibits AS v,
+          row_number() OVER (ORDER BY mean_millibits) AS rn FROM docm),
+      nn AS (SELECT count(*) AS n FROM docm),
+      ks AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS k
+        FROM (VALUES (CAST(1 AS DOUBLE) / 3), (CAST(2 AS DOUBLE) / 3)) pv(p)
+        CROSS JOIN nn),
+      cut AS (SELECT
+          max(CASE WHEN p < 0.5 THEN v END) AS cut1,
+          max(CASE WHEN p > 0.5 THEN v END) AS cut2
+        FROM ks JOIN o ON o.rn = ks.k),
+      lab AS (SELECT dm.doc_id, dm.n_tokens, dm.mean_millibits,
+          CASE WHEN mean_millibits <= cut1 THEN 'head'
+               WHEN mean_millibits <= cut2 THEN 'middle'
+               ELSE 'tail' END AS tercile
+        FROM docm dm CROSS JOIN cut)
+      SELECT tercile, dd.source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        (2 * CAST(sum(mean_millibits) AS BIGINT) + count(*))
+          // (2 * count(*)) AS avg_millibits
+      FROM lab JOIN documents dd ON lab.doc_id = dd.doc_id
+      GROUP BY 1, 2 ORDER BY tercile, source"""))
+
+  def queries: Seq[GraftQuery] = Seq(q206LmPerplexity, q207PerplexityTerciles)
+}

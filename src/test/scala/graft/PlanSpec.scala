@@ -376,7 +376,11 @@ class PlanSpec extends SparkSpec {
       "q193_curation_pipeline", "q194_curation_pipeline_clf",
       // q202 crossJoins the broadcast 1-row Σweights aggregate —
       // q184's scalar-denominator pattern on token mass
-      "q202_token_mixture")
+      "q202_token_mixture",
+      // q206/q207 crossJoin the broadcast 1-row (T, V) LM totals;
+      // q207 additionally the 1-row tercile-cutoff aggregate (the
+      // q145/q158 quantile-cuts pattern)
+      "q206_lm_perplexity", "q207_perplexity_terciles")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))
