@@ -63,12 +63,25 @@ object LanguageModel {
   /** Reference-slice counts: bigram C(w1,w2), context marginal C(w1·),
     * unigram C(w2), and the (T, V) totals — all exact BIGINT. */
   private def lmCounts(train: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    modelFromCounts(bigramCounts(train))
+
+  /** The additive model state: (w1, w2, c2) bigram counts. This ONE
+    * relation determines the whole model — the context marginal, the
+    * unigram counts (every train token occurs exactly once as w2 of the
+    * sentinel stream), and the (T, V) totals all derive from it — which
+    * is what makes the streamed q209 state a single mergeable
+    * relation. */
+  private[graft] def bigramCounts(docs: DataFrame): DataFrame =
+    bigramStream(docs).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+
+  /** Derive (c1ctx, c1, tot) from a committed bigram-count relation. */
+  private def modelFromCounts(c2: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val bg = bigramStream(train)
-    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1ctx = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1ctx"))
-    val c1 = bg.select(col("w2")).groupBy(col("w2")).agg(count(lit(1)).as("c1"))
-    val tot = bg.agg(count(lit(1)).as("t"), countDistinct(col("w2")).as("v"))
+    val c1 = c2.groupBy(col("w2")).agg(sum(col("c2")).as("c1"))
+    val tot = c2.agg(sum(col("c2")).as("t"), countDistinct(col("w2")).as("v"))
     (c2, c1ctx, c1, tot)
   }
 
@@ -79,7 +92,14 @@ object LanguageModel {
   def docSurprisal(s: SparkSession, d: String,
       trainPred: Column = col("lang") === "en"): DataFrame = {
     val docs = Tables.documents(s, d)
-    val (c2, c1ctx, c1, tot) = lmCounts(docs.filter(trainPred))
+    scoreWith(docs, lmCounts(docs.filter(trainPred)))
+  }
+
+  /** The scoring tail against explicit model relations — shared by the
+    * batch path and the drained q209 streamed state. */
+  private def scoreWith(docs: DataFrame,
+      model: (DataFrame, DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (c2, c1ctx, c1, tot) = model
     val tf = bigramStream(docs)
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
@@ -132,15 +152,33 @@ object LanguageModel {
       .orderBy(col("tercile"), col("source"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, §2 — public
+    * pattern): log w(x) = log p_target(x) − log p_raw(x), here in exact
+    * integer milli-bits as delta_millibits = total_raw − total_target
+    * (positive ⇔ the document looks more like the reference slice than
+    * like the corpus at large). Both models run the same scoring path;
+    * the subtraction is BIGINT. Selection is the deterministic top-m by
+    * (delta desc, doc_id) — TakeOrderedAndProject, no global sort. */
+  def importanceWeights(s: SparkSession, d: String): DataFrame = {
+    val target = docSurprisal(s, d)
+    val raw = docSurprisal(s, d, lit(true))
+    target.select(col("doc_id"), col("n_tokens"),
+        col("total_millibits").as("mb_target"))
+      .join(raw.select(col("doc_id"), col("total_millibits").as("mb_raw")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("mb_raw") - col("mb_target")).as("delta_millibits"))
+  }
+
   /** Shared oracle chain: the verbatim SQL replay of the LM train +
     * score path down to `docm` (doc_id, n_tokens, total_millibits,
     * mean_millibits). `trainPred` is a SQL predicate over (lang) rows
     * of the bigram stream. Multi-referenced CTEs are MATERIALIZED
     * (DuckDB inlining re-evaluates the chain per reference). */
-  private def lmDocChain(trainPred: String): String =
-    s"""WITH ws AS MATERIALIZED (
+  private def corpusChain: String =
+    """WITH ws AS MATERIALIZED (
         SELECT doc_id, lang,
-          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+          list_filter(string_split_regex(lower(trim(text)), '\s+'),
             w -> w <> '') AS ws
         FROM documents),
       tok AS MATERIALIZED (
@@ -153,38 +191,47 @@ object LanguageModel {
           lag(w2, 1, '<s>') OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
           w2
         FROM tok),
-      tbg AS MATERIALIZED (SELECT w1, w2 FROM bg WHERE $trainPred),
-      c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY 1, 2),
-      c1ctx AS MATERIALIZED (
-        SELECT w1, CAST(sum(c2) AS BIGINT) AS c1ctx FROM c2 GROUP BY 1),
-      c1 AS MATERIALIZED (SELECT w2, count(*) AS c1 FROM tbg GROUP BY 1),
-      tot AS (SELECT count(*) AS t, count(DISTINCT w2) AS v FROM tbg),
       tf AS MATERIALIZED (
         SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
-      dist AS (SELECT DISTINCT w1, w2 FROM tf),
-      smb AS MATERIALIZED (
+      dist AS MATERIALIZED (SELECT DISTINCT w1, w2 FROM tf)"""
+
+  /** The train + score chain of ONE model, CTE names suffixed so the
+    * q208 importance ratio can carry a target and a raw model in the
+    * same statement. */
+  private def modelChain(trainPred: String, x: String): String =
+    s"""tbg$x AS MATERIALIZED (SELECT w1, w2 FROM bg WHERE $trainPred),
+      c2$x AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM tbg$x GROUP BY 1, 2),
+      c1ctx$x AS MATERIALIZED (
+        SELECT w1, CAST(sum(c2) AS BIGINT) AS c1ctx FROM c2$x GROUP BY 1),
+      c1$x AS MATERIALIZED (SELECT w2, count(*) AS c1 FROM tbg$x GROUP BY 1),
+      tot$x AS (SELECT count(*) AS t, count(DISTINCT w2) AS v FROM tbg$x),
+      smb$x AS MATERIALIZED (
         SELECT dist.w1, dist.w2,
           CAST(round(-1000.0 * log2(
-            0.75 * (CASE WHEN coalesce(c1ctx.c1ctx, 0) > 0
-              THEN CAST(coalesce(c2.c2, 0) AS DOUBLE)
-                / CAST(c1ctx.c1ctx AS DOUBLE)
+            0.75 * (CASE WHEN coalesce(cc.c1ctx, 0) > 0
+              THEN CAST(coalesce(c2$x.c2, 0) AS DOUBLE)
+                / CAST(cc.c1ctx AS DOUBLE)
               ELSE 0.0 END)
-            + 0.25 * (CAST(coalesce(c1.c1, 0) + 1 AS DOUBLE)
+            + 0.25 * (CAST(coalesce(c1$x.c1, 0) + 1 AS DOUBLE)
               / CAST(t + v + 1 AS DOUBLE)))) AS BIGINT) AS s_mb
         FROM dist
-        LEFT JOIN c2 ON dist.w1 = c2.w1 AND dist.w2 = c2.w2
-        LEFT JOIN c1ctx ON dist.w1 = c1ctx.w1
-        LEFT JOIN c1 ON dist.w2 = c1.w2
-        CROSS JOIN tot),
-      doc AS MATERIALIZED (
+        LEFT JOIN c2$x ON dist.w1 = c2$x.w1 AND dist.w2 = c2$x.w2
+        LEFT JOIN c1ctx$x cc ON dist.w1 = cc.w1
+        LEFT JOIN c1$x ON dist.w2 = c1$x.w2
+        CROSS JOIN tot$x),
+      doc$x AS MATERIALIZED (
         SELECT tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
           CAST(sum(tf * s_mb) AS BIGINT) AS total_millibits
-        FROM tf JOIN smb ON tf.w1 = smb.w1 AND tf.w2 = smb.w2
+        FROM tf JOIN smb$x ON tf.w1 = smb$x.w1 AND tf.w2 = smb$x.w2
         GROUP BY 1),
-      docm AS MATERIALIZED (
+      docm$x AS MATERIALIZED (
         SELECT doc_id, n_tokens, total_millibits,
           (2 * total_millibits + n_tokens) // (2 * n_tokens) AS mean_millibits
-        FROM doc)"""
+        FROM doc$x)"""
+
+  private def lmDocChain(trainPred: String): String =
+    s"""$corpusChain,
+      ${modelChain(trainPred, "")}"""
 
   private val TrainPredSql = "lang = 'en'"
 
@@ -225,5 +272,60 @@ object LanguageModel {
       FROM lab JOIN documents dd ON lab.doc_id = dd.doc_id
       GROUP BY 1, 2 ORDER BY tercile, source"""))
 
-  def queries: Seq[GraftQuery] = Seq(q206LmPerplexity, q207PerplexityTerciles)
+  /** q208: DSIR importance selection — the m most reference-like docs. */
+  val q208ImportanceSelect = GraftQuery(
+    "q208_importance_select",
+    "LLM-pipeline: DSIR importance weights (target vs raw LM), top-m draw",
+    (s, d) => importanceWeights(s, d)
+      .orderBy(col("delta_millibits").desc, col("doc_id"))
+      .limit(100),
+    Some(s"""$corpusChain,
+      ${modelChain(TrainPredSql, "_t")},
+      ${modelChain("TRUE", "_r")}
+      SELECT t.doc_id, t.n_tokens,
+        (r.total_millibits - t.total_millibits) AS delta_millibits
+      FROM docm_t t JOIN docm_r r ON t.doc_id = r.doc_id
+      ORDER BY delta_millibits DESC, t.doc_id LIMIT 100"""))
+
+  /** q209: the TENTH streamed/batch pairing — the reference-slice LM
+    * trained INCREMENTALLY. Document batches fold their bigram counts
+    * into the additive (w1, w2, c2) state on the versioned exactly-once
+    * contract ([[graft.streaming.StreamingJobs.applyLmCountBatch]]);
+    * the drained state derives the full model on read and scores the
+    * corpus through the same tail, so the output is bit-identical to
+    * q206 and carries its full oracle. Additive like CMS / c-TF-IDF /
+    * q204: overlapping redelivery inflates counts — dedup upstream or
+    * fingerprint-guard as there. */
+  def streamedDocSurprisal(s: SparkSession, d: String,
+      nBatches: Int): DataFrame = {
+    require(nBatches >= 1)
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_lm_state").toString
+    val c2 = try {
+      val train = Tables.documents(s, d).filter(col("lang") === "en")
+      (0 until nBatches).foreach { i =>
+        graft.streaming.StreamingJobs.applyLmCountBatch(s,
+          train.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+          i.toLong, stateDir)
+      }
+      graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+        .localCheckpoint(true)
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    }
+    scoreWith(Tables.documents(s, d), modelFromCounts(c2))
+  }
+
+  val q209StreamedLm = GraftQuery(
+    "q209_streamed_lm",
+    "LLM-pipeline + streaming: incrementally trained LM state, batch-identical scoring (carries q206's oracle)",
+    (s, d) => streamedDocSurprisal(s, d, nBatches = 3).orderBy(col("doc_id")),
+    Some(s"""${lmDocChain(TrainPredSql)}
+      SELECT doc_id, n_tokens, total_millibits, mean_millibits
+      FROM docm ORDER BY doc_id"""))
+
+  def queries: Seq[GraftQuery] =
+    Seq(q206LmPerplexity, q207PerplexityTerciles, q208ImportanceSelect,
+      q209StreamedLm)
 }

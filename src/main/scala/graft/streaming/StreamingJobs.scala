@@ -948,6 +948,25 @@ object StreamingJobs {
       }
     }
 
+  /** Merge one micro-batch of reference-slice documents into the
+    * additive (w1, w2, c2) bigram-count LM state, exactly once per
+    * batchId ([[applyTokenCountBatch]]'s contract). The whole
+    * interpolated LM — context marginals, unigram counts, (T, V)
+    * totals — derives from this ONE n-gram-bounded relation on read
+    * ([[graft.operators.LanguageModel]]), so the per-trigger cost is a
+    * batch bigram count + one merge of two Heaps-bounded relations.
+    * Additive overlap caveat as there. */
+  def applyLmCountBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, stateDir: String): Boolean =
+    withStateVersion(spark, stateDir, batchId) { prev =>
+      val delta = graft.operators.LanguageModel.bigramCounts(batch)
+      prev match {
+        case Some(p) => p.unionByName(delta)
+          .groupBy(col("w1"), col("w2")).agg(sum(col("c2")).as("c2"))
+        case None => delta
+      }
+    }
+
   /** Merge one micro-batch of raw documents into the persistent
     * curation-pipeline state, exactly once per batchId (the
     * [[applyAggBatch]] versioned contract). State is TWO relations in

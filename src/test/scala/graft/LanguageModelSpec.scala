@@ -42,6 +42,17 @@ class LanguageModelSpec extends SparkSpec {
       s"tercile means not monotone: $prof")
   }
 
+  test("importance selection recovers the reference slice") {
+    val sel = LanguageModel.q208ImportanceSelect.run(spark, sfSmall)
+      .join(Tables.documents(spark, sfSmall).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val n = sel.count()
+    val en = sel.filter(col("lang") === "en").count()
+    info(s"top-$n importance draw: $en en")
+    assert(en.toDouble / n >= 0.8,
+      s"DSIR draw should be dominated by the target slice: $en/$n en")
+  }
+
   test("integer-surprisal scoring is deterministic across runs") {
     val a = LanguageModel.docSurprisal(spark, sfTiny).collect()
       .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq

@@ -380,7 +380,11 @@ class PlanSpec extends SparkSpec {
       // q206/q207 crossJoin the broadcast 1-row (T, V) LM totals;
       // q207 additionally the 1-row tercile-cutoff aggregate (the
       // q145/q158 quantile-cuts pattern)
-      "q206_lm_perplexity", "q207_perplexity_terciles")
+      "q206_lm_perplexity", "q207_perplexity_terciles",
+      // q208 runs the q206 scoring path twice (target + raw LM), each
+      // carrying the broadcast 1-row totals; q209 renders the same
+      // scoring tail from drained state
+      "q208_importance_select", "q209_streamed_lm")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))

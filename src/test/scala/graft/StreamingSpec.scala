@@ -612,6 +612,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("applyLmCountBatch: drained bigram state == one-shot LM counts; replay is a no-op") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_lm_test").toString
+    try {
+      val train = Tables.documents(spark, sfTiny).filter(col("lang") === "en")
+      (0 until 3).foreach { i =>
+        assert(StreamingJobs.applyLmCountBatch(spark,
+          train.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong, stateDir))
+      }
+      def state(): Map[(String, String), Long] =
+        StreamingJobs.latestAggState(spark, stateDir).get._2
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val drained = state()
+      val oneShot = operators.LanguageModel.bigramCounts(train)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(drained == oneShot, "streamed bigram counts diverge from one-shot")
+      assert(!StreamingJobs.applyLmCountBatch(spark,
+        train.filter(pmod(col("doc_id"), lit(3)) === 1), 1L, stateDir))
+      assert(state() == drained, "replayed batch inflated the counts")
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    }
+  }
+
   test("streamed curation state: drained manifest == batch q193; replay AND overlap are no-ops") {
     import graft.plans.CurationPipeline
     val stateDir = java.nio.file.Files.createTempDirectory("graft_cur_state").toString
