@@ -30,6 +30,7 @@ object Registry {
       operators.Dedup.queries ++
       operators.QualityFilter.queries ++
       operators.LanguageModel.queries ++
+      operators.Hybrid.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
       operators.Events.queries ++

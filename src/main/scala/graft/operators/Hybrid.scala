@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** Hybrid retrieval — reciprocal-rank fusion of the engine's lexical
+  * (rational BM25, q141) and vector (stats-routed k-NN, q181) tiers:
+  * the standard two-tower product search (Cormack et al.'s RRF, SIGIR
+  * 2009 — public pattern; every production vector store ships it as
+  * "hybrid search"). Queries are sampled documents (doc_id % mod = 0)
+  * retrieving against the rest of the corpus on BOTH signals; a doc
+  * only one tower embeds/indexes still fuses (the corpus has more
+  * documents than embeddings — exactly the partial-coverage case RRF
+  * is built for).
+  *
+  * Hash-stability: BM25's per-term contributions are quantized to
+  * integer PARTS-PER-MILLION immediately (the q206 milli-bit
+  * discipline — one rounded double per (query, term, doc), then exact
+  * BIGINT sums, so the per-query aggregation order can never move a
+  * hash). RRF scores are two exactly-rounded reciprocals added in a
+  * fixed order.
+  *
+  * Scale shape: the lexical leg df-cuts query terms (a term matching
+  * >85% of the corpus adds noise and Σdf·qf join fanout — the q140
+  * maxDfFrac=0.85 discipline; Zipf corpora would cut far lower, but the
+  * synthetic soup corpus has a 31-term vocabulary at df~0.76), ships per-query candidates through the
+  * bounded TopKAggregator heap (never a corpus-wide window sort), and
+  * the vector leg rides the q181 router (exact while Q·N fits, NSW
+  * past it). The fusion join touches ≤ 2k rows per query.
+  */
+object Hybrid {
+
+  private def toks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(lower(trim(c)), "\\s+")
+
+  /** Lexical leg: doc-as-query rational-BM25 top-k with integer-ppm
+    * scores — (qid, rank, doc_id, score_ppm). */
+  private[graft] def bm25DocRetrieval(s: SparkSession, d: String, k: Int,
+      queryMod: Int, maxDfFrac: Double, k1: Double, b: Double): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val lens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val tot = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfKept = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(tot.select(col("n_docs").as("nd"))))
+      .filter(col("df") <= col("nd") * maxDfFrac)
+      .select(col("term"), col("df"))
+    val qterms = tf.filter(pmod(col("doc_id"), lit(queryMod)) === 0)
+      .select(col("doc_id").as("qid"), col("term"))
+    val contrib = qterms
+      .join(dfKept, Seq("term"))
+      .join(tf.select(col("doc_id").as("did"), col("term"), col("tf")), Seq("term"))
+      .filter(col("did") =!= col("qid"))
+      .join(lens.select(col("doc_id").as("did"), col("len")), Seq("did"))
+      .crossJoin(broadcast(tot))
+      .withColumn("idfr",
+        (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("bl",
+        lit(b) * col("len").cast("double") * col("n_docs") / col("total_len"))
+      .withColumn("c", col("idfr") *
+        (col("tf").cast("double") /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + col("bl")))))
+      .select(col("qid"), col("did"),
+        round(lit(1000000.0) * col("c"), 0).cast("long").as("c_ppm"))
+    val scored = contrib.groupBy(col("qid"), col("did"))
+      .agg(sum(col("c_ppm")).as("score_ppm"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scored.groupBy(col("qid"))
+      .agg(topk(col("score_ppm").cast("double"), col("did")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("doc_id"), col("col._1").cast("long").as("score_ppm"))
+  }
+
+  /** RRF fusion of the lexical and vector top-kCand lists:
+    * (qid, rank, doc_id, rrf, r_lex, r_vec); absent-side rank reports
+    * 0 ("not retrieved by this tower") and contributes nothing. */
+  def rrfFusion(s: SparkSession, d: String, k: Int, kCand: Int,
+      queryMod: Int): DataFrame = {
+    val lex = bm25DocRetrieval(s, d, kCand, queryMod,
+        maxDfFrac = 0.85, k1 = 1.2, b = 0.75)
+      .select(col("qid"), col("doc_id"), col("rank").as("r_lex"))
+    val vec = Similarity.knnAuto(s, d, kCand, queryMod)
+      .select(col("qid"), col("nid").as("doc_id"), col("rank").as("r_vec"))
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (when(col("r_lex").isNotNull, lit(1.0) / (lit(60) + col("r_lex")))
+            .otherwise(lit(0.0)) +
+          when(col("r_vec").isNotNull, lit(1.0) / (lit(60) + col("r_vec")))
+            .otherwise(lit(0.0))).as("rrf"),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        coalesce(col("r_vec"), lit(0)).as("r_vec"))
+    // candidates per query are <= 2·kCand after the per-tower heaps, so
+    // this window ranks a bounded relation, never the corpus
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"), col("r_lex"), col("r_vec"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q210: hybrid search top-5 from 10-deep towers. The vector tower
+    * rides the q181 router; under the exact cutoff (every test SF) the
+    * oracle is a faithful full replay, past it the carried-oracle
+    * convention applies (q181/q195). */
+  val q210HybridRrf = GraftQuery(
+    "q210_hybrid_rrf",
+    "LLM-pipeline retrieval ext: BM25 + vector reciprocal-rank fusion",
+    (s, d) => rrfFusion(s, d, k = 5, kCand = 10, queryMod = 10),
+    Some("""WITH tk AS MATERIALIZED (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), w -> w <> '')) AS term
+        FROM documents),
+      lens AS MATERIALIZED (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+      tot AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS total_len
+        FROM lens),
+      tf AS MATERIALIZED (
+        SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      dfk AS MATERIALIZED (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+        HAVING count(*) <= (SELECT n_docs FROM tot) * 0.85),
+      qt AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id % 10 = 0),
+      contrib AS (
+        SELECT qt.qid, tf.doc_id AS did,
+          CAST(round(1000000.0 * (
+            ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+            (CAST(tf AS DOUBLE) /
+              (tf + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) * n_docs / total_len)))
+          )) AS BIGINT) AS c_ppm
+        FROM qt
+        JOIN dfk ON qt.term = dfk.term
+        JOIN tf ON tf.term = qt.term AND tf.doc_id <> qt.qid
+        JOIN lens ON lens.doc_id = tf.doc_id
+        CROSS JOIN tot),
+      lexs AS (
+        SELECT qid, did, CAST(sum(c_ppm) AS BIGINT) AS score_ppm
+        FROM contrib GROUP BY 1, 2),
+      lex AS MATERIALIZED (
+        SELECT qid, did AS doc_id,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY score_ppm DESC, did) AS INTEGER) AS r_lex
+        FROM lexs QUALIFY r_lex <= 10),
+      base AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+      vscored AS (
+        SELECT q.vec_id AS qid, b.vec_id AS doc_id,
+          list_cosine_similarity(q.embedding, b.embedding) AS sim
+        FROM base q JOIN base b ON q.vec_id % 10 = 0 AND q.vec_id <> b.vec_id),
+      vec AS MATERIALIZED (
+        SELECT qid, doc_id,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY sim DESC, doc_id) AS INTEGER) AS r_vec
+        FROM vscored QUALIFY r_vec <= 10),
+      fused AS (
+        SELECT coalesce(lex.qid, vec.qid) AS qid,
+          coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+          (CASE WHEN r_lex IS NOT NULL
+              THEN CAST(1 AS DOUBLE) / (60 + r_lex) ELSE 0.0 END
+            + CASE WHEN r_vec IS NOT NULL
+              THEN CAST(1 AS DOUBLE) / (60 + r_vec) ELSE 0.0 END) AS rrf,
+          coalesce(r_lex, 0) AS r_lex, coalesce(r_vec, 0) AS r_vec
+        FROM lex FULL OUTER JOIN vec
+          ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id),
+      ranked AS (
+        SELECT qid, doc_id, rrf, r_lex, r_vec,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+        FROM fused)
+      SELECT qid, rank, doc_id, round(rrf, 6) AS rrf, r_lex, r_vec
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  def queries: Seq[GraftQuery] = Seq(q210HybridRrf)
+}

@@ -384,7 +384,11 @@ class PlanSpec extends SparkSpec {
       // q208 runs the q206 scoring path twice (target + raw LM), each
       // carrying the broadcast 1-row totals; q209 renders the same
       // scoring tail from drained state
-      "q208_importance_select", "q209_streamed_lm")
+      "q208_importance_select", "q209_streamed_lm",
+      // q210's vector tower rides the q181 router (exact BNLJ under
+      // the cutoff, NSW past it) and the lexical tower carries the
+      // broadcast 1-row BM25 totals
+      "q210_hybrid_rrf")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))
