@@ -36,9 +36,21 @@ object Hybrid {
     split(lower(trim(c)), "\\s+")
 
   /** Lexical leg: doc-as-query rational-BM25 top-k with integer-ppm
-    * scores — (qid, rank, doc_id, score_ppm). */
+    * scores — (qid, rank, doc_id, score_ppm).
+    *
+    * `maxQueryTerms` is the scale lever for doc-as-query retrieval
+    * (Lucene MoreLikeThis's maxQueryTerms — public pattern): each query
+    * keeps only its m RAREST terms (df asc — the highest-idf terms carry
+    * nearly all of the BM25 mass anyway), so the posting join touches
+    * Σ over m rare terms of df(t) candidates per query instead of every
+    * posting of every term the query mentions. On a Zipf corpus the
+    * rare-term postings are short and the join is ~bounded per query;
+    * the synthetic soup corpus (31 terms, df ≈ 0.76·N each) is the
+    * adversarial floor where candidates stay ~m·0.76·N per query —
+    * measured in SCALE.md, which is exactly why m must be small. */
   private[graft] def bm25DocRetrieval(s: SparkSession, d: String, k: Int,
-      queryMod: Int, maxDfFrac: Double, k1: Double, b: Double): DataFrame = {
+      queryMod: Int, maxDfFrac: Double, maxQueryTerms: Int,
+      k1: Double, b: Double): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(col("term") =!= "")
@@ -49,10 +61,16 @@ object Hybrid {
       .crossJoin(broadcast(tot.select(col("n_docs").as("nd"))))
       .filter(col("df") <= col("nd") * maxDfFrac)
       .select(col("term"), col("df"))
+    // per-query rarest-m term selection: the window ranks each query
+    // doc's OWN term list (bounded by doc length), never the corpus
+    val wq = Window.partitionBy(col("qid")).orderBy(col("df"), col("term"))
     val qterms = tf.filter(pmod(col("doc_id"), lit(queryMod)) === 0)
       .select(col("doc_id").as("qid"), col("term"))
-    val contrib = qterms
       .join(dfKept, Seq("term"))
+      .withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= maxQueryTerms)
+      .select(col("qid"), col("term"), col("df"))
+    val contrib = qterms
       .join(tf.select(col("doc_id").as("did"), col("term"), col("tf")), Seq("term"))
       .filter(col("did") =!= col("qid"))
       .join(lens.select(col("doc_id").as("did"), col("len")), Seq("did"))
@@ -82,7 +100,7 @@ object Hybrid {
   def rrfFusion(s: SparkSession, d: String, k: Int, kCand: Int,
       queryMod: Int): DataFrame = {
     val lex = bm25DocRetrieval(s, d, kCand, queryMod,
-        maxDfFrac = 0.85, k1 = 1.2, b = 0.75)
+        maxDfFrac = 0.85, maxQueryTerms = 8, k1 = 1.2, b = 0.75)
       .select(col("qid"), col("doc_id"), col("rank").as("r_lex"))
     val vec = Similarity.knnAuto(s, d, kCand, queryMod)
       .select(col("qid"), col("nid").as("doc_id"), col("rank").as("r_vec"))
@@ -124,7 +142,14 @@ object Hybrid {
       dfk AS MATERIALIZED (
         SELECT term, count(*) AS df FROM tf GROUP BY 1
         HAVING count(*) <= (SELECT n_docs FROM tot) * 0.85),
-      qt AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id % 10 = 0),
+      qt AS (
+        SELECT qid, term, df FROM (
+          SELECT tf.doc_id AS qid, tf.term, dfk.df,
+            row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY dfk.df, tf.term) AS qrn
+          FROM tf JOIN dfk ON tf.term = dfk.term
+          WHERE tf.doc_id % 10 = 0)
+        WHERE qrn <= 8),
       contrib AS (
         SELECT qt.qid, tf.doc_id AS did,
           CAST(round(1000000.0 * (
@@ -133,7 +158,6 @@ object Hybrid {
               (tf + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) * n_docs / total_len)))
           )) AS BIGINT) AS c_ppm
         FROM qt
-        JOIN dfk ON qt.term = dfk.term
         JOIN tf ON tf.term = qt.term AND tf.doc_id <> qt.qid
         JOIN lens ON lens.doc_id = tf.doc_id
         CROSS JOIN tot),
