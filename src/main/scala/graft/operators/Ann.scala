@@ -171,7 +171,7 @@ object Ann {
     * nearest cells per query (centroid ranking is over the BROADCAST
     * centroid set — bounded by ncells, not the corpus), join candidates
     * within probed cells, score with the codegen cosine kernel. */
-  private def ivfScoredCandidates(s: SparkSession, d: String, nprobe: Int,
+  private[graft] def ivfScoredCandidates(s: SparkSession, d: String, nprobe: Int,
       queryMod: Int): DataFrame = {
     val idx = ivfIndexFull(s, d)
     val assigned = idx.assigned

@@ -365,6 +365,105 @@ object Similarity {
         count(*) AS cnt
       FROM u GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Hard-negative mining for embedding training — for each sampled
+    * query vector, the nearest SAME-label neighbor (the positive the
+    * contrastive pair would anchor on) plus the top-n nearest
+    * CROSS-label neighbors (the hard negatives: closest in embedding
+    * space while semantically wrong — the pairs that carry nearly all
+    * of the InfoNCE gradient; Robinson et al., ICLR 2021 — public
+    * pattern; every embedding-training pipeline mines these right
+    * after ANN index build, reference analogue: the k-NN self-search
+    * the pipeline already runs, app/main.py:228).
+    *
+    * Scale shape: stats-routed like [[knnAuto]] — under the exact
+    * cutoff the scorer is the labeled O(Q·N) kernel join (the
+    * replayable baseline the oracle checks); past it the scorer is the
+    * IVF-probed candidate relation (nprobe cells per query, the q156
+    * candidate kernel) with labels equi-joined on the two id sides.
+    * Either way the per-query top-n runs through the bounded
+    * [[graft.functions.TopKAggregator]] heaps, one heap per
+    * (query, same-label?) group — ≤ n rows per group per map task,
+    * never a corpus-wide window sort. */
+  def hardNegatives(s: SparkSession, d: String, nNeg: Int, queryMod: Int): DataFrame = {
+    val st = graft.plans.TableStats.embeddings(s, d)
+    val exactTier = st.rows <= GraftConf.knnExactCutoff(s) &&
+      st.bytes <= GraftConf.exactPairMaxBytes(s)
+    println(s"[graft] hardNegatives: rows=${st.rows} " +
+      s"(exactCutoff ${GraftConf.knnExactCutoff(s)}), bytes=${st.bytes} " +
+      s"(cutoff ${GraftConf.exactPairMaxBytes(s)}) -> " +
+      (if (exactTier) "exact" else "ivf"))
+    val base = Tables.embeddings(s, d)
+    val scored =
+      if (exactTier) {
+        val q = base.filter(col("vec_id") % queryMod === 0)
+          .select(col("vec_id").as("qid"), col("label").as("qlab"),
+            col("embedding").as("qvec"))
+        val c = base.select(col("vec_id").as("nid"), col("label").as("nlab"),
+          col("embedding").as("nvec"))
+        q.join(c, col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            (col("qlab") === col("nlab")).as("same"),
+            cosineFast(col("qvec"), col("nvec")).as("sim"))
+      } else {
+        val labels = base.select(col("vec_id"), col("label"))
+        Ann.ivfScoredCandidates(s, d, GraftConf.ivfNprobe(s), queryMod)
+          .join(labels.select(col("vec_id").as("qid"), col("label").as("qlab")),
+            Seq("qid"))
+          .join(labels.select(col("vec_id").as("nid"), col("label").as("nlab")),
+            Seq("nid"))
+          .select(col("qid"), col("nid"),
+            (col("qlab") === col("nlab")).as("same"), col("sim"))
+      }
+    val topk = udaf(new graft.functions.TopKAggregator(nNeg))
+    val heaps = scored.groupBy(col("qid"), col("same"))
+      .agg(topk(col("sim"), col("nid").cast("long")).as("top"))
+    val pos = heaps.filter(col("same"))
+      .select(col("qid"), col("top")(0)("_2").as("pos_id"),
+        round(col("top")(0)("_1"), 4).as("pos_sim"))
+    val negs = heaps.filter(!col("same"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("neg_id"), round(col("col._1"), 4).as("neg_sim"))
+    // inner join: a query whose label appears nowhere else has no
+    // positive to anchor, so it emits no training pairs (oracle agrees)
+    negs.join(pos, Seq("qid"))
+      .select(col("qid"), col("rank"), col("neg_id"), col("neg_sim"),
+        col("pos_id"), col("pos_sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q211: hard-negative mining, n=5 negatives per anchored query.
+    * Every test SF sits under the exact cutoff, so the routed scorer is
+    * the labeled exact kernel and the oracle is a faithful full replay
+    * (the q181/q195 carried-oracle convention); OperatorSpec forces the
+    * IVF branch and gates its agreement with the exact answer. */
+  val q211HardNegatives = GraftQuery(
+    "q211_hard_negatives",
+    "LLM-pipeline embedding-training ext: hard-negative mining (same-label positive + top-n cross-label negatives)",
+    (s, d) => hardNegatives(s, d, nNeg = 5, queryMod = 10),
+    Some("""WITH base AS MATERIALIZED (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding
+        FROM embeddings),
+      scored AS MATERIALIZED (
+        SELECT q.vec_id AS qid, b.vec_id AS nid,
+          (q.label = b.label) AS same,
+          list_cosine_similarity(q.embedding, b.embedding) AS sim
+        FROM base q JOIN base b
+          ON q.vec_id % 10 = 0 AND q.vec_id <> b.vec_id),
+      pos AS (
+        SELECT qid, nid AS pos_id, round(sim, 4) AS pos_sim FROM (
+          SELECT qid, nid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM scored WHERE same) WHERE rn = 1),
+      neg AS (
+        SELECT qid, CAST(rn AS INTEGER) AS rank, nid AS neg_id,
+          round(sim, 4) AS neg_sim FROM (
+          SELECT qid, nid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM scored WHERE NOT same) WHERE rn <= 5)
+      SELECT n.qid, n.rank, n.neg_id, n.neg_sim, p.pos_id, p.pos_sim
+      FROM neg n JOIN pos p USING (qid) ORDER BY qid, rank"""))
+
   /** q181: the stats-routed kNN entry point, registered so the router
     * itself is gate-checked: at every test scale factor the corpus sits
     * under the exact cutoff, so the routed plan IS the exact scorer and
@@ -379,5 +478,5 @@ object Similarity {
 
   def queries: Seq[GraftQuery] = Seq(
     q30KnnExact, q31NearDupPairs, q32KnnL2, q33VectorStats, q38QualReport,
-    q83SimHistogram, q181KnnAuto)
+    q83SimHistogram, q181KnnAuto, q211HardNegatives)
 }

@@ -3289,6 +3289,72 @@ object TextAnalysis {
       FROM j GROUP BY 1, 2 HAVING sum(n_words) > 0
       ORDER BY lang, source"""))
 
+  /** Sliding-window context chunking over REAL token ids — the step
+    * between tokenize (q196) and pack (q197/q201) in every LLM
+    * training-data pipeline: a document longer than the model context
+    * is cut into overlapping windows (window W tokens, stride S ≤ W, so
+    * consecutive chunks share W−S tokens of context; the standard
+    * long-document contract: n ≤ W → one chunk, else ⌈(n−W)/S⌉+1
+    * chunks, the last one short but never empty). q106 is the
+    * character-proxy form; this is the token-exact one the packer
+    * actually consumes.
+    *
+    * Scale shape: one [[bpeEncodeDocs]] pass (two linear shuffles) then
+    * a pure per-row lateral explode — chunk fan-out is
+    * Σ ⌈(n_i−W)/S⌉+1 ≈ corpus_tokens/S rows, no additional shuffle,
+    * whole-stage codegen end to end. (doc_id, chunk_id) lineage
+    * preserved, q106's convention. */
+  def chunkTokensBpe(docs: DataFrame, model: BpeModel, window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    bpeEncodeDocs(docs, model)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("token_ids"),
+        // div yields LONG; cast the chunk index back to INT so the
+        // downstream slice()/arithmetic stay in integer codegen
+        explode(expr(s"sequence(0, CAST(greatest(" +
+          s"(n_tokens - $window + $stride - 1) div $stride, 0) AS INT))"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        expr(s"slice(token_ids, chunk_id * $stride + 1, $window)").as("token_ids"))
+      .withColumn("n_chunk_tokens", size(col("token_ids")))
+  }
+
+  /** q212: token-exact context chunking, W=16 / S=12 (overlap 4). The
+    * oracle replays the full encode chain then the identical lateral
+    * window arithmetic (ids stringified for the cross-engine hash,
+    * q196's convention; the product API returns the real ARRAY<INT>). */
+  val q212TokenChunks = GraftQuery(
+    "q212_token_chunks",
+    "LLM-pipeline tokenizer ext: sliding-window context chunks over real BPE token ids (q196 compose)",
+    (s, d) => chunkTokensBpe(Tables.documents(s, d), bpeModel(s, d, 6),
+        window = 16, stride = 12)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_chunk_tokens"),
+        expr("array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')")
+          .as("token_ids"))
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some(s"""${bpeEncodeChain(6)},
+      -- per-row unnest(range(...)), not the generate_series table
+      -- function: DuckDB's table functions reject lateral column
+      -- parameters (len(tid) varies by row)
+      ix AS (
+        SELECT doc_id, tid, unnest(range(0,
+            greatest((len(tid) - 16 + 12 - 1) // 12, 0) + 1)) AS i
+        FROM enc WHERE len(tid) > 0),
+      ch AS (
+        SELECT doc_id, i AS chunk_id, i * 12 AS start_tok,
+          list_slice(tid, i * 12 + 1, i * 12 + 16) AS chunk
+        FROM ix)
+      SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        CAST(start_tok AS INTEGER) AS start_tok,
+        CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+        array_to_string(list_transform(chunk, x -> CAST(x AS VARCHAR)), ',')
+          AS token_ids
+      FROM ch ORDER BY doc_id, chunk_id"""))
+
   /** q200: decode(encode(corpus)) == the whitespace-normalized corpus —
     * the tokenizer round-trip as a REGISTERED query, not just a spec
     * gate. The oracle never touches the merge chain: it is the
@@ -3447,5 +3513,5 @@ object TextAnalysis {
     q184MixtureSample, q185StreamedMixture, q186BpeMerges, q187BpeSubwords,
     q192BpeMergesK64, q196BpeEncode, q197BpePacking, q200BpeRoundTrip,
     q201TrainingSequences, q202TokenMixture, q203TokenDistribution,
-    q204StreamedTokenCounts, q205TokenizerFertility)
+    q204StreamedTokenCounts, q205TokenizerFertility, q212TokenChunks)
 }

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 
@@ -1062,6 +1063,80 @@ object Scale {
       FROM pick GROUP BY 1 ORDER BY shard"""))
 
   // ---------------------------------------------------------------------
+  // q213: seeded deterministic global shuffle → training shards
+  // ---------------------------------------------------------------------
+
+  /** Seeded deterministic global shuffle: the training-data loader's
+    * "shuffle the corpus before sharding" step, computed WITHOUT a
+    * global sort. perm(id) = (a·id + seed) mod p with p prime > max id
+    * and a coprime to p is an affine BIJECTION on [0, p) — the
+    * LCG-style format-preserving permutation training loaders use for
+    * O(1) random access shuffling (public pattern: Megatron/webdataset
+    * index shuffles) — so every key gets a unique pseudo-random
+    * position, reproducible from (seed, p) alone, no stored
+    * permutation table.
+    *
+    * Scale shape: perm and shard (= perm mod S) are per-row codegen in
+    * the scan stage; the ONLY exchange is the hash partition by shard,
+    * and the within-shard order (`pos`) sorts each shard
+    * INDEPENDENTLY — N/S rows per sort, shards sized to the cluster's
+    * parallelism, where a naive ORDER BY rand() is one global sort of
+    * the corpus. a·id stays under 2^63 by construction (a < 2.7e9,
+    * id < p ≈ 1e9; raise p only alongside a smaller a — the product
+    * bound is the one real constraint of the affine form). */
+  def seededShuffleAssign(df: DataFrame, keyCol: String, shards: Int,
+      seed: Long, prime: Long = 1000000007L): DataFrame = {
+    require(shards >= 1 && prime > 1 && seed >= 0)
+    // Knuth's 2654435761 (coprime to any prime > itself mod p);
+    // SAME literal in the oracle so the products match pre-reduction
+    val perm = (lit(2654435761L) * col(keyCol) + lit(seed % prime)) % lit(prime)
+    df.select(col(keyCol))
+      .withColumn("perm", perm)
+      .withColumn("shard", (col("perm") % shards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("perm"))).cast("long"))
+  }
+
+  /** q213: the shuffle manifest — per shard, the count plus an
+    * ORDER-BINDING xor fingerprint over (shard, pos, doc_id) triples
+    * (the md5-conv BIGINT trick of q171, so a single swapped pair
+    * anywhere in any shard's order flips the hash) and the shard's head
+    * document. Proves the whole permutation + within-shard order
+    * deterministically, while shipping S rows, not N. */
+  val q213SeededShuffle = GraftQuery(
+    "q213_seeded_shuffle",
+    "LLM-pipeline layout ext: seeded affine-permutation corpus shuffle -> training shards, order-sig manifest",
+    (s, d) => seededShuffleAssign(Tables.documents(s, d), "doc_id",
+        shards = 8, seed = 42L)
+      .withColumn("sig", conv(substring(md5(concat(
+          col("shard").cast("string"), lit(":"),
+          col("pos").cast("string"), lit(":"),
+          col("doc_id").cast("string")).cast("binary")), 1, 13), 16, 10)
+        .cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(sig)").as("order_sig"),
+        expr("min_by(doc_id, pos)").as("head_doc"),
+        min(col("perm")).cast("long").as("min_perm"),
+        max(col("perm")).cast("long").as("max_perm"))
+      .orderBy(col("shard")),
+    Some("""WITH p AS (
+        SELECT doc_id,
+          (2654435761 * doc_id + 42) % 1000000007 AS perm
+        FROM documents),
+      a AS (
+        SELECT doc_id, perm, CAST(perm % 8 AS INTEGER) AS shard,
+          row_number() OVER (PARTITION BY perm % 8 ORDER BY perm) AS pos
+        FROM p)
+      SELECT shard, count(*) AS n_docs,
+        bit_xor(('0x' || substr(md5(shard || ':' || pos || ':' || doc_id),
+          1, 13))::BIGINT) AS order_sig,
+        min_by(doc_id, pos) AS head_doc,
+        CAST(min(perm) AS BIGINT) AS min_perm,
+        CAST(max(perm) AS BIGINT) AS max_perm
+      FROM a GROUP BY 1 ORDER BY shard"""))
+
+  // ---------------------------------------------------------------------
   // q178: equi-depth histogram — exact quantile edges + bucket counts
   // ---------------------------------------------------------------------
 
@@ -1121,7 +1196,7 @@ object Scale {
       FROM hist h ORDER BY bucket"""))
 
   def queries: Seq[GraftQuery] = Seq(q158GroupOrderStats, q165MadOutliers,
-    q171RendezvousShard, q178EquiDepthHist,
+    q171RendezvousShard, q178EquiDepthHist, q213SeededShuffle,
     q82SaltedAgg, q87ZOrderRoundTrip,
     q95MergeUpsert, q100TableDiff, q107IncrementalAgg, q108SaltedJoin,
     q112CascadeDelete, q117Fingerprint, q118SkewReport, q124DictJoin,

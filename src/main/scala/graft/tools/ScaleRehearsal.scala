@@ -55,6 +55,21 @@ object ScaleRehearsal {
           replicaText.as("text"),
           col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(docsOut)
+      // embeddings too (q210's vector tower): replica ids aligned with
+      // the document replication (doc_id·factor + epoch − 1), vectors
+      // jittered per epoch (the AnnScaleRehearsal pattern) so no two
+      // replicas are identical and the partial doc↔embedding coverage
+      // ratio of the base corpus is preserved
+      Tables.embeddings(spark, baseDir)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          explode(sequence(lit(1), lit(factor))).as("epoch"))
+        .select(
+          (col("vec_id") * factor + col("epoch") - 1).as("vec_id"),
+          expr("transform(embedding, (x, j) -> " +
+            "CAST(x + (((epoch - 1) * 31 + j) % 7 - 3) * 0.001 AS FLOAT))")
+            .as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
       marker.getParentFile.mkdirs(); marker.createNewFile()
       println(f"[rehearsal] upsample x$factor ($mode) written in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
@@ -117,7 +132,37 @@ object ScaleRehearsal {
         Tables.documents(spark, d),
         graft.operators.TextAnalysis.bpeModel(spark, d, 6))),
       "q201_training_sequences" -> (d => graft.operators.TextAnalysis
-        .packedSequencesBpe(spark, d, budget = 2048L, k = 6)))
+        .packedSequencesBpe(spark, d, budget = 2048L, k = 6)),
+      // LM perplexity tier (q206/q208): model relations are
+      // reference-slice-n-gram-bounded (and the distinct mode grows the
+      // vocabulary ~factor× — the worst case), scoring is two
+      // corpus-linear shuffles; q208 runs the path twice (target + raw)
+      "q206_lm_perplexity" -> (d => graft.operators.LanguageModel
+        .docSurprisal(spark, d)),
+      "q208_importance" -> (d => graft.operators.LanguageModel
+        .importanceWeights(spark, d)),
+      // hybrid retrieval (q210): lexical candidates are Σ df(t)·qf(t)
+      // over df-cut terms (corpus-linear per query on Zipf data),
+      // per-query heaps bound the shuffle; the vector tower rides the
+      // q181 router
+      "q210_hybrid_rrf" -> (d => graft.operators.Hybrid
+        .rrfFusion(spark, d, k = 5, kCand = 10, queryMod = 10)),
+      // hard negatives (q211): at 10× the embeddings cross the exact
+      // cutoff, so THIS rehearsal exercises the routed IVF candidate
+      // scorer — the production plan, not the labeled baseline
+      "q211_hard_negatives" -> (d => graft.operators.Similarity
+        .hardNegatives(spark, d, nNeg = 5, queryMod = 10)),
+      // token chunking (q212): one encode pass + per-row lateral
+      // explode; fan-out ≈ corpus_tokens/stride, no extra shuffle
+      "q212_token_chunks" -> (d => graft.operators.TextAnalysis
+        .chunkTokensBpe(graft.Tables.documents(spark, d),
+          graft.operators.TextAnalysis.bpeModel(spark, d, 6), 16, 12)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))),
+      // seeded shuffle (q213): per-row affine perm + per-shard sorts
+      "q213_seeded_shuffle" -> (d => graft.plans.Scale
+        .seededShuffleAssign(graft.Tables.documents(spark, d), "doc_id",
+          shards = 8, seed = 42L)
+        .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))))
 
     // optional 5th arg: comma-separated name prefixes to run a subset
     // (a new-operator rehearsal need not re-measure the whole family)

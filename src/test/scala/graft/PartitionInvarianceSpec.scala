@@ -31,7 +31,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // leak partition order into the id sequences; and the packed
     // training sequences concatenate per-sequence payloads in strict
     // doc_id order
-    "q196_bpe_encode", "q201_training_sequences")
+    "q196_bpe_encode", "q201_training_sequences",
+    // r9 wave 2: per-(query, side) bounded heaps with double-sim
+    // tie-breaks; affine-permutation shuffle (xor order-sig binds every
+    // (shard, pos, doc) triple — any partition-order leak flips it)
+    "q211_hard_negatives", "q213_seeded_shuffle")
 
   private def canon(name: String): Seq[Seq[String]] =
     Registry.byName(name).run(spark, sfTiny)

@@ -346,7 +346,11 @@ class PlanSpec extends SparkSpec {
       // q169 peels the labeled exact threshold-similarity graph (same
       // ground-truth tier; at scale the edge relation comes from the
       // q31 candidate feeders — Graph.similarityEdges doc)
-      "q169_kcore")
+      "q169_kcore",
+      // q211 routes to the labeled exact scorer at test sizes (the
+      // q181 pattern — the IVF candidate scorer takes over past the
+      // cutoff, branch agreement gated in TrainingDataOpsSpec)
+      "q211_hard_negatives")
     val recallGates = Set(
       "q35_ivf_recall", "q37_lsh_recall", "q57_ivf_pair_recall",
       "q67_pq_recall", "q128_nsw_recall", "q150_multiprobe_recall")

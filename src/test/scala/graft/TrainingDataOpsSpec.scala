@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TextAnalysis}
+import graft.plans.Scale
+
+/** Gates for the round-9 training-data additions: hard-negative mining
+  * (q211), token-exact context chunking (q212), and the seeded
+  * deterministic corpus shuffle (q213). The registered queries carry
+  * full DuckDB oracles; these specs add the properties an oracle can't
+  * see — the IVF-routed q211 branch agreeing with the exact tier, the
+  * chunk-coverage algebra, and the permutation bijection. */
+class TrainingDataOpsSpec extends SparkSpec {
+
+  // ------------------------------------------------------------------
+  // q211 hard-negative mining
+  // ------------------------------------------------------------------
+
+  test("hard negatives: labels split correctly and ranks are contiguous") {
+    val out = Similarity.hardNegatives(spark, sfTiny, nNeg = 5, queryMod = 10)
+      .cache()
+    val labels = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("label"))
+    val qlab = labels.select(col("vec_id").as("qid"), col("label").as("qlab"))
+    val nlab = labels.select(col("vec_id").as("neg_id"), col("label").as("nlab"))
+    val plab = labels.select(col("vec_id").as("pos_id"), col("label").as("plab"))
+    val joined = out.join(qlab, Seq("qid")).join(nlab, Seq("neg_id"))
+      .join(plab, Seq("pos_id")).cache()
+    assert(joined.count() == out.count(), "label joins must not drop rows")
+    assert(joined.filter(col("qlab") === col("nlab")).count() == 0,
+      "every negative must be cross-label")
+    assert(joined.filter(col("qlab") =!= col("plab")).count() == 0,
+      "every positive must be same-label")
+    // ranks 1..n per query, negative sims non-increasing in rank
+    val bad = out.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"),
+        min(col("rank")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() == 0, "ranks must be contiguous from 1")
+    val inv = out.withColumn("prev",
+        lag(col("neg_sim"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("rank"))))
+      .filter(col("prev").isNotNull && col("prev") < col("neg_sim"))
+    assert(inv.count() == 0, "negative sims must be non-increasing in rank")
+    out.unpersist(); joined.unpersist()
+  }
+
+  test("hard negatives: forced IVF branch agrees with the exact tier") {
+    val exact = Similarity.hardNegatives(spark, sfTiny, nNeg = 5, queryMod = 10)
+      .cache()
+    val prev = spark.conf.getOption("spark.graft.knn.exactCutoff")
+    spark.conf.set("spark.graft.knn.exactCutoff", "1")
+    try {
+      val ivf = Similarity.hardNegatives(spark, sfTiny, nNeg = 5, queryMod = 10)
+        .cache()
+      assert(ivf.schema == exact.schema, "branches must agree on schema")
+      val nq = exact.select(col("qid")).distinct().count()
+      // positives: fraction of queries where both tiers anchor on the
+      // same positive
+      val posAgree = exact.select(col("qid"), col("pos_id")).distinct()
+        .join(ivf.select(col("qid"), col("pos_id")).distinct(),
+          Seq("qid", "pos_id"))
+        .count()
+      assert(posAgree >= (nq * 0.8).toLong,
+        s"IVF positive agreement $posAgree/$nq below 0.8")
+      // negatives: top-5 set overlap per query
+      val negOverlap = exact.select(col("qid"), col("neg_id"))
+        .join(ivf.select(col("qid"), col("neg_id")), Seq("qid", "neg_id"))
+        .count()
+      val negTotal = exact.count()
+      assert(negOverlap >= (negTotal * 0.6).toLong,
+        s"IVF negative overlap $negOverlap/$negTotal below 0.6")
+      ivf.unpersist()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.knn.exactCutoff", v)
+        case None => spark.conf.unset("spark.graft.knn.exactCutoff")
+      }
+    }
+    exact.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // q212 token-window chunking
+  // ------------------------------------------------------------------
+
+  test("token chunks: count formula, full coverage, stride layout") {
+    val docs = Tables.documents(spark, sfTiny)
+    val model = TextAnalysis.bpeModel(spark, sfTiny, 6)
+    val (win, stride) = (16, 12)
+    val enc = TextAnalysis.bpeEncodeDocs(docs, model)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"))
+    val ch = TextAnalysis.chunkTokensBpe(docs, model, win, stride).cache()
+    val byDoc = ch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("start_tok") + col("n_chunk_tokens")).as("covered"),
+        min(col("start_tok")).as("first_start"),
+        max(col("chunk_id")).as("last_chunk"))
+      .join(enc, Seq("doc_id")).cache()
+    assert(byDoc.count() == enc.count(), "every non-empty doc chunks")
+    val expected = byDoc.withColumn("want",
+        when(col("n_tokens") <= win, lit(1L))
+          .otherwise(ceil((col("n_tokens") - win).cast("double") / stride) + 1))
+      .filter(col("n_chunks") =!= col("want"))
+    assert(expected.count() == 0, "chunk count must match the contract")
+    assert(byDoc.filter(col("covered") =!= col("n_tokens")).count() == 0,
+      "the last chunk must reach exactly the end of the token stream")
+    assert(byDoc.filter(col("first_start") =!= 0).count() == 0,
+      "chunk 0 starts at token 0")
+    // every chunk but the last is a full window
+    val short = ch.join(byDoc.select(col("doc_id"), col("last_chunk")), Seq("doc_id"))
+      .filter(col("chunk_id") < col("last_chunk") &&
+        col("n_chunk_tokens") =!= win)
+    assert(short.count() == 0, "interior chunks must be full windows")
+    // starts advance by exactly the stride
+    val strideBad = ch.filter(col("start_tok") =!= col("chunk_id") * stride)
+    assert(strideBad.count() == 0, "start_tok must be chunk_id * stride")
+    ch.unpersist(); byDoc.unpersist()
+  }
+
+  test("token chunks: deterministic across runs") {
+    val docs = Tables.documents(spark, sfTiny)
+    val model = TextAnalysis.bpeModel(spark, sfTiny, 6)
+    val a = TextAnalysis.chunkTokensBpe(docs, model, 16, 12)
+      .select(col("doc_id"), col("chunk_id"),
+        expr("array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')")
+          .as("t"))
+    val b = TextAnalysis.chunkTokensBpe(docs, model, 16, 12)
+      .select(col("doc_id"), col("chunk_id"),
+        expr("array_join(transform(token_ids, x -> CAST(x AS STRING)), ',')")
+          .as("t"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  // ------------------------------------------------------------------
+  // q213 seeded shuffle
+  // ------------------------------------------------------------------
+
+  test("seeded shuffle: affine permutation is a bijection with contiguous shard positions") {
+    val docs = Tables.documents(spark, sfTiny)
+    val n = docs.count()
+    val out = Scale.seededShuffleAssign(docs, "doc_id", shards = 8, seed = 42L)
+      .cache()
+    assert(out.count() == n, "one row per key")
+    assert(out.select(col("perm")).distinct().count() == n,
+      "perm must be collision-free (affine bijection)")
+    val posBad = out.groupBy(col("shard"))
+      .agg(count(lit(1)).as("cnt"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"))
+      .filter(col("mx") =!= col("cnt") || col("mn") =!= 1)
+    assert(posBad.count() == 0, "pos must be contiguous 1..n per shard")
+    out.unpersist()
+  }
+
+  test("seeded shuffle: reproducible per seed, different across seeds") {
+    val docs = Tables.documents(spark, sfTiny)
+    val a = Scale.seededShuffleAssign(docs, "doc_id", 8, seed = 42L)
+    val b = Scale.seededShuffleAssign(docs, "doc_id", 8, seed = 42L)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "same seed must reproduce the identical assignment")
+    val c = Scale.seededShuffleAssign(docs, "doc_id", 8, seed = 7L)
+      .withColumnRenamed("pos", "pos2").withColumnRenamed("perm", "perm2")
+      .withColumnRenamed("shard", "shard2")
+    val moved = a.join(c, Seq("doc_id"))
+      .filter(col("shard") =!= col("shard2") || col("pos") =!= col("pos2"))
+      .count()
+    assert(moved > 0, "a different seed must produce a different order")
+  }
+}
