@@ -3355,6 +3355,228 @@ object TextAnalysis {
           AS token_ids
       FROM ch ORDER BY doc_id, chunk_id"""))
 
+  /** Length-bucketed batch assembly with padding-waste accounting — the
+    * dataloader step after tokenize: sequences padded to the longest
+    * member of their batch waste compute, so loaders group sequences
+    * into LENGTH BUCKETS per shard and batch within a bucket in length
+    * order (public pattern: fairseq's `--required-batch-size-multiple`
+    * bucketing, HuggingFace `group_by_length`). This operator composes
+    * the engine's own pieces — q196's real token counts and q213's
+    * seeded shard assignment — and reports, per (strategy, shard), the
+    * real vs padded token totals for `bucketed` (width-`bucketWidth`
+    * buckets, length-desc order) against `naive` (arrival order, i.e.
+    * the q213 within-shard position), the measured claim being the
+    * padding waste bucketing removes.
+    *
+    * Scale shape: bucketing is per-row arithmetic in the scan stage;
+    * the ONLY exchanges are the encode pass and the hash partition by
+    * shard. Every window partitions by (shard[, bucket]) — N/S rows per
+    * sort, shards sized to the cluster, never a corpus-global sort.
+    * Padding is always to the batch's own max (both strategies), so the
+    * comparison isolates exactly the ordering effect. */
+  def lengthBucketedBatches(s: SparkSession, d: String, k: Int,
+      shards: Int, seed: Long, batchSize: Int, bucketWidth: Int): DataFrame = {
+    require(batchSize >= 1 && bucketWidth >= 1)
+    val docs = Tables.documents(s, d)
+    val enc = bpeEncodeDocs(docs, bpeModel(s, d, k))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"))
+    val sh = graft.plans.Scale.seededShuffleAssign(docs, "doc_id", shards, seed)
+      .select(col("doc_id"), col("shard"), col("pos"))
+    val base = enc.join(sh, Seq("doc_id"))
+      .withColumn("bucket",
+        expr(s"CAST((n_tokens + ${bucketWidth - 1}) div $bucketWidth AS INT)"))
+    def perShard(batched: org.apache.spark.sql.RelationalGroupedDataset,
+        strategy: String): DataFrame =
+      batched
+        .agg(count(lit(1)).as("bsz"), max(col("n_tokens")).as("mx"),
+          sum(col("n_tokens")).as("rt"))
+        .groupBy(col("shard"))
+        .agg(sum(col("bsz")).as("n_seqs"), count(lit(1)).as("n_batches"),
+          sum(col("rt")).as("real_tok"),
+          sum(col("bsz") * col("mx")).as("padded_tok"))
+        .withColumn("strategy", lit(strategy))
+    val wB = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val bucketed = perShard(
+      base.withColumn("rn", row_number().over(wB))
+        .withColumn("batch", expr(s"CAST((rn - 1) div $batchSize AS INT)"))
+        .groupBy(col("shard"), col("bucket"), col("batch")), "bucketed")
+    // naive = arrival order: re-rank the non-empty docs by the q213
+    // within-shard position (pos itself has holes where empty docs sat)
+    val wN = Window.partitionBy(col("shard")).orderBy(col("pos"))
+    val naive = perShard(
+      base.withColumn("rn", row_number().over(wN))
+        .withColumn("batch", expr(s"CAST((rn - 1) div $batchSize AS INT)"))
+        .groupBy(col("shard"), col("batch")), "naive")
+    bucketed.unionByName(naive)
+      .withColumn("waste_ppm", round(lit(1000000.0) *
+          (col("padded_tok") - col("real_tok")) / col("padded_tok"), 0)
+        .cast("long"))
+      .select(col("strategy"), col("shard"), col("n_seqs"), col("n_batches"),
+        col("real_tok"), col("padded_tok"), col("waste_ppm"))
+      .orderBy(col("strategy"), col("shard"))
+  }
+
+  /** q214: length-bucketed batching over the q213 shards, B=8 sequences
+    * per batch, width-32 length buckets, vs the naive arrival-order
+    * baseline. The oracle replays the encode chain, the affine shard
+    * assignment (q213's constants) and both batching disciplines. */
+  val q214LengthBatching = GraftQuery(
+    "q214_length_batching",
+    "LLM-pipeline dataloader ext: length-bucketed batch assembly, padding waste vs arrival order (q196+q213 compose)",
+    (s, d) => lengthBucketedBatches(s, d, k = 6, shards = 8, seed = 42L,
+      batchSize = 8, bucketWidth = 32),
+    Some(s"""${bpeEncodeChain(6)},
+      nt AS MATERIALIZED (
+        SELECT doc_id, len(tid) AS n_tokens FROM enc WHERE len(tid) > 0),
+      shx AS MATERIALIZED (
+        SELECT doc_id,
+          CAST(((2654435761 * doc_id + 42) % 1000000007) % 8 AS INTEGER) AS shard,
+          row_number() OVER (
+            PARTITION BY ((2654435761 * doc_id + 42) % 1000000007) % 8
+            ORDER BY (2654435761 * doc_id + 42) % 1000000007) AS pos
+        FROM documents),
+      lb AS MATERIALIZED (
+        SELECT nt.doc_id, nt.n_tokens, shx.shard, shx.pos,
+          (nt.n_tokens + 31) // 32 AS bucket
+        FROM nt JOIN shx USING (doc_id)),
+      bb AS (
+        SELECT shard, bucket, (rn - 1) // 8 AS batch,
+          count(*) AS bsz, max(n_tokens) AS mx, sum(n_tokens) AS rt
+        FROM (
+          SELECT shard, bucket, n_tokens,
+            row_number() OVER (PARTITION BY shard, bucket
+              ORDER BY n_tokens DESC, doc_id) AS rn
+          FROM lb)
+        GROUP BY 1, 2, 3),
+      nb AS (
+        SELECT shard, (rn - 1) // 8 AS batch,
+          count(*) AS bsz, max(n_tokens) AS mx, sum(n_tokens) AS rt
+        FROM (
+          SELECT shard, n_tokens,
+            row_number() OVER (PARTITION BY shard ORDER BY pos) AS rn
+          FROM lb)
+        GROUP BY 1, 2),
+      u AS (
+        SELECT 'bucketed' AS strategy, shard,
+          CAST(sum(bsz) AS BIGINT) AS n_seqs,
+          count(*) AS n_batches,
+          CAST(sum(rt) AS BIGINT) AS real_tok,
+          CAST(sum(bsz * mx) AS BIGINT) AS padded_tok
+        FROM bb GROUP BY 1, 2
+        UNION ALL
+        SELECT 'naive' AS strategy, shard,
+          CAST(sum(bsz) AS BIGINT) AS n_seqs,
+          count(*) AS n_batches,
+          CAST(sum(rt) AS BIGINT) AS real_tok,
+          CAST(sum(bsz * mx) AS BIGINT) AS padded_tok
+        FROM nb GROUP BY 1, 2)
+      SELECT strategy, shard, n_seqs, n_batches, real_tok, padded_tok,
+        CAST(round(1000000.0 * (padded_tok - real_tok) / padded_tok, 0)
+          AS BIGINT) AS waste_ppm
+      FROM u ORDER BY strategy, shard"""))
+
+  /** Seeded span-corruption planning — the T5/UL2 denoising-objective
+    * preprocessing step (Raffel et al., JMLR 2020 — public pattern):
+    * pick pseudo-random noise spans over each document's token stream,
+    * merge overlaps, and account the masked fraction. Span selection is
+    * pure per-position hash arithmetic (the q213 md5-conv discipline, no
+    * RNG state), so the plan is deterministic, seed-reproducible and
+    * exactly replayable cross-engine: position t anchors a span iff
+    * H(doc, t, seed) ≡ 0 (mod rateInv), with length 1 + (H div rateInv)
+    * mod maxSpan — expected density ≈ (maxSpan+1)/(2·rateInv) before
+    * merging. Overlapping/adjacent spans merge with the q152
+    * gaps-and-islands pass (running max(end) over preceding spans).
+    *
+    * Scale shape: explode to token positions (corpus_tokens rows,
+    * codegen arithmetic, immediately filtered to the ~1/rateInv
+    * anchors), then per-doc windows over the surviving spans — bounded
+    * by each doc's own anchor count, partitioned by doc_id, never a
+    * global sort. */
+  def spanCorruptionPlan(docs: DataFrame, model: BpeModel, seed: Long,
+      rateInv: Int, maxSpan: Int): DataFrame = {
+    require(rateInv >= 2 && maxSpan >= 1)
+    val enc = bpeEncodeDocs(docs, model).filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens").as("n"))
+    val spans = enc
+      .select(col("doc_id"), col("n"),
+        explode(expr("sequence(0, n - 1)")).as("tpos"))
+      .withColumn("hv", conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit(":"),
+          col("tpos").cast("string"), lit(s":s$seed")).cast("binary")),
+        1, 13), 16, 10).cast("long"))
+      .filter(col("hv") % rateInv === 0)
+      .select(col("doc_id"), col("n"), col("tpos").cast("long").as("s"),
+        expr(s"least(CAST(tpos AS BIGINT) + (hv div $rateInv) % $maxSpan, " +
+          s"CAST(n - 1 AS BIGINT))").as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = spans
+      .withColumn("ni",
+        when(prevMax.isNull || col("s") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(col("me") - col("ms") + 1).as("n_masked"))
+    enc.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        round(lit(1000000.0) * coalesce(col("n_masked"), lit(0L)) / col("n"), 0)
+          .cast("long").as("mask_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q215: span-corruption plan at rateInv=20, maxSpan=5 (≈15% expected
+    * mask density). Full oracle through the shared encode chain plus
+    * the identical hash-anchor and island arithmetic. */
+  val q215SpanCorruption = GraftQuery(
+    "q215_span_corruption",
+    "LLM-pipeline denoising ext: seeded T5-style span-corruption plan, interval-merged mask accounting",
+    (s, d) => spanCorruptionPlan(Tables.documents(s, d), bpeModel(s, d, 6),
+      seed = 42L, rateInv = 20, maxSpan = 5),
+    Some(s"""${bpeEncodeChain(6)},
+      nt AS MATERIALIZED (
+        SELECT doc_id, len(tid) AS n FROM enc WHERE len(tid) > 0),
+      anchors AS (
+        SELECT doc_id, n, tpos,
+          ('0x' || substr(md5(doc_id || ':' || tpos || ':s42'), 1, 13))::BIGINT
+            AS hv
+        FROM (SELECT doc_id, n, unnest(range(0, n)) AS tpos FROM nt)),
+      sp AS (
+        SELECT doc_id, n, tpos AS s,
+          least(tpos + (hv // 20) % 5, n - 1) AS e
+        FROM anchors WHERE hv % 20 = 0),
+      m AS (
+        SELECT doc_id, s, e,
+          CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw + 1
+            THEN 1 ELSE 0 END AS ni
+        FROM sp
+        WINDOW pw AS (PARTITION BY doc_id ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      isl AS (
+        SELECT doc_id, s, e,
+          sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM m),
+      pi AS (
+        SELECT doc_id, island, min(s) AS ms, max(e) AS me
+        FROM isl GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, count(*) AS n_spans,
+          CAST(sum(me - ms + 1) AS BIGINT) AS n_masked
+        FROM pi GROUP BY 1)
+      SELECT nt.doc_id, CAST(nt.n AS INTEGER) AS n_tokens,
+        CAST(coalesce(a.n_spans, 0) AS INTEGER) AS n_spans,
+        CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked,
+        CAST(round(1000000.0 * coalesce(a.n_masked, 0) / nt.n, 0) AS BIGINT)
+          AS mask_ppm
+      FROM nt LEFT JOIN agg a USING (doc_id) ORDER BY nt.doc_id"""))
+
   /** q200: decode(encode(corpus)) == the whitespace-normalized corpus —
     * the tokenizer round-trip as a REGISTERED query, not just a spec
     * gate. The oracle never touches the merge chain: it is the
@@ -3513,5 +3735,6 @@ object TextAnalysis {
     q184MixtureSample, q185StreamedMixture, q186BpeMerges, q187BpeSubwords,
     q192BpeMergesK64, q196BpeEncode, q197BpePacking, q200BpeRoundTrip,
     q201TrainingSequences, q202TokenMixture, q203TokenDistribution,
-    q204StreamedTokenCounts, q205TokenizerFertility, q212TokenChunks)
+    q204StreamedTokenCounts, q205TokenizerFertility, q212TokenChunks,
+    q214LengthBatching, q215SpanCorruption)
 }

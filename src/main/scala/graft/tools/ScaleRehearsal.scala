@@ -162,7 +162,20 @@ object ScaleRehearsal {
       "q213_seeded_shuffle" -> (d => graft.plans.Scale
         .seededShuffleAssign(graft.Tables.documents(spark, d), "doc_id",
           shards = 8, seed = 42L)
-        .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))),
+      // length batching (q214): encode + shard assign + per-(shard,
+      // bucket) windows — every sort is N/S-bounded, never global
+      "q214_length_batching" -> (d => graft.operators.TextAnalysis
+        .lengthBucketedBatches(spark, d, k = 6, shards = 8, seed = 42L,
+          batchSize = 8, bucketWidth = 32)),
+      // span corruption (q215): token-position explode filtered to
+      // ~1/rateInv anchors, then per-doc island windows — corpus-linear
+      "q215_span_corruption" -> (d => graft.operators.TextAnalysis
+        .spanCorruptionPlan(graft.Tables.documents(spark, d),
+          graft.operators.TextAnalysis.bpeModel(spark, d, 6),
+          seed = 42L, rateInv = 20, maxSpan = 5)
+        .groupBy(lit(1)).agg(sum(col("n_masked")).as("masked"),
+          sum(col("n_tokens")).as("toks"))))
 
     // optional 5th arg: comma-separated name prefixes to run a subset
     // (a new-operator rehearsal need not re-measure the whole family)

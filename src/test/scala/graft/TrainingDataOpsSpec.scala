@@ -153,6 +153,64 @@ class TrainingDataOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  // ------------------------------------------------------------------
+  // q214 length-bucketed batching
+  // ------------------------------------------------------------------
+
+  test("length batching: strategies agree on totals, bucketing cuts the waste") {
+    val out = TextAnalysis.lengthBucketedBatches(spark, sfTiny, k = 6,
+      shards = 8, seed = 42L, batchSize = 8, bucketWidth = 32).cache()
+    val b = out.filter(col("strategy") === "bucketed")
+      .select(col("shard"), col("n_seqs"), col("real_tok"),
+        col("padded_tok").as("pb"))
+    val n = out.filter(col("strategy") === "naive")
+      .select(col("shard"), col("n_seqs"), col("real_tok"),
+        col("padded_tok").as("pn"))
+    // both strategies batch the SAME sequences per shard
+    val j = b.join(n, Seq("shard", "n_seqs", "real_tok")).cache()
+    assert(j.count() == 8, "per-shard n_seqs/real_tok must match across strategies")
+    assert(out.filter(col("padded_tok") < col("real_tok")).count() == 0,
+      "padding can only add tokens")
+    // the operator's reason to exist: corpus-wide, bucketed padding
+    // waste must undercut arrival-order waste
+    val Array(wb, wn) = out.groupBy(col("strategy"))
+      .agg((sum(col("padded_tok")) - sum(col("real_tok"))).as("waste"))
+      .orderBy(col("strategy")).collect().map(_.getLong(1))
+    assert(wb < wn, s"bucketed waste $wb must beat naive $wn")
+    out.unpersist(); j.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // q215 span corruption
+  // ------------------------------------------------------------------
+
+  test("span corruption: mask accounting is consistent and seed-driven") {
+    val docs = Tables.documents(spark, sfTiny)
+    val model = TextAnalysis.bpeModel(spark, sfTiny, 6)
+    val a = TextAnalysis.spanCorruptionPlan(docs, model, seed = 42L,
+      rateInv = 20, maxSpan = 5).cache()
+    assert(a.filter(col("n_masked") > col("n_tokens")).count() == 0,
+      "merged spans can never exceed the token stream")
+    assert(a.filter(col("n_masked") < col("n_spans")).count() == 0,
+      "every merged span masks at least one token")
+    assert(a.filter(col("mask_ppm") < 0 || col("mask_ppm") > 1000000).count() == 0,
+      "mask_ppm must be a fraction in ppm")
+    // corpus-wide density should sit near the design point
+    // ((maxSpan+1)/2 / rateInv = 15%) — wide tolerance, it's a hash draw
+    val r0 = a.agg(sum(col("n_masked")), sum(col("n_tokens"))).collect()(0)
+    val density = r0.getLong(0).toDouble / r0.getLong(1)
+    assert(density > 0.05 && density < 0.30,
+      f"corpus mask density $density%.3f outside [0.05, 0.30]")
+    val b = TextAnalysis.spanCorruptionPlan(docs, model, seed = 42L,
+      rateInv = 20, maxSpan = 5)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "same seed must reproduce the identical plan")
+    val c = TextAnalysis.spanCorruptionPlan(docs, model, seed = 7L,
+      rateInv = 20, maxSpan = 5)
+    assert(c.exceptAll(a).count() > 0, "a different seed must move spans")
+    a.unpersist()
+  }
+
   test("seeded shuffle: reproducible per seed, different across seeds") {
     val docs = Tables.documents(spark, sfTiny)
     val a = Scale.seededShuffleAssign(docs, "doc_id", 8, seed = 42L)
