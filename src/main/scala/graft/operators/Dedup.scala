@@ -1487,6 +1487,58 @@ object Dedup {
     })
 
   // ---------------------------------------------------------------------
+  // q217: keep-best-of-cluster representative selection
+  // ---------------------------------------------------------------------
+
+  /** Representative selection over the q64 transitive dup clusters: keep
+    * exactly one document per near-dup cluster — the LONGEST member
+    * (keep-longest is the published representative heuristic for near-dup
+    * families; length is the cheap monotone proxy for information
+    * content), ties broken by doc_id so selection is total and
+    * deterministic. Unlike q50's keep-first (exact dup groups) and q54's
+    * pair-survivors (which can drop BOTH endpoints of a chain), this is
+    * the closure-level materialization: every cluster, including
+    * singletons, contributes exactly one keeper, so Σ keep == #clusters
+    * by construction.
+    *
+    * Plan: the q64 CC pipeline plus one broadcast-sized length join and
+    * a per-cluster window (clusters are near-dup families — bounded
+    * small; the window partitions by cluster_id, never the corpus). */
+  def clusterRepresentatives(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_char").desc, col("doc_id"))
+    dupClusters(s, d, threshold)
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("n_char")), Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_char"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q217ClusterReps = GraftQuery(
+    "q217_cluster_reps",
+    "LLM-pipeline dedup ext: keep-best-of-cluster representative selection (longest member of each q64 closure)",
+    (s, d) => clusterRepresentatives(s, d, threshold = 0.8),
+    // q64's full closure, re-tailed with the per-cluster keep-longest
+    // window — built by substitution so the two oracles can never drift.
+    q64DupClusters.oracle.map { o =>
+      val tail = """SELECT a.doc_id, a.cluster_id, s.cluster_size
+      FROM alldocs a JOIN sizes s USING (cluster_id)
+      ORDER BY a.doc_id"""
+      require(o.contains(tail), "q64 oracle tail drifted; fix q217's substitution")
+      o.replace(tail,
+        """SELECT a.doc_id, a.cluster_id, s.cluster_size,
+        CAST(len(d.text) AS INTEGER) AS n_char,
+        (row_number() OVER (PARTITION BY a.cluster_id
+          ORDER BY len(d.text) DESC, a.doc_id) = 1) AS keep
+      FROM alldocs a JOIN sizes s USING (cluster_id)
+        JOIN documents d USING (doc_id)
+      ORDER BY a.doc_id""")
+    })
+
+  // ---------------------------------------------------------------------
   // Frame-generic stage transforms for the composed curation pipeline
   // (plans.CurationPipeline) — the same semantics as the registered
   // (s, d)-form queries they mirror, over ANY document frame, so the
@@ -1549,5 +1601,6 @@ object Dedup {
     q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup,
     q64DupClusters, q68DupSpans, q69IncrementalDedup, q92FuzzyDedup,
     q109Decontaminate, q129SemDedup, q133DecontaminateBloom, q153StreamedCc,
-    q161SharedSpans, q162SubstrDedup, q170PrefixJaccard, q183LeakSafeSplit)
+    q161SharedSpans, q162SubstrDedup, q170PrefixJaccard, q183LeakSafeSplit,
+    q217ClusterReps)
 }

@@ -3577,6 +3577,122 @@ object TextAnalysis {
           AS mask_ppm
       FROM nt LEFT JOIN agg a USING (doc_id) ORDER BY nt.doc_id"""))
 
+  /** Epoch-capped waterfilling mixture allocation — the data-constrained
+    * scaling rule (Muennighoff et al. 2023, public pattern): each source
+    * can supply at most maxEpochs × its token mass, so the q202
+    * temperature shares cannot simply be scaled to the budget; capped
+    * sources return their surplus, which re-raises the water level over
+    * the uncapped rest, possibly capping more (a real cascade on this
+    * corpus: 5 of 20 sources cap at the chosen parameters, two of them
+    * only AFTER redistribution).
+    *
+    * Solved in CLOSED FORM, no driver loop and no iteration: sort
+    * sources ascending by cap/weight (the order in which the rising
+    * water level pins them); the capped set is always a prefix of that
+    * order, and prefix k is the answer iff the first uncapped source
+    * fits under its cap — a per-row integer cross-product test
+    * `cap_p · W_rest ≥ R_rest · w_p` over running sums, so the whole
+    * fixed point is one window pass + two scalar aggregates, exactly
+    * replayable in integer arithmetic (the boundary on this corpus is
+    * 15,913,480 < 15,917,772 — a float formulation could flip it).
+    *
+    * Scale shape: the only corpus-scale job is the per-source token
+    * groupBy (linear, one exchange over the shared encode pass); all
+    * windows and aggregates after it run on the catalog-sized source
+    * relation (tens to hundreds of rows at 100 TB — the single-partition
+    * window is over THAT relation, never the corpus). */
+  def waterfillAllocation(s: SparkSession, d: String, budgetTokens: Long,
+      maxEpochs: Int, k: Int): DataFrame = {
+    require(budgetTokens >= 1 && maxEpochs >= 1)
+    val model = bpeModel(s, d, k)
+    val docs = Tables.documents(s, d)
+    val perSrc = docs.select(col("doc_id"), col("source"))
+      .join(bpeEncodeDocs(docs, model).select(col("doc_id"), col("n_tokens")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens").cast("long")).as("tok_total"))
+      .withColumn("w", floor(sqrt(col("tok_total"))).cast("long"))
+      .withColumn("cap_tok", lit(maxEpochs.toLong) * col("tok_total"))
+    val wsum = perSrc.agg(sum(col("w")).as("wsum"))
+    // ascending water-pinning order; catalog-sized relation, so the
+    // unpartitioned window is deliberate and bounded
+    val ord = Window.orderBy(col("cap_tok").cast("double") / col("w"),
+      col("source"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perSrc.crossJoin(broadcast(wsum))
+      .withColumn("p", row_number().over(ord))
+      .withColumn("cumcap", sum(col("cap_tok")).over(run))
+      .withColumn("cumw", sum(col("w")).over(run))
+      .withColumn("ok",
+        col("cap_tok") * (col("wsum") - (col("cumw") - col("w"))) >=
+          (lit(budgetTokens) - (col("cumcap") - col("cap_tok"))) * col("w"))
+    val firstOk = ranked.agg(
+      coalesce(min(when(col("ok"), col("p"))), lit(Long.MaxValue))
+        .as("first_ok"))
+    val capped = ranked.crossJoin(broadcast(firstOk))
+      .withColumn("capped", col("p") < col("first_ok"))
+    val scal = capped.agg(
+      coalesce(sum(when(col("capped"), col("cap_tok"))), lit(0L)).as("capsum"),
+      coalesce(sum(when(col("capped"), col("w"))), lit(0L)).as("wcap"))
+    capped.crossJoin(broadcast(scal))
+      .withColumn("alloc_tok", when(col("capped"), col("cap_tok"))
+        .otherwise(expr(s"(($budgetTokens - capsum) * w) div (wsum - wcap)")))
+      .withColumn("epochs_ppm", expr("(alloc_tok * 1000000) div tok_total"))
+      .select(col("source"), col("tok_total"), col("w"), col("cap_tok"),
+        col("capped"), col("alloc_tok"), col("epochs_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** q216: waterfilling at budget 250k tokens, 2-epoch cap, over the
+    * k=6 tokenizer's real token mass. Full oracle: the same sorted
+    * prefix test and integer allocation replayed window-for-window. */
+  val q216Waterfill = GraftQuery(
+    "q216_waterfill_alloc",
+    "LLM-pipeline mixture ext: epoch-capped waterfilling token allocation, closed-form capped-prefix fixed point",
+    (s, d) => waterfillAllocation(s, d, budgetTokens = 250000L,
+      maxEpochs = 2, k = 6),
+    Some(s"""${bpeEncodeChain(6)},
+      st AS MATERIALIZED (
+        SELECT d.source, CAST(sum(len(e.tid)) AS BIGINT) AS tok_total
+        FROM documents d JOIN enc e USING (doc_id) GROUP BY 1),
+      b1 AS (
+        SELECT source, tok_total,
+          CAST(floor(sqrt(tok_total::DOUBLE)) AS BIGINT) AS w,
+          CAST(2 * tok_total AS BIGINT) AS cap_tok
+        FROM st),
+      ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM b1),
+      rk AS (
+        SELECT b1.*, wsum,
+          row_number() OVER ord AS p,
+          sum(cap_tok) OVER (ord ROWS UNBOUNDED PRECEDING) AS cumcap,
+          sum(w) OVER (ord ROWS UNBOUNDED PRECEDING) AS cumw
+        FROM b1 CROSS JOIN ws
+        WINDOW ord AS (ORDER BY CAST(cap_tok AS DOUBLE) / w, source)),
+      okt AS (
+        SELECT *,
+          (cap_tok * (wsum - (cumw - w)) >= (250000 - (cumcap - cap_tok)) * w)
+            AS ok
+        FROM rk),
+      fo AS (
+        SELECT coalesce(min(CASE WHEN ok THEN p END), 9223372036854775807)
+          AS first_ok
+        FROM okt),
+      cp AS (
+        SELECT okt.*, (p < first_ok) AS capped FROM okt CROSS JOIN fo),
+      sc AS (
+        SELECT coalesce(sum(CASE WHEN capped THEN cap_tok END), 0) AS capsum,
+          coalesce(sum(CASE WHEN capped THEN w END), 0) AS wcap
+        FROM cp),
+      fin AS (
+        SELECT source, tok_total, w, cap_tok, capped,
+          CAST(CASE WHEN capped THEN cap_tok
+            ELSE ((250000 - capsum) * w) // (wsum - wcap) END AS BIGINT)
+            AS alloc_tok
+        FROM cp CROSS JOIN sc)
+      SELECT source, tok_total, w, cap_tok, capped, alloc_tok,
+        CAST((alloc_tok * 1000000) // tok_total AS BIGINT) AS epochs_ppm
+      FROM fin ORDER BY source"""))
+
   /** q200: decode(encode(corpus)) == the whitespace-normalized corpus —
     * the tokenizer round-trip as a REGISTERED query, not just a spec
     * gate. The oracle never touches the merge chain: it is the
@@ -3736,5 +3852,5 @@ object TextAnalysis {
     q192BpeMergesK64, q196BpeEncode, q197BpePacking, q200BpeRoundTrip,
     q201TrainingSequences, q202TokenMixture, q203TokenDistribution,
     q204StreamedTokenCounts, q205TokenizerFertility, q212TokenChunks,
-    q214LengthBatching, q215SpanCorruption)
+    q214LengthBatching, q215SpanCorruption, q216Waterfill)
 }

@@ -175,7 +175,18 @@ object ScaleRehearsal {
           graft.operators.TextAnalysis.bpeModel(spark, d, 6),
           seed = 42L, rateInv = 20, maxSpan = 5)
         .groupBy(lit(1)).agg(sum(col("n_masked")).as("masked"),
-          sum(col("n_tokens")).as("toks"))))
+          sum(col("n_tokens")).as("toks"))),
+      // waterfilling (q216): one corpus-scale groupBy (over the shared
+      // encode pass); windows/aggs after run on the source catalog
+      "q216_waterfill_alloc" -> (d => graft.operators.TextAnalysis
+        .waterfillAllocation(spark, d, budgetTokens = 2500000L,
+          maxEpochs = 2, k = 6)),
+      // cluster reps (q217): the q64 CC pipeline + one length join +
+      // per-cluster windows (cluster-bounded, never corpus-global)
+      "q217_cluster_reps" -> (d => graft.operators.Dedup
+        .clusterRepresentatives(spark, d, 0.8)
+        .groupBy(lit(1)).agg(sum(when(col("keep"), 1L)).as("kept"),
+          count(lit(1)).as("n"))))
 
     // optional 5th arg: comma-separated name prefixes to run a subset
     // (a new-operator rehearsal need not re-measure the whole family)

@@ -392,7 +392,11 @@ class PlanSpec extends SparkSpec {
       // q210's vector tower rides the q181 router (exact BNLJ under
       // the cutoff, NSW past it) and the lexical tower carries the
       // broadcast 1-row BM25 totals
-      "q210_hybrid_rrf")
+      "q210_hybrid_rrf",
+      // q216 crossJoins three broadcast 1-row aggregates (Σw, the
+      // first-fit position, the capped-prefix sums) onto the
+      // catalog-sized source relation — every build side is one row
+      "q216_waterfill_alloc")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))

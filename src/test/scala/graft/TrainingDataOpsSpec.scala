@@ -225,4 +225,98 @@ class TrainingDataOpsSpec extends SparkSpec {
       .count()
     assert(moved > 0, "a different seed must produce a different order")
   }
+
+  // ------------------------------------------------------------------
+  // q216 epoch-capped waterfilling allocation
+  // ------------------------------------------------------------------
+
+  /** Independent reference: the textbook ITERATIVE waterfilling loop
+    * (allocate proportionally among uncapped, cap violators, repeat),
+    * run with exact integer cross-products — the closed-form sorted
+    * prefix must land on the identical fixed point. */
+  private def iterativeWaterfill(rows: Array[(String, Long, Long)],
+      budget: Long): Map[String, Long] = {
+    var capped = Set.empty[String]
+    var changed = true
+    while (changed) {
+      val r = budget - rows.filter(x => capped(x._1)).map(_._3).sum
+      val wu = rows.filterNot(x => capped(x._1)).map(_._2).sum
+      val newly = rows.filter(x =>
+        !capped(x._1) && r * x._2 > x._3 * wu).map(_._1)
+      changed = newly.nonEmpty
+      capped ++= newly
+    }
+    val r = budget - rows.filter(x => capped(x._1)).map(_._3).sum
+    val wu = rows.filterNot(x => capped(x._1)).map(_._2).sum
+    rows.map { x =>
+      x._1 -> (if (capped(x._1)) x._3 else (r * x._2) / wu)
+    }.toMap
+  }
+
+  test("waterfilling: closed form equals the iterative fixed point") {
+    val out = TextAnalysis.waterfillAllocation(spark, sfTiny,
+      budgetTokens = 25000L, maxEpochs = 2, k = 6).cache()
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5)))
+    val ref = iterativeWaterfill(rows.map(x => (x._1, x._3, x._4)), 25000L)
+    rows.foreach { x =>
+      assert(x._6 == ref(x._1),
+        s"${x._1}: closed-form alloc ${x._6} != iterative ${ref(x._1)}")
+    }
+    assert(rows.map(_._6).sum <= 25000L, "allocation must respect the budget")
+    assert(rows.forall(x => x._6 <= x._4), "allocation must respect every cap")
+    // capped set is a prefix of the cap/w water order: every capped
+    // ratio must sit at or below every uncapped ratio
+    val cappedMax = rows.filter(_._5).map(x => x._4.toDouble / x._3)
+    val openMin = rows.filterNot(_._5).map(x => x._4.toDouble / x._3)
+    if (cappedMax.nonEmpty && openMin.nonEmpty)
+      assert(cappedMax.max <= openMin.min, "capped set must be a ratio prefix")
+    out.unpersist()
+  }
+
+  test("waterfilling edges: saturating budget caps all, loose caps cap none") {
+    // budget beyond 2x the corpus: every source pinned at its cap
+    val all = TextAnalysis.waterfillAllocation(spark, sfTiny,
+      budgetTokens = 100000000L, maxEpochs = 2, k = 6)
+    assert(all.filter(!col("capped") ||
+      col("alloc_tok") =!= col("cap_tok")).count() == 0,
+      "a budget above the total cap mass must pin every source")
+    // effectively-unbounded epochs: nobody caps, allocation is the
+    // plain integer-proportional share
+    val none = TextAnalysis.waterfillAllocation(spark, sfTiny,
+      budgetTokens = 25000L, maxEpochs = 1000000, k = 6).cache()
+    assert(none.filter(col("capped")).count() == 0,
+      "unbounded caps must never pin a source")
+    val wsum = none.agg(sum(col("w"))).collect()(0).getLong(0)
+    assert(none.filter(col("alloc_tok") =!=
+        expr(s"(25000L * w) div ${wsum}L")).count() == 0,
+      "with no caps binding the allocation is the proportional floor")
+    none.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // q217 cluster representatives
+  // ------------------------------------------------------------------
+
+  test("cluster reps: exactly one keeper per closure, the longest member") {
+    val out = graft.operators.Dedup
+      .clusterRepresentatives(spark, sfTiny, threshold = 0.8).cache()
+    val perCluster = out.groupBy(col("cluster_id"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("k"),
+        count(lit(1)).as("n"), max(col("cluster_size")).as("sz"))
+    assert(perCluster.filter(col("k") =!= 1L).count() == 0,
+      "every cluster must keep exactly one representative")
+    assert(perCluster.filter(col("n") =!= col("sz")).count() == 0,
+      "cluster_size must equal the member count")
+    // the keeper dominates its cluster under (n_char desc, doc_id asc)
+    val keepers = out.filter(col("keep"))
+      .select(col("cluster_id"), col("n_char").as("kc"),
+        col("doc_id").as("kd"))
+    val dominated = out.join(keepers, Seq("cluster_id"))
+      .filter(col("n_char") > col("kc") ||
+        (col("n_char") === col("kc") && col("doc_id") < col("kd")))
+    assert(dominated.count() == 0,
+      "no member may outrank its cluster's keeper")
+    out.unpersist()
+  }
 }
