@@ -1539,6 +1539,82 @@ object Dedup {
     })
 
   // ---------------------------------------------------------------------
+  // q219: cross-source near-dup containment matrix
+  // ---------------------------------------------------------------------
+
+  /** Source × source overlap report over the VERIFIED near-dup pairs
+    * (the q59/q64 substrate): for each ordered source pair (a, b), the
+    * number of verified near-dup pairs with one endpoint in each, the
+    * number of DISTINCT a-documents having a near-dup in b, and that
+    * count as ppm of a's document total — the "how much of corpus A
+    * already lives in corpus B" question every multi-source pretraining
+    * mix answers before choosing per-source dedup and sampling policy
+    * (cross-corpus overlap reporting à la the public LLM dataset
+    * cards). Diagonal rows are within-source duplication.
+    *
+    * Scale shape: the pair relation is the banded+verified one (never
+    * all-pairs); labeling is two corpus-linear equi-joins on doc_id;
+    * the matrix itself is catalog² — the groupBy partial-aggregates to
+    * |sources|² rows before the exchange. */
+  def sourceContainment(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val pairs = sketchVerifiedPairs(s, d, threshold)
+      .select(col("id1"), col("id2"))
+    val sym = pairs.unionByName(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val labeled = sym
+      .join(src.select(col("doc_id").as("id1"), col("source").as("src_a")),
+        Seq("id1"))
+      .join(src.select(col("doc_id").as("id2"), col("source").as("src_b")),
+        Seq("id2"))
+    val m = labeled.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id1")).as("n_docs_dup"))
+    val tot = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    m.join(broadcast(tot.withColumnRenamed("source", "src_a")), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"), col("n_docs_dup"),
+        expr("(n_docs_dup * 1000000) div n_docs").as("containment_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q219SourceContainment = GraftQuery(
+    "q219_source_containment",
+    "LLM-pipeline dedup ext: cross-source near-dup containment matrix (corpus-overlap report on the verified-pair substrate)",
+    (s, d) => sourceContainment(s, d, threshold = 0.8),
+    // q59's chain up to the verified pairs, re-tailed with the matrix
+    // aggregation — built by substitution so the substrates cannot
+    // drift.
+    q59SketchDedup.oracle.map { o =>
+      val tail = """dropped AS (SELECT DISTINCT id2 FROM ver WHERE jaccard >= 0.8)
+      SELECT doc_id, source FROM documents
+      WHERE doc_id NOT IN (SELECT id2 FROM dropped)
+      ORDER BY doc_id"""
+      require(o.contains(tail), "q59 oracle tail drifted; fix q219's substitution")
+      o.replace(tail,
+        """sym AS (
+        SELECT id1, id2 FROM ver WHERE jaccard >= 0.8
+        UNION ALL
+        SELECT id2 AS id1, id1 AS id2 FROM ver WHERE jaccard >= 0.8),
+      lab AS (
+        SELECT da.source AS src_a, db.source AS src_b, s.id1
+        FROM sym s JOIN documents da ON da.doc_id = s.id1
+                   JOIN documents db ON db.doc_id = s.id2),
+      m AS (
+        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(count(DISTINCT id1) AS BIGINT) AS n_docs_dup
+        FROM lab GROUP BY 1, 2),
+      tot AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1)
+      SELECT m.src_a, m.src_b, m.n_pairs, m.n_docs_dup,
+        CAST((m.n_docs_dup * 1000000) // t.n_docs AS BIGINT)
+          AS containment_ppm
+      FROM m JOIN tot t ON t.source = m.src_a
+      ORDER BY m.src_a, m.src_b""")
+    })
+
+  // ---------------------------------------------------------------------
   // Frame-generic stage transforms for the composed curation pipeline
   // (plans.CurationPipeline) — the same semantics as the registered
   // (s, d)-form queries they mirror, over ANY document frame, so the
@@ -1602,5 +1678,5 @@ object Dedup {
     q64DupClusters, q68DupSpans, q69IncrementalDedup, q92FuzzyDedup,
     q109Decontaminate, q129SemDedup, q133DecontaminateBloom, q153StreamedCc,
     q161SharedSpans, q162SubstrDedup, q170PrefixJaccard, q183LeakSafeSplit,
-    q217ClusterReps)
+    q217ClusterReps, q219SourceContainment)
 }

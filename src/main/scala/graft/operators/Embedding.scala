@@ -150,5 +150,172 @@ object Embedding {
     Some("""SELECT count(*) AS n_docs, count(*) AS n_dim_ok,
       count(*) AS n_norm_ok FROM documents"""))
 
-  def queries: Seq[GraftQuery] = Seq(q39EmbedPipeline)
+  // ---------------------------------------------------------------------
+  // q220/q221: integer-exact PCA over the embedding corpus
+  // ---------------------------------------------------------------------
+
+  /** Embeddings with every element integerized to 1e-3 resolution
+    * (element-wise round — order-independent, so the scaled corpus is
+    * identical under any partitioning and both engines agree bit-for-bit
+    * before any aggregation happens). */
+  private def intVectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))")
+        .as("x"))
+
+  /** EXACT integer scaled covariance of the integerized embeddings:
+    * S = n·Σ x xᵀ − (Σ x)(Σ x)ᵀ, i.e. n² times the covariance of the
+    * integer vectors — every entry a BIGINT with no float summation
+    * anywhere (the q164 integer-state discipline applied to second
+    * moments), so the matrix is hash-exact under any summation order.
+    *
+    * Scale shape: the d² pair products explode per-row inside one
+    * codegen stage (no join, no shuffle before aggregation) and the
+    * groupBy partial-aggregates to d² keys per partition — the only
+    * exchange ships d² rows per partition, never corpus rows. Capacity:
+    * |x| ≤ 1e3·|v|, so n·Σxᵢxⱼ stays under 2^63 to ~10^6 rows per
+    * aggregate at |v| ≤ 4; past that drop the element scale (each 10×
+    * in n buys back 100× via one decimal digit of element scale). */
+  def embeddingCovariance(s: SparkSession, d: String): DataFrame = {
+    val xv = intVectors(s, d)
+    val n = Tables.embeddings(s, d).count()
+    val pairs = xv.select(explode(expr(
+      "flatten(transform(x, (a, i) -> transform(x, (b, j) -> named_struct('i', i, 'j', j, 'p', a * b))))"))
+      .as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sxy"))
+    val sums = xv.select(posexplode(col("x")).as(Seq("i", "xi")))
+      .groupBy(col("i")).agg(sum(col("xi")).as("sx"))
+    pairs
+      .join(broadcast(sums.select(col("i"), col("sx").as("sxi"))), Seq("i"))
+      .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sxj"))),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        (lit(n) * col("sxy") - col("sxi") * col("sxj")).as("sv"))
+  }
+
+  /** Exact integer power iteration on the collected d×d scaled
+    * covariance (model-sized — collecting 64² entries is the KMeans-
+    * centroid/ModelStore discipline, never corpus data): one initial
+    * renorm of the matrix and one renorm per round, both as truncating
+    * integer division by `max(|·|) div 1e6` (identical semantics in
+    * Scala, Spark `div`, and DuckDB `//` — all truncate toward zero),
+    * keeping every intermediate under 2^63 with NO float anywhere. The
+    * returned loading is the deterministic integer state after `iters`
+    * rounds — replayed move-for-move by the unrolled oracle CTEs. */
+  private[graft] def pcaPowerLocal(entries: Array[(Int, Int, Long)],
+      iters: Int): Array[Long] = {
+    val dDim = entries.iterator.map(_._1).max + 1
+    val m0 = entries.iterator.map(e => math.abs(e._3)).max
+    val dv = math.max(m0 / 1000000L, 1L)
+    val c = Array.ofDim[Long](dDim, dDim)
+    entries.foreach { case (i, j, v) => c(i)(j) = v / dv }
+    var x = Array.fill(dDim)(1000000L)
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(dDim) { i =>
+        var acc = 0L; var j = 0
+        while (j < dDim) { acc += c(i)(j) * x(j); j += 1 }
+        acc
+      }
+      val my = y.iterator.map(math.abs).max
+      val dy = math.max(my / 1000000L, 1L)
+      x = y.map(_ / dy)
+    }
+    x
+  }
+
+  /** Top principal component of the embedding corpus: per dimension the
+    * exact scaled variance (the covariance diagonal) and the integer
+    * loading after `iters` power rounds — the dominant semantic axis of
+    * an embedding table (whitening/anisotropy diagnostics; the
+    * all-but-the-top principal directions are what embedding post-
+    * processing removes). Corpus-scale work is the covariance pass; the
+    * eigensolve is d×d driver math by design. */
+  def embeddingPca(s: SparkSession, d: String, iters: Int): DataFrame = {
+    import s.implicits._
+    val entries = embeddingCovariance(s, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val x = pcaPowerLocal(entries, iters)
+    val diag = entries.filter(e => e._1 == e._2).map(e => (e._1, e._3)).toMap
+    x.indices.map(i => (i, diag(i), x(i)))
+      .toDF("dim_idx", "var_scaled", "loading")
+      .orderBy(col("dim_idx"))
+  }
+
+  /** Corpus projection onto the top component: score = ⟨x̃, loading⟩
+    * per vector, exact integers end-to-end — the consumer side of q220
+    * (outlier-axis scores; sorting by |score| surfaces the documents
+    * that dominate the top direction). One corpus-linear pass + a
+    * broadcast of the d-row loading relation. */
+  def pcaProjection(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val load = embeddingPca(s, d, iters)
+      .select(col("dim_idx").as("i"), col("loading"))
+    intVectors(s, d)
+      .select(col("vec_id"), posexplode(col("x")).as(Seq("i", "xi")))
+      .join(broadcast(load), Seq("i"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("xi") * col("loading")).as("score"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Shared oracle chain: integerized elements → exact integer scaled
+    * covariance → renormed matrix → `iters` unrolled power rounds
+    * (y_t = C·x_{t-1}; x_t = y_t div max-renorm), ending in x`iters` —
+    * the pageRankScaledSql convention: one template, the Scala loop and
+    * the SQL chain cannot drift. */
+  private def pcaChainSql(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""y$t AS (
+        SELECT cs.i, CAST(sum(cs.c * p.x) AS BIGINT) AS y
+        FROM cs JOIN x${t - 1} p ON p.i = cs.j GROUP BY cs.i),
+      d$t AS (SELECT greatest(CAST(max(abs(y)) AS BIGINT) // 1000000, 1)
+        AS dv FROM y$t),
+      x$t AS (SELECT i, CAST(y // (SELECT dv FROM d$t) AS BIGINT) AS x
+        FROM y$t)"""
+    }.mkString(",\n      ")
+    s"""ev AS MATERIALIZED (
+        SELECT vec_id, CAST((u.e).k AS INTEGER) - 1 AS i,
+          CAST(round(CAST((u.e).v AS DOUBLE) * 1000) AS BIGINT) AS x
+        FROM (SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+            k -> {'k': k, 'v': embedding[k]})) AS e
+          FROM embeddings) u),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      sums AS (SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM ev GROUP BY i),
+      prod AS (
+        SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+        FROM ev a JOIN ev b USING (vec_id) GROUP BY 1, 2),
+      cov AS MATERIALIZED (
+        SELECT p.i, p.j,
+          CAST((SELECT n FROM nn) * p.sxy - si.sx * sj.sx AS BIGINT) AS sv
+        FROM prod p JOIN sums si ON si.i = p.i JOIN sums sj ON sj.i = p.j),
+      mv AS (SELECT greatest(CAST(max(abs(sv)) AS BIGINT) // 1000000, 1)
+        AS dv FROM cov),
+      cs AS MATERIALIZED (
+        SELECT i, j, CAST(sv // (SELECT dv FROM mv) AS BIGINT) AS c FROM cov),
+      x0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS x FROM ev),
+      $steps"""
+  }
+
+  private val pcaIters = 8
+
+  val q220EmbeddingPca = GraftQuery(
+    "q220_embedding_pca",
+    "LLM-pipeline vector ext: integer-exact top principal component of the embedding corpus (power iteration, hash-exact state)",
+    (s, d) => embeddingPca(s, d, iters = pcaIters),
+    Some(s"""WITH ${pcaChainSql(pcaIters)}
+      SELECT xt.i AS dim_idx, cv.sv AS var_scaled, xt.x AS loading
+      FROM x$pcaIters xt JOIN cov cv ON cv.i = xt.i AND cv.j = xt.i
+      ORDER BY dim_idx"""))
+
+  val q221PcaProjection = GraftQuery(
+    "q221_pca_projection",
+    "LLM-pipeline vector ext: corpus projection onto the top principal axis, exact integer scores",
+    (s, d) => pcaProjection(s, d, iters = pcaIters),
+    Some(s"""WITH ${pcaChainSql(pcaIters)}
+      SELECT e.vec_id, CAST(sum(e.x * l.x) AS BIGINT) AS score
+      FROM ev e JOIN x$pcaIters l ON l.i = e.i
+      GROUP BY e.vec_id ORDER BY e.vec_id"""))
+
+  def queries: Seq[GraftQuery] =
+    Seq(q39EmbedPipeline, q220EmbeddingPca, q221PcaProjection)
 }

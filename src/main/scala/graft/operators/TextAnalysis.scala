@@ -3601,16 +3601,23 @@ object TextAnalysis {
     * windows and aggregates after it run on the catalog-sized source
     * relation (tens to hundreds of rows at 100 TB — the single-partition
     * window is over THAT relation, never the corpus). */
+  /** Per-document real-token relation `(doc_id, source, n_tok)` under
+    * the k-merge tokenizer — the shared corpus-scale input of the
+    * waterfilling family (q216 allocation, q218 manifest). */
+  private def docTokens(s: SparkSession, d: String, k: Int): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), col("source"))
+      .join(bpeEncodeDocs(docs, bpeModel(s, d, k))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tok")),
+        Seq("doc_id"))
+  }
+
   def waterfillAllocation(s: SparkSession, d: String, budgetTokens: Long,
       maxEpochs: Int, k: Int): DataFrame = {
     require(budgetTokens >= 1 && maxEpochs >= 1)
-    val model = bpeModel(s, d, k)
-    val docs = Tables.documents(s, d)
-    val perSrc = docs.select(col("doc_id"), col("source"))
-      .join(bpeEncodeDocs(docs, model).select(col("doc_id"), col("n_tokens")),
-        Seq("doc_id"))
+    val perSrc = docTokens(s, d, k)
       .groupBy(col("source"))
-      .agg(sum(col("n_tokens").cast("long")).as("tok_total"))
+      .agg(sum(col("n_tok")).as("tok_total"))
       .withColumn("w", floor(sqrt(col("tok_total"))).cast("long"))
       .withColumn("cap_tok", lit(maxEpochs.toLong) * col("tok_total"))
     val wsum = perSrc.agg(sum(col("w")).as("wsum"))
@@ -3643,22 +3650,21 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
-  /** q216: waterfilling at budget 250k tokens, 2-epoch cap, over the
-    * k=6 tokenizer's real token mass. Full oracle: the same sorted
-    * prefix test and integer allocation replayed window-for-window. */
-  val q216Waterfill = GraftQuery(
-    "q216_waterfill_alloc",
-    "LLM-pipeline mixture ext: epoch-capped waterfilling token allocation, closed-form capped-prefix fixed point",
-    (s, d) => waterfillAllocation(s, d, budgetTokens = 250000L,
-      maxEpochs = 2, k = 6),
-    Some(s"""${bpeEncodeChain(6)},
+  /** Shared oracle chain of the waterfilling family, ending in `fin`
+    * (source, tok_total, w, cap_tok, capped, alloc_tok) — the SQL
+    * replay of [[waterfillAllocation]] appended to the encode chain
+    * (the pageRankScaledSql convention: one template, Spark loop and
+    * SQL chain cannot drift). */
+  private def waterfillOracleChain(budget: Long, maxEpochs: Int,
+      k: Int): String =
+    s"""${bpeEncodeChain(k)},
       st AS MATERIALIZED (
         SELECT d.source, CAST(sum(len(e.tid)) AS BIGINT) AS tok_total
         FROM documents d JOIN enc e USING (doc_id) GROUP BY 1),
       b1 AS (
         SELECT source, tok_total,
           CAST(floor(sqrt(tok_total::DOUBLE)) AS BIGINT) AS w,
-          CAST(2 * tok_total AS BIGINT) AS cap_tok
+          CAST($maxEpochs * tok_total AS BIGINT) AS cap_tok
         FROM st),
       ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM b1),
       rk AS (
@@ -3670,7 +3676,7 @@ object TextAnalysis {
         WINDOW ord AS (ORDER BY CAST(cap_tok AS DOUBLE) / w, source)),
       okt AS (
         SELECT *,
-          (cap_tok * (wsum - (cumw - w)) >= (250000 - (cumcap - cap_tok)) * w)
+          (cap_tok * (wsum - (cumw - w)) >= ($budget - (cumcap - cap_tok)) * w)
             AS ok
         FROM rk),
       fo AS (
@@ -3686,12 +3692,117 @@ object TextAnalysis {
       fin AS (
         SELECT source, tok_total, w, cap_tok, capped,
           CAST(CASE WHEN capped THEN cap_tok
-            ELSE ((250000 - capsum) * w) // (wsum - wcap) END AS BIGINT)
+            ELSE (($budget - capsum) * w) // (wsum - wcap) END AS BIGINT)
             AS alloc_tok
-        FROM cp CROSS JOIN sc)
+        FROM cp CROSS JOIN sc)"""
+
+  /** q216: waterfilling at budget 250k tokens, 2-epoch cap, over the
+    * k=6 tokenizer's real token mass. Full oracle: the same sorted
+    * prefix test and integer allocation replayed window-for-window. */
+  val q216Waterfill = GraftQuery(
+    "q216_waterfill_alloc",
+    "LLM-pipeline mixture ext: epoch-capped waterfilling token allocation, closed-form capped-prefix fixed point",
+    (s, d) => waterfillAllocation(s, d, budgetTokens = 250000L,
+      maxEpochs = 2, k = 6),
+    Some(s"""${waterfillOracleChain(250000L, 2, 6)}
       SELECT source, tok_total, w, cap_tok, capped, alloc_tok,
         CAST((alloc_tok * 1000000) // tok_total AS BIGINT) AS epochs_ppm
       FROM fin ORDER BY source"""))
+
+  /** Training-epoch manifest — the q216 allocation MATERIALIZED: the
+    * step between "how many tokens per source" and actual training
+    * shards. Each source contributes `alloc_tok div tok_total` full
+    * passes over all of its documents (epochs 0..full-1) plus one
+    * partial epoch holding a seeded prefix of the remainder
+    * `alloc_tok % tok_total`: documents in deterministic seeded-hash
+    * order, a document included iff its STARTING token offset falls
+    * under the remainder (the q48 packing rule, so the partial epoch
+    * overshoots by at most one document). Fractional epochs are how
+    * data-constrained mixtures are actually trained — uniform document
+    * dropout over the source, not a truncation of any storage order.
+    *
+    * Scale shape: the allocation side is catalog-sized (q216); the
+    * corpus side needs a per-source GLOBAL token prefix-sum, computed
+    * two-level so no window ever sees a whole source on one reducer —
+    * per-(source, shard) local cumsums in (ord, doc_id) order (the q48
+    * sharded-window discipline) plus a catalog-sized (source × shard)
+    * offset relation broadcast back; global order is (shard, ord,
+    * doc_id), exactly what the oracle's single window replays. Full
+    * epochs explode from the catalog-sized allocation — no join ever
+    * exceeds corpus-linear. */
+  def epochManifest(s: SparkSession, d: String, budgetTokens: Long,
+      maxEpochs: Int, k: Int, seed: Long): DataFrame = {
+    val shards = graft.GraftConf.packShards(s)
+    val alloc = waterfillAllocation(s, d, budgetTokens, maxEpochs, k)
+      .filter(col("tok_total") > 0)
+      .select(col("source"),
+        expr("alloc_tok div tok_total").as("full_ep"),
+        expr("alloc_tok % tok_total").as("rem_tok"))
+    val keyed = docTokens(s, d, k)
+      .withColumn("ord", conv(substring(md5(
+          concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary")),
+        1, 15), 16, 10).cast("long"))
+      .withColumn("shard", col("ord") % shards)
+    val wloc = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(col("source"), col("shard"))
+      .agg(sum(col("n_tok")).as("sh_tot"))
+      .withColumn("off", coalesce(sum(col("sh_tot")).over(wOff), lit(0L)))
+      .select(col("source"), col("shard"), col("off"))
+    val cum = keyed
+      .withColumn("cum_loc", sum(col("n_tok")).over(wloc))
+      .join(broadcast(offs), Seq("source", "shard"))
+      .withColumn("cum", col("off") + col("cum_loc"))
+      .join(broadcast(alloc), Seq("source"))
+    val fullRows = cum.filter(col("full_ep") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(0, full_ep - 1)")).as("epoch"), col("n_tok"))
+    val partRows = cum.filter(col("cum") - col("n_tok") < col("rem_tok"))
+      .select(col("doc_id"), col("source"), col("full_ep").as("epoch"),
+        col("n_tok"))
+    fullRows.unionByName(partRows)
+      .select(col("doc_id"), col("source"),
+        col("epoch").cast("int").as("epoch"), col("n_tok"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  /** q218: the epoch manifest at the q216 operating point (budget 250k,
+    * 2-epoch cap, k=6, seed 42). Full oracle: the allocation chain plus
+    * the seeded prefix replayed as ONE per-source window ordered
+    * (shard, ord, doc_id) — the same global order the two-level Spark
+    * cumsum composes. */
+  val q218EpochManifest = GraftQuery(
+    "q218_epoch_manifest",
+    "LLM-pipeline mixture ext: materialized training-epoch manifest (full passes + seeded partial epoch) from the waterfilling allocation",
+    (s, d) => epochManifest(s, d, budgetTokens = 250000L, maxEpochs = 2,
+      k = 6, seed = 42L),
+    Some(s"""${waterfillOracleChain(250000L, 2, 6)},
+      al AS (
+        SELECT source, CAST(alloc_tok // tok_total AS BIGINT) AS full_ep,
+          CAST(alloc_tok % tok_total AS BIGINT) AS rem_tok
+        FROM fin WHERE tok_total > 0),
+      dn AS (
+        SELECT d.doc_id, d.source,
+          CAST(coalesce(len(e.tid), 0) AS BIGINT) AS n_tok,
+          ('0x' || substr(md5('42:' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+            AS ord
+        FROM documents d LEFT JOIN enc e USING (doc_id)),
+      cg AS (
+        SELECT *, sum(n_tok) OVER (PARTITION BY source
+          ORDER BY ord % 8, ord, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM dn),
+      ep AS (
+        SELECT doc_id, source,
+          CAST(unnest(range(0, full_ep)) AS INTEGER) AS epoch, n_tok
+        FROM cg JOIN al USING (source) WHERE full_ep > 0
+        UNION ALL
+        SELECT doc_id, source, CAST(full_ep AS INTEGER) AS epoch, n_tok
+        FROM cg JOIN al USING (source) WHERE cum - n_tok < rem_tok)
+      SELECT doc_id, source, epoch, n_tok FROM ep
+      ORDER BY doc_id, epoch"""))
 
   /** q200: decode(encode(corpus)) == the whitespace-normalized corpus —
     * the tokenizer round-trip as a REGISTERED query, not just a spec
@@ -3852,5 +3963,6 @@ object TextAnalysis {
     q192BpeMergesK64, q196BpeEncode, q197BpePacking, q200BpeRoundTrip,
     q201TrainingSequences, q202TokenMixture, q203TokenDistribution,
     q204StreamedTokenCounts, q205TokenizerFertility, q212TokenChunks,
-    q214LengthBatching, q215SpanCorruption, q216Waterfill)
+    q214LengthBatching, q215SpanCorruption, q216Waterfill,
+    q218EpochManifest)
 }

@@ -186,7 +186,25 @@ object ScaleRehearsal {
       "q217_cluster_reps" -> (d => graft.operators.Dedup
         .clusterRepresentatives(spark, d, 0.8)
         .groupBy(lit(1)).agg(sum(when(col("keep"), 1L)).as("kept"),
-          count(lit(1)).as("n"))))
+          count(lit(1)).as("n"))),
+      // epoch manifest (q218): the allocation (catalog) + two-level
+      // per-source prefix sums — per-(source, shard) windows only
+      "q218_epoch_manifest" -> (d => graft.operators.TextAnalysis
+        .epochManifest(spark, d, budgetTokens = 2500000L, maxEpochs = 2,
+          k = 6, seed = 42L)
+        .groupBy(col("epoch")).agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tok"))),
+      // containment matrix (q219): verified-pair substrate + two
+      // corpus-linear label joins; matrix aggregation is catalog²
+      "q219_source_containment" -> (d => graft.operators.Dedup
+        .sourceContainment(spark, d, 0.8)),
+      // pca (q220/q221 share the covariance): per-row d² products in
+      // one codegen stage, d²-key aggregate, d×d driver eigensolve,
+      // then the corpus-linear projection pass
+      "q221_pca_projection" -> (d => graft.operators.Embedding
+        .pcaProjection(spark, d, iters = 8)
+        .groupBy(lit(1)).agg(count(lit(1)).as("n"),
+          sum(when(col("score") > 0, 1L)).as("n_pos"))))
 
     // optional 5th arg: comma-separated name prefixes to run a subset
     // (a new-operator rehearsal need not re-measure the whole family)

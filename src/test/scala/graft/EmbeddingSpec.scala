@@ -85,4 +85,63 @@ class EmbeddingSpec extends SparkSpec {
     // corpus of shared-vocabulary docs: mean pairwise sim well below 1
     assert(pairs < 0.95, s"mean pairwise sim $pairs suspiciously high")
   }
+
+  // ------------------------------------------------------------------
+  // q220/q221 integer-exact PCA
+  // ------------------------------------------------------------------
+
+  test("pca: integer power iteration tracks the float reference and is deterministic") {
+    val cov = Embedding.embeddingCovariance(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val dDim = cov.map(_._1).max + 1
+    // covariance is symmetric and PSD-diagonal (S_ii >= 0) by construction
+    val m = Array.ofDim[Long](dDim, dDim)
+    cov.foreach { case (i, j, v) => m(i)(j) = v }
+    for (i <- 0 until dDim) {
+      assert(m(i)(i) >= 0, s"negative variance at $i")
+      for (j <- 0 until dDim)
+        assert(m(i)(j) == m(j)(i), s"asymmetric at ($i,$j)")
+    }
+    // float reference: the same power iteration in doubles
+    val md = m.map(_.map(_.toDouble))
+    var xr = Array.fill(dDim)(1.0)
+    for (_ <- 1 to 8) {
+      val y = Array.tabulate(dDim)(i =>
+        (0 until dDim).map(j => md(i)(j) * xr(j)).sum)
+      val nrm = math.sqrt(y.map(v => v * v).sum)
+      xr = y.map(_ / nrm)
+    }
+    val xi = Embedding.pcaPowerLocal(cov, 8).map(_.toDouble)
+    val cos = math.abs(
+      xi.zip(xr).map { case (a, b) => a * b }.sum /
+        (math.sqrt(xi.map(v => v * v).sum) * math.sqrt(xr.map(v => v * v).sum)))
+    assert(cos >= 0.999, s"integer loading diverged from float reference: cos $cos")
+    // the registered frame is deterministic and diag-consistent
+    val out = Embedding.embeddingPca(spark, sfTiny, iters = 8).collect()
+    assert(out.length == dDim)
+    out.foreach { r =>
+      assert(r.getLong(1) == m(r.getInt(0))(r.getInt(0)), "diag mismatch")
+    }
+    val again = Embedding.embeddingPca(spark, sfTiny, iters = 8).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)),
+      "pca must be deterministic")
+  }
+
+  test("pca projection equals the per-vector dot with the loading") {
+    val load = Embedding.embeddingPca(spark, sfTiny, iters = 8).collect()
+      .map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1).map(_._2)
+    val scores = Embedding.pcaProjection(spark, sfTiny, iters = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding")).collect()
+    assert(vecs.nonEmpty)
+    vecs.foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      val expect = v.zipWithIndex.map { case (f, i) =>
+        math.round(f.toDouble * 1000) * load(i)
+      }.sum
+      assert(scores(id) == expect, s"vec $id: ${scores(id)} != $expect")
+    }
+  }
 }

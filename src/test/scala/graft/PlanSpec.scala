@@ -396,7 +396,11 @@ class PlanSpec extends SparkSpec {
       // q216 crossJoins three broadcast 1-row aggregates (Σw, the
       // first-fit position, the capped-prefix sums) onto the
       // catalog-sized source relation — every build side is one row
-      "q216_waterfill_alloc")
+      "q216_waterfill_alloc",
+      // q218 embeds the q216 allocation (same three 1-row builds); its
+      // own joins are broadcast catalog-sized (source × shard offsets,
+      // per-source allocation)
+      "q218_epoch_manifest")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))

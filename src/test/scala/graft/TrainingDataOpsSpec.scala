@@ -295,6 +295,97 @@ class TrainingDataOpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // q218 epoch manifest
+  // ------------------------------------------------------------------
+
+  test("epoch manifest: full passes complete, partial epoch within one doc of the allocation") {
+    val out = TextAnalysis.epochManifest(spark, sfTiny,
+      budgetTokens = 25000L, maxEpochs = 2, k = 6, seed = 42L).cache()
+    val alloc: Map[String, (Long, Long)] =
+      TextAnalysis.waterfillAllocation(spark, sfTiny,
+        budgetTokens = 25000L, maxEpochs = 2, k = 6)
+      .select(col("source"), col("tok_total"), col("alloc_tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // per-source token law: alloc <= manifest tokens < alloc + max doc
+    // (the start-offset rule overshoots by at most the straddling doc)
+    val per = out.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("mtok"), max(col("n_tok")).as("mx"),
+        max(col("epoch")).as("maxep"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    per.foreach { case (src, mtok, mx, maxep) =>
+      val (tot, al) = alloc(src)
+      assert(mtok >= al && mtok < al + math.max(mx, 1L),
+        s"$src: manifest tokens $mtok outside [$al, $al + $mx)")
+      val fullEp = al / tot
+      assert(maxep <= fullEp, s"$src: epoch $maxep beyond full_ep $fullEp")
+    }
+    // every full epoch contains every doc of the source exactly once
+    val nDocs = Tables.documents(spark, sfTiny)
+      .groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val fullCounts = out
+      .join(nDocs, Seq("source"))
+      .groupBy(col("source"), col("epoch"), col("nd"))
+      .agg(countDistinct(col("doc_id")).as("docs"),
+        count(lit(1)).as("rows"))
+    val badFull = fullCounts.filter(col("docs") =!= col("rows")).count()
+    assert(badFull == 0, "a doc may appear at most once per (source, epoch)")
+    val incompleteFull = fullCounts
+      .join(out.groupBy(col("source"))
+        .agg(max(col("epoch")).as("maxep")), Seq("source"))
+      .filter(col("epoch") < col("maxep") && col("docs") =!= col("nd"))
+      .count()
+    assert(incompleteFull == 0,
+      "every non-final epoch must contain the whole source")
+    // determinism + seed sensitivity on the partial epochs
+    val again = TextAnalysis.epochManifest(spark, sfTiny,
+      budgetTokens = 25000L, maxEpochs = 2, k = 6, seed = 42L)
+    assert(out.exceptAll(again).count() == 0 &&
+      again.exceptAll(out).count() == 0, "same seed must reproduce exactly")
+    val other = TextAnalysis.epochManifest(spark, sfTiny,
+      budgetTokens = 25000L, maxEpochs = 2, k = 6, seed = 43L)
+    val bigRem = per.exists { case (src, _, _, _) =>
+      val (tot, al) = alloc(src); al % tot > 200 }
+    if (bigRem)
+      assert(out.exceptAll(other).count() > 0,
+        "a different seed must draw a different partial prefix")
+    out.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // q219 cross-source containment matrix
+  // ------------------------------------------------------------------
+
+  test("containment matrix: pair-symmetric, bounded, mass-consistent") {
+    val out = graft.operators.Dedup
+      .sourceContainment(spark, sfTiny, threshold = 0.8).cache()
+    // n_pairs is symmetric: the (a,b) and (b,a) cells count the same
+    // unordered pair set from opposite ends
+    val t = out.select(col("src_a").as("sa"), col("src_b").as("sb"),
+      col("n_pairs").as("np2"))
+    val asym = out.join(t, col("src_a") === col("sb") &&
+        col("src_b") === col("sa"))
+      .filter(col("n_pairs") =!= col("np2")).count()
+    assert(asym == 0, "n_pairs must be symmetric across the diagonal")
+    // coverage never exceeds the source's document count
+    val tot = Tables.documents(spark, sfTiny)
+      .groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      .withColumnRenamed("source", "src_a")
+    assert(out.join(tot, Seq("src_a"))
+      .filter(col("n_docs_dup") > col("nd") ||
+        col("containment_ppm") > 1000000L).count() == 0,
+      "containment is a fraction of the source")
+    // total matrix mass = 2 x the verified pair count
+    val nPairs = graft.operators.Dedup
+      .sketchVerifiedPairs(spark, sfTiny, 0.8).count()
+    val mass = out.agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+    assert(mass == 2 * nPairs,
+      s"matrix mass $mass != 2 x verified pairs $nPairs")
+    out.unpersist()
+  }
+
+  // ------------------------------------------------------------------
   // q217 cluster representatives
   // ------------------------------------------------------------------
 
