@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses the forked run's stdout for a bare JSON line
+// (BENCH_r*); sbt's default LoggedOutput prefixes every forked line with
+// "[info] " and appends a "[success] Total time" epilogue after it, so no
+// line in the captured tail ever starts with '{' — BENCH_r8/r9 both came
+// back "parsed": null. Stream forked output raw and drop the epilogue so
+// the final stdout line of `runMain graft.Bench` IS the compact JSON.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,7 +65,12 @@ object Bench {
     // starts mid-line in BENCH_r* ("parsed": null). The compact line
     // carries total/counts/sf only (≤ 200 chars); the full per-query map
     // lives in the artifact file below.
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+    // Locale-pinned rounding (ADVICE r9): the f-interpolator's %.3f uses
+    // the default JVM locale, which under a comma-decimal locale would
+    // print `"value":210,957` and break the driver's JSON parse.
+    val totalStr = java.math.BigDecimal.valueOf(total)
+      .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    val compact = s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
     // Also persist the full artifact: the driver's BENCH_r* capture
     // truncates stdout at 2,000 chars, which loses the per-query map for
     // most of the suite — the file keeps cross-round per-query

@@ -1,8 +1,17 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB against the sf parquet tables, compare to the Verify.scala parquet
-dumps (sort columns by name, sort rows, hash values). Dev tool only."""
-import sys, json, glob, hashlib
+dumps (sort columns by name, sort rows, hash values). Dev tool only.
+
+Usage: check_oracle.py [sf_dir] [out_dir] [--json PATH]
+
+--json writes the per-query result map in the driver's CORRECTNESS_r*
+schema ({name: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}, plus an oracle_sec timing field) so every session
+commits a durable, driver-independent correctness artifact
+(CORRECTNESS_local.json) — VERDICT r9 item 1: the driver's round-9
+artifact arrived empty and the round's hard signal nearly vanished."""
+import sys, json, glob, hashlib, time
 import duckdb
 import pandas as pd
 
@@ -16,38 +25,70 @@ def hash_df(df: pd.DataFrame) -> str:
     s = df.astype(str).to_csv(index=False)
     return hashlib.sha256(s.encode()).hexdigest()
 
-def main(sf_dir: str, out_dir: str):
+def main(sf_dir: str, out_dir: str, json_out: str | None):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        r = {"rows_match": False, "schema_match": False, "hash_match": False,
+             "spark_rows": None, "oracle_rows": None, "err": None,
+             "oracle_sec": None}
+        results[name] = r
+        def fail(msg):
+            nonlocal n_fail
+            r["err"] = msg
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            fail("no spark output"); continue
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in files])
+            t0 = time.monotonic()
             duck_df = con.sql(sql).df()
+            r["oracle_sec"] = round(time.monotonic() - t0, 3)
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            fail(str(e)[:500]); continue
         a, b = canon(spark_df), canon(duck_df)
+        r["spark_rows"], r["oracle_rows"] = len(a), len(b)
         if list(a.columns) != list(b.columns):
-            print(f"FAIL {name}: schema {list(a.columns)} vs {list(b.columns)}"); n_fail += 1; continue
+            fail(f"schema {list(a.columns)} vs {list(b.columns)}"); continue
+        r["schema_match"] = True
         if len(a) != len(b):
-            print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); n_fail += 1; continue
+            fail(f"rows {len(a)} vs {len(b)}"); continue
+        r["rows_match"] = True
         if hash_df(a) != hash_df(b):
             diff = (a.astype(str) != b.astype(str))
             bad = diff.any(axis=1)
-            print(f"FAIL {name}: hash mismatch ({bad.sum()}/{len(a)} rows differ)")
+            fail(f"hash mismatch ({bad.sum()}/{len(a)} rows differ)")
             print("  spark:", a[bad].head(3).to_dict("records"))
             print("  duck :", b[bad].head(3).to_dict("records"))
-            n_fail += 1; continue
-        print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+            continue
+        r["hash_match"] = True
+        print(f"PASS {name} ({len(a)} rows, oracle {r['oracle_sec']:.2f}s)")
+        n_pass += 1
+    if json_out:
+        json.dump(results, open(json_out, "w"), indent=1)
+        print(f"wrote {json_out}")
+    slow = sorted(((r["oracle_sec"], n) for n, r in results.items()
+                   if r["oracle_sec"]), reverse=True)[:10]
+    total = sum(r["oracle_sec"] or 0 for r in results.values())
+    print(f"\noracle wall: {total:.1f}s total; slowest: "
+          + ", ".join(f"{n}={s:.1f}s" for s, n in slow[:5]))
+    print(f"{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
-         sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    if "--json" in sys.argv:
+        i = sys.argv.index("--json")
+        json_out = sys.argv[i + 1] if i + 1 < len(sys.argv) else "CORRECTNESS_local.json"
+        if json_out in args: args.remove(json_out)
+    main(args[0] if len(args) > 0 else "/root/testdata/sf0.01",
+         args[1] if len(args) > 1 else "/tmp/verify_out",
+         json_out)
