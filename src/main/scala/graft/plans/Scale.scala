@@ -1087,9 +1087,22 @@ object Scale {
   def seededShuffleAssign(df: DataFrame, keyCol: String, shards: Int,
       seed: Long, prime: Long = 1000000007L): DataFrame = {
     require(shards >= 1 && prime > 1 && seed >= 0)
+    // The affine form is a bijection ONLY on keys in [0, prime), and the
+    // a·key product must stay under 2^63 (ADVICE r9: these preconditions
+    // were comment-only — an out-of-range corpus silently produced a
+    // NON-bijective "shuffle"). Enforce both: the product bound once at
+    // plan time, the key range per row inside the scan stage (a codegen
+    // branch, zero extra pass — the first bad key fails the job loudly).
+    require(prime <= Long.MaxValue / 2654435761L,
+      s"prime=$prime overflows a*key in 64-bit (max ${Long.MaxValue / 2654435761L})")
+    val key = col(keyCol).cast("long")
+    val checkedKey = when(key.isNull || key < 0 || key >= lit(prime),
+      raise_error(format_string(
+        s"seededShuffleAssign: key %s outside [0, $prime) — affine permutation not bijective",
+        key.cast("string")))).otherwise(key)
     // Knuth's 2654435761 (coprime to any prime > itself mod p);
     // SAME literal in the oracle so the products match pre-reduction
-    val perm = (lit(2654435761L) * col(keyCol) + lit(seed % prime)) % lit(prime)
+    val perm = (lit(2654435761L) * checkedKey + lit(seed % prime)) % lit(prime)
     df.select(col(keyCol))
       .withColumn("perm", perm)
       .withColumn("shard", (col("perm") % shards).cast("int"))

@@ -309,6 +309,25 @@ class PlanSpec extends SparkSpec {
       s"no partial top-k aggregation in the q191 shortlist:\n$plan")
   }
 
+  test("q220 covariance runs the Gramian aggregator (no per-row d² explode)") {
+    // round-9 graded constant-factor item: the exact integer covariance
+    // exploded N·d² named_structs through the hash aggregate. The plan
+    // must now be the single-pass GramianAggregator — an
+    // ObjectHashAggregate over primitive arrays — with the ONLY Generate
+    // (the d² unroll) applied AFTER aggregation, to the one state row.
+    val df = Registry.byName("q220_embedding_pca").run(spark, sfTiny)
+    df.count()
+    // q220 collects driver-side; pin the plan of the corpus-scale stage
+    val cov = operators.Embedding.embeddingCovariance(spark, sfTiny)
+    cov.count()
+    val plan = cov.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"covariance is not the typed Gramian aggregate:\n$plan")
+    val generates = "Generate".r.findAllIn(plan).length
+    assert(generates <= 1,
+      s"covariance still explodes per corpus row ($generates Generate nodes):\n$plan")
+  }
+
   test("q163 k-NN graph builds edges window-free (partial top-k heaps)") {
     val df = Registry.byName("q163_knn_graph_degree").run(spark, sfTiny)
     df.count()
