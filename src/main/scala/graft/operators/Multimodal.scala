@@ -24,6 +24,11 @@ final case class WavPayload(doc_id: Long, wav: Array[Byte])
 final case class ChannelStats(doc_id: Long, ch: Int, n_smp: Int,
     smp_checksum: Long, smp_min: Int, smp_max: Int)
 
+/** Typed rows for the q222 REAL Y4M video codec boundary. */
+final case class Y4mPayload(doc_id: Long, y4m: Array[Byte])
+final case class FrameStats(doc_id: Long, frame: Int, n_px: Int,
+    px_checksum: Long, px_min: Int, px_max: Int)
+
 /** Multimodal binary-column plumbing (north-star extension; the
   * reference's only binary artifacts are its .npy/.pkl sidecars,
   * app/generate_embeddings.py:52-68 — no image/audio surface exists
@@ -38,10 +43,13 @@ final case class ChannelStats(doc_id: Long, ch: Int, n_smp: Int,
   * real end-to-end since q179 (the JDK's own `javax.imageio` PNG codec,
   * losslessness proven by the codec-free DuckDB oracle) and the AUDIO
   * leg since q199 (`javax.sound.sampled` WAV/PCM, per-channel sample
-  * stats re-derived from the hash by the oracle). Only the video
-  * modality keeps the stub — the JDK ships no video codec. The q60-q63
-  * payloads are the utf-8 encoding of `documents.text` so DuckDB can
-  * replay every byte (`encode(text)`).
+  * stats re-derived from the hash by the oracle), and the VIDEO leg
+  * since q222 (a pure-JVM YUV4MPEG2 container writer+reader, per-frame
+  * plane stats re-derived from the hash by the oracle) — all three
+  * modalities are now real end-to-end; q62 remains the generic
+  * stub-shaped decode harness for codecs the container doesn't ship.
+  * The q60-q63 payloads are the utf-8 encoding of `documents.text` so
+  * DuckDB can replay every byte (`encode(text)`).
   *
   * At 100 TB the payload column dominates I/O: every query here projects
   * only the columns it needs (parquet column pruning keeps un-read
@@ -235,8 +243,8 @@ object Multimodal {
     * a codec: hash equality therefore PROVES the JDK PNG writer+reader
     * pair is lossless on every document (any codec corruption — gamma,
     * palette, truncation — would shift a checksum and fail the gate).
-    * The audio/video modalities keep the documented q62 stub; the image
-    * leg of the multimodal tier is now real end-to-end. */
+    * Audio followed in q199 (WAV) and video in q222 (Y4M) — every
+    * modality of the tier is real end-to-end. */
   val q179PngRoundTrip = GraftQuery(
     "q179_png_roundtrip",
     "north-star multimodal: REAL javax.imageio PNG encode->decode, losslessness oracle-proven",
@@ -315,8 +323,8 @@ object Multimodal {
     * PROVES the JDK WAV writer+reader pair preserves every sample,
     * header field included (a byte-order, channel-interleave or header
     * corruption would shift a checksum or a count and fail the gate).
-    * The video modality keeps the documented q62 stub — the container
-    * ships no video codec; image and audio are now real end-to-end. */
+    * The video leg is real since q222 (Y4M) — every modality now runs
+    * a genuine writer+reader pair end-to-end. */
   val q199WavRoundTrip = GraftQuery(
     "q199_wav_roundtrip",
     "north-star multimodal: REAL javax.sound WAV encode->decode, per-channel stats oracle-proven",
@@ -363,7 +371,140 @@ object Multimodal {
         CAST(min(v) AS INT) AS smp_min, CAST(max(v) AS INT) AS smp_max
       FROM sv GROUP BY 1, 2 ORDER BY doc_id, ch"""))
 
+  // ---------------------------------------------------------------------
+  // q222: REAL video codec round trip — YUV4MPEG2 (Y4M) container
+  // ---------------------------------------------------------------------
+
+  private val Y4mW = 4
+  private val Y4mH = 4
+  private val Y4mFrames = 2
+
+  /** Pure-JVM YUV4MPEG2 container codec — the video leg of the
+    * multimodal tier, retired the way q199 retired audio (the container
+    * ships no compressed-video codec, and a LOSSY codec could never be
+    * oracle-proven anyway; Y4M is the standard uncompressed interchange
+    * container every video toolchain reads). Writer emits the spec
+    * stream header (`YUV4MPEG2 W.. H.. F25:1 Ip A1:1 Cmono`) and one
+    * `FRAME` marker per plane; reader parses and VALIDATES the header
+    * (magic, dimensions, mono colorspace) and slices exact-size frame
+    * planes — headerless, truncated, or wrong-colorspace bytes all fail
+    * loudly (MultimodalSpec pins each). */
+  private[graft] object Y4mCodec {
+    private val Magic = "YUV4MPEG2"
+    private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+    def write(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(frames.forall(_.length == w * h),
+        s"frame plane must be ${w * h} bytes")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"$Magic W$w H$h F25:1 Ip A1:1 Cmono\n".getBytes(Ascii))
+      frames.foreach { f => out.write("FRAME\n".getBytes(Ascii)); out.write(f) }
+      out.toByteArray
+    }
+
+    /** Parse a Y4M stream → (width, height, Y planes). */
+    def read(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+      val nl0 = bytes.indexOf('\n'.toByte)
+      require(nl0 > 0, "y4m: no stream header line")
+      val header = new String(bytes, 0, nl0, Ascii)
+      val toks = header.split(' ')
+      require(toks.head == Magic, s"y4m: bad magic '${toks.head}'")
+      def param(p: Char): Option[String] =
+        toks.tail.find(_.startsWith(p.toString)).map(_.drop(1))
+      val w = param('W').map(_.toInt).getOrElse(
+        throw new IllegalArgumentException("y4m: missing W"))
+      val h = param('H').map(_.toInt).getOrElse(
+        throw new IllegalArgumentException("y4m: missing H"))
+      require(param('C').forall(_ == "mono"),
+        s"y4m: unsupported colorspace C${param('C').get} (mono reader)")
+      val planeLen = w * h
+      val frames = Seq.newBuilder[Array[Byte]]
+      var pos = nl0 + 1
+      while (pos < bytes.length) {
+        val nl = bytes.indexOf('\n'.toByte, pos)
+        require(nl > 0, "y4m: truncated FRAME marker")
+        val marker = new String(bytes, pos, nl - pos, Ascii)
+        require(marker == "FRAME" || marker.startsWith("FRAME "),
+          s"y4m: bad frame marker '$marker'")
+        require(nl + 1 + planeLen <= bytes.length,
+          s"y4m: truncated frame plane at offset ${nl + 1}")
+        frames += java.util.Arrays.copyOfRange(bytes, nl + 1, nl + 1 + planeLen)
+        pos = nl + 1 + planeLen
+      }
+      (w, h, frames.result())
+    }
+  }
+
+  /** Deterministic 2-frame mono clip per document — frame 0 is the 16
+    * md5(text) bytes as a 4×4 Y plane, frame 1 the md5 of frame 0's hex
+    * (DuckDB's `md5(md5(text))`, so the oracle can re-derive BOTH
+    * planes) — written as a REAL Y4M stream. One digest instance per
+    * partition (the per-partition-codec batch shape q62 documents). */
+  def encodeY4m(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[Y4mPayload]
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+        rows.map { case (id, payload) =>
+          md.reset()
+          val f0 = md.digest(payload)
+          md.reset()
+          val f1 = md.digest(hex(f0).getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII))
+          Y4mPayload(id, Y4mCodec.write(Y4mW, Y4mH, Seq(f0, f1)))
+        }
+      }(enc).toDF()
+  }
+
+  /** q222: the video stub retired — a REAL Y4M encode → decode round
+    * trip, the last modality's asterisk removed (COVERAGE §2.9). Pixels
+    * are md5-derived, so the DuckDB oracle re-derives every frame's
+    * pixel statistics STRAIGHT FROM THE HASH, never touching the
+    * container: hash equality PROVES the writer+reader pair preserves
+    * every plane byte and frame boundary (a header drift, frame
+    * re-order, or off-by-one plane slice would shift a checksum or a
+    * frame count and fail the gate). */
+  val q222Y4mRoundTrip = GraftQuery(
+    "q222_y4m_roundtrip",
+    "north-star multimodal: REAL Y4M video container encode->decode, per-frame stats oracle-proven",
+    (s, d) => {
+      import s.implicits._
+      val enc = org.apache.spark.sql.Encoders.product[FrameStats]
+      encodeY4m(s, d).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, y4m) =>
+            val (w, h, frames) = Y4mCodec.read(y4m)
+            require(w == Y4mW && h == Y4mH && frames.size == Y4mFrames,
+              s"decoded shape drifted: ${w}x$h x${frames.size}")
+            frames.zipWithIndex.map { case (plane, f) =>
+              val vs = plane.map(_ & 0xff)
+              FrameStats(id, f, vs.length,
+                vs.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum,
+                vs.min, vs.max)
+            }
+          }
+        }(enc).toDF()
+        .orderBy(col("doc_id"), col("frame"))
+    },
+    Some("""WITH h AS (
+        SELECT doc_id, md5(text) AS h0, md5(md5(text)) AS h1 FROM documents),
+      px AS (
+        SELECT doc_id, f.frame, i.i,
+          ('0x' || substr(CASE WHEN f.frame = 0 THEN h0 ELSE h1 END,
+            CAST(2*i.i + 1 AS INT), 2))::INT AS v
+        FROM h
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS frame) f
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS i) i)
+      SELECT doc_id, CAST(frame AS INT) AS frame, CAST(count(*) AS INT) AS n_px,
+        CAST(sum(v * (i + 1)) AS BIGINT) AS px_checksum,
+        CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+      FROM px GROUP BY 1, 2 ORDER BY doc_id, frame"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q60BinaryIngest, q61FrameSample, q62DecodeStub, q63ModalityAgg,
-    q179PngRoundTrip, q199WavRoundTrip)
+    q179PngRoundTrip, q199WavRoundTrip, q222Y4mRoundTrip)
 }

@@ -53,4 +53,35 @@ class MultimodalSpec extends SparkSpec {
     } catch { case _: Throwable => false }
     assert(!parsed, "headerless WAV parsed — codec is not real")
   }
+
+  test("q222 payloads are genuine Y4M: stream magic, frame markers, reader validates") {
+    val rows = Multimodal.encodeY4m(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val y4m = r.getAs[Array[Byte]]("y4m")
+      // container magic pinned: spec stream header, not a raw plane dump
+      assert(new String(y4m.take(9), "US-ASCII") == "YUV4MPEG2",
+        "missing YUV4MPEG2 magic")
+      assert(y4m.length > 2 * 16, "2 raw 4x4 planes can't fit a real container")
+      val (w, h, frames) = Multimodal.Y4mCodec.read(y4m)
+      assert(w == 4 && h == 4 && frames.size == 2, s"decoded ${w}x$h x${frames.size}")
+      // writer->reader plane round trip is byte-exact
+      val rt = Multimodal.Y4mCodec.write(w, h, frames)
+      assert(java.util.Arrays.equals(rt, y4m), "write(read(x)) != x")
+    }
+    val sample = rows.head.getAs[Array[Byte]]("y4m")
+    // headerless bytes must fail to parse — the reader is a codec
+    assertThrows[IllegalArgumentException] {
+      Multimodal.Y4mCodec.read(sample.drop(10))
+    }
+    // a truncated final frame plane must fail, not silently short-read
+    assertThrows[IllegalArgumentException] {
+      Multimodal.Y4mCodec.read(sample.dropRight(3))
+    }
+    // a non-mono colorspace must be rejected by this reader
+    val c420 = new String(sample, "US-ASCII").replaceFirst("Cmono", "C420")
+    assertThrows[IllegalArgumentException] {
+      Multimodal.Y4mCodec.read(c420.getBytes("US-ASCII"))
+    }
+  }
 }
