@@ -897,9 +897,219 @@ object Ann {
     (s, d) => sq8IvfKnn(s, d, k = 2, nprobe = GraftConf.ivfNprobe(s), queryMod = 10),
     None)
 
+  // -------------------------------------------------------------------
+  // Index maintenance under drift — cell-balance monitor + median-split
+  // repair. SCALE.md's own monitoring rule operationalized: "re-fit or
+  // split cells when skew_vs_balanced exceeds ~4" (the Σ|cell|²
+  // candidate bounds of the IVF pair join and the q190 threshold graph
+  // degrade linearly in this ratio). Reference analogue: faiss
+  // re-trains a quantizer whose `is_trained` no longer fits the data
+  // (app/vector_search.py:85-106); here the drifted data arrives via
+  // assignCells (M3 "add") against a quantizer fitted BEFORE the drift.
+  // -------------------------------------------------------------------
+
+  /** Default repair threshold (SCALE.md's documented ~4). */
+  def skewThreshold(s: SparkSession): Double =
+    s.conf.get("spark.graft.ivf.skewThreshold", "4.0").toDouble
+
+  /** skew_vs_balanced of a cell assignment: Σ|cell|²·cells ∕ N² — the
+    * multiplier every Σ|cell|² candidate bound pays over a perfectly
+    * balanced quantizer (1.0 = balanced; ≥ 1.0 always, by
+    * Cauchy-Schwarz). Collects one (cell, count) row per non-empty
+    * cell — index-metadata-sized, never corpus rows. */
+  def skewVsBalanced(assigned: DataFrame, totalCells: Int): Double = {
+    val sizes = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n")).select(col("n"))
+      .collect().map(_.getLong(0))
+    val n = sizes.sum
+    if (n == 0) 1.0
+    else sizes.map(s => s.toDouble * s).sum * totalCells / (n.toDouble * n)
+  }
+
+  /** Median-split repair of a skewed assignment: while skew_vs_balanced
+    * exceeds `threshold`, split every overloaded cell (size > 2·N/cells)
+    * along its highest-variance dimension at the EXACT member median —
+    * fully deterministic (no re-fit randomness), and per round the
+    * corpus-scale work is bounded by the overloaded cells' members (two
+    * grouped passes + one reassignment projection), so a drifted 100 TB
+    * index repairs in O(drifted-cell bytes · log), not a full re-fit.
+    * Degenerate splits (all members equal on the split dim) fall back to
+    * strict-< and then to the vec_id median, so a cell of IDENTICAL
+    * vectors still halves. Returns the repaired assignment
+    * (vec_id, centroid_id, vec), the new total cell count, and the skew
+    * trajectory (head = pre-repair, last = final). The repaired
+    * assignment is written as a versioned ModelStore artifact
+    * (kind `ivf_rebalanced`, round-stamped params — the NSW-graph
+    * persistence discipline) when `spark.graft.index.dir` is set. */
+  def rebalanceCells(s: SparkSession, assigned0: DataFrame, totalCells0: Int,
+      threshold: Double, maxRounds: Int = 6,
+      artifactKey: Option[(String, String)] = None): (DataFrame, Int, Seq[Double]) = {
+    var assigned = assigned0.select(col("vec_id"), col("centroid_id"), col("vec"))
+      .persist()
+    var cells = totalCells0
+    var skews = Vector(skewVsBalanced(assigned, cells))
+    var round = 0
+    while (round < maxRounds && skews.last > threshold) {
+      val sizes = assigned.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val n = sizes.map(_._2).sum
+      val meanCell = n.toDouble / cells
+      val overloaded = sizes.filter(_._2 > 2 * meanCell).map(_._1)
+      if (overloaded.isEmpty) round = maxRounds // skew source is diffuse; splitting won't help
+      else {
+        val over = assigned.where(col("centroid_id").isin(overloaded.map(Integer.valueOf): _*))
+        // per overloaded cell: the max-variance dimension (cells×d rows —
+        // index-metadata-sized)
+        val bestDim = over
+          .select(col("centroid_id"), posexplode(col("vec")).as(Seq("j", "x")))
+          .groupBy(col("centroid_id"), col("j"))
+          .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("v"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+          .groupBy(_._1).map { case (c, rs) =>
+            (c, rs.maxBy(t => (t._3, -t._2))._2)
+          }
+        import s.implicits._
+        val dimDf = broadcast(bestDim.toSeq.toDF("centroid_id", "dim"))
+        val members = over.join(dimDf, Seq("centroid_id"))
+          .select(col("centroid_id"), col("vec_id"),
+            element_at(col("vec"), col("dim") + 1).as("x"))
+        // exact medians + id medians, then side counts vs the median —
+        // two bounded passes over the overloaded members only
+        val med = members.groupBy(col("centroid_id"))
+          .agg(expr("percentile(x, 0.5)").as("m"),
+            expr("CAST(percentile(vec_id, 0.5) AS BIGINT)").as("idm"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+        val medDf = broadcast(med.toSeq.toDF("centroid_id", "m", "idm"))
+        val cnt = members.join(medDf, Seq("centroid_id"))
+          .groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("nn"),
+            sum(when(col("x") <= col("m"), 1L).otherwise(0L)).as("nLeq"),
+            sum(when(col("x") < col("m"), 1L).otherwise(0L)).as("nLt"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .map { case (c, nn, nLeq, nLt) =>
+            val mode =
+              if (nLeq > 0 && nLeq < nn) "leq"
+              else if (nLt > 0 && nLt < nn) "lt"
+              else "id"
+            (c, mode)
+          }.toMap
+        val splits = med.zipWithIndex.map { case ((c, m, idm), i) =>
+          (c, bestDim(c), m, idm, cnt(c), cells + i)
+        }
+        val spDf = broadcast(splits.toSeq
+          .toDF("centroid_id", "dim", "m", "idm", "mode", "newId"))
+        val next = assigned.join(spDf, Seq("centroid_id"), "left")
+          .withColumn("xs", when(col("dim").isNotNull,
+            element_at(col("vec"), col("dim") + 1)))
+          .withColumn("goRight",
+            when(col("mode") === "leq", col("xs") > col("m"))
+              .when(col("mode") === "lt", col("xs") >= col("m"))
+              .when(col("mode") === "id", col("vec_id") > col("idm"))
+              .otherwise(lit(false)))
+          .select(col("vec_id"),
+            when(col("goRight"), col("newId")).otherwise(col("centroid_id"))
+              .cast("int").as("centroid_id"),
+            col("vec"))
+          .persist()
+        next.count() // materialize before dropping the parent
+        assigned.unpersist()
+        assigned = next
+        cells += splits.length
+        skews :+= skewVsBalanced(assigned, cells)
+        round += 1
+      }
+    }
+    artifactKey.foreach { case (d, params) =>
+      ModelStore.artifactPath(s, "ivf_rebalanced", d,
+        s"$params,rounds=${skews.size - 1},cells=$cells").foreach { p =>
+        assigned.select(col("vec_id"), col("centroid_id"))
+          .write.mode("overwrite").parquet(p)
+      }
+    }
+    (assigned, cells, skews)
+  }
+
+  /** Post-repair centroids: the exact member means per (possibly split)
+    * cell — one grouped pass, (cells·d)-bounded output. */
+  def centroidsFromAssignment(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("centroid_id"), posexplode(col("vec")).as(Seq("j", "x")))
+      .groupBy(col("centroid_id"), col("j")).agg(avg(col("x")).as("c"))
+      .groupBy(col("centroid_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, c))), e -> e.c)")
+        .as("cvec"))
+
+  /** q223: the cell-balance MONITOR — skew_vs_balanced of the fitted
+    * quantizer's own assignment, reduced to oracle-checkable invariants
+    * (the raw skew is KMeans-dependent, so the paired oracle pins the
+    * total count, the auto cell-count formula, skew ≥ 1 — a theorem —
+    * and skew ≤ threshold on the un-drifted corpus; AnnSpec asserts the
+    * measured value itself and the monitor→repair loop on a drifted
+    * corpus). */
+  val q223IvfCellBalance = GraftQuery(
+    "q223_ivf_cell_balance",
+    "M5 ext / SCALE monitor: IVF quantizer cell-balance skew, invariants oracle-paired",
+    (s, d) => {
+      import s.implicits._
+      val idx = ivfIndexFull(s, d)
+      val cells = idx.model.getK
+      val n = idx.assigned.count()
+      val skew = skewVsBalanced(idx.assigned, cells)
+      Seq((n, cells, skew >= 1.0, skew > skewThreshold(s)))
+        .toDF("n_vectors", "n_cells", "skew_ge_balanced", "skew_exceeds")
+    },
+    // the n_cells expression mirrors GraftConf.ivfCells "auto":
+    // max(4, min(round(√N), max(1, N div minCellRows=40)))
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      CAST(greatest(4, least(CAST(round(sqrt(count(*))) AS BIGINT),
+        greatest(1, count(*) // 40))) AS INT) AS n_cells,
+      true AS skew_ge_balanced, false AS skew_exceeds
+      FROM embeddings"""))
+
+  /** q224: the monitor→repair loop under DELIBERATE drift, end-to-end
+    * as a registered query: double the corpus with near-identical
+    * replicas of one vector (all landing in one cell), assign with the
+    * PRE-drift quantizer (M3 "add" — the drift scenario), confirm the
+    * monitor trips, median-split repair, confirm skew fell back under
+    * the threshold. The oracle pins the exact row count and all three
+    * outcome booleans. */
+  val q224IvfRebalance = GraftQuery(
+    "q224_ivf_rebalance",
+    "M5 ext / SCALE repair: drifted IVF cells median-split back under the skew threshold",
+    (s, d) => {
+      import s.implicits._
+      val idx = ivfIndexFull(s, d)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val n = graft.plans.TableStats.embeddings(s, d).rows
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      // 2n jittered replicas of the min-id vector — a drift cluster the
+      // pre-drift quantizer funnels into one cell
+      val drift = emb.orderBy(col("vec_id")).limit(1)
+        .select(col("embedding"), explode(sequence(lit(0L), lit(2 * n - 1))).as("e"))
+        .select((col("e") + lit(maxId + 1)).as("vec_id"),
+          expr("transform(embedding, (x, j) -> CAST(x + ((e * 13 + j) % 5 - 2) * 0.0005 AS FLOAT))")
+            .as("embedding"))
+      val assignedDrift = assignCells(s, d, emb.unionByName(drift))
+      val cells = idx.model.getK
+      val thr = skewThreshold(s)
+      val pre = skewVsBalanced(assignedDrift, cells)
+      val (repaired, _, skews) =
+        rebalanceCells(s, assignedDrift, cells, thr, artifactKey = Some((d, s"drift2n,thr=$thr")))
+      val post = skews.last
+      val nTotal = repaired.count()
+      repaired.unpersist()
+      Seq((nTotal, pre > thr, post <= pre, post > thr))
+        .toDF("n_total", "pre_exceeds", "post_le_pre", "post_exceeds")
+    },
+    Some("""SELECT CAST(3 * count(*) AS BIGINT) AS n_total,
+      true AS pre_exceeds, true AS post_le_pre, false AS post_exceeds
+      FROM embeddings"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q34IvfKnn, q35IvfRecall, q36LshNearDup, q37LshRecall, q56IvfNearDup,
     q57IvfPairRecall, q65PqQuantError, q66PqKnn, q67PqRecall,
     q149MultiProbeLsh, q150MultiProbeRecall, q156IvfKnnAgg,
-    q176Sq8Codes, q177Sq8Knn, q191Sq8IvfKnn)
+    q176Sq8Codes, q177Sq8Knn, q191Sq8IvfKnn,
+    q223IvfCellBalance, q224IvfRebalance)
 }

@@ -466,6 +466,44 @@ class OperatorSpec extends SparkSpec {
       s"hot key not detected: ${rows.head}")
   }
 
+  test("cell-balance monitor trips on drift and median-split repair brings skew back under the threshold") {
+    // the registered q224 loop end-to-end: drifted corpus (2n replicas of
+    // one vector) assigned with the PRE-drift quantizer must trip the
+    // monitor; the repair must strictly improve and land under ~4
+    val row = Registry.byName("q224_ivf_rebalance").run(spark, sfTiny).head()
+    assert(row.getAs[Boolean]("pre_exceeds"), "drift did not trip the monitor")
+    assert(row.getAs[Boolean]("post_le_pre"), "repair did not improve skew")
+    assert(!row.getAs[Boolean]("post_exceeds"), "repair left skew above threshold")
+  }
+
+  test("rebalanceCells is deterministic and id-fallback-safe on a cell of IDENTICAL vectors") {
+    val s = spark
+    import s.implicits._
+    // 3 cells: two balanced, one hot cell of 80 BIT-IDENTICAL vectors —
+    // the degenerate case where every split dimension has zero variance
+    // and the median split must fall back to the vec_id median
+    val rows =
+      (0L until 10L).map(i => (i, 0, Seq(i.toDouble, 1.0))) ++
+        (10L until 20L).map(i => (i, 1, Seq(-i.toDouble, 2.0))) ++
+        (100L until 180L).map(i => (i, 2, Seq(7.0, 7.0)))
+    val assigned = rows.toDF("vec_id", "centroid_id", "vec")
+    val pre = Ann.skewVsBalanced(assigned, 3)
+    val (repaired, cellsAfter, skews) =
+      Ann.rebalanceCells(spark, assigned, 3, threshold = 1.5)
+    assert(skews.head == pre)
+    assert(skews.last < pre && skews.last <= 1.5,
+      s"skew trajectory did not converge: $skews")
+    assert(cellsAfter > 3, "no cell was split")
+    // every vector preserved exactly once, every cell non-empty
+    val ids = repaired.select("vec_id").as[Long].collect().sorted
+    assert(ids.toSeq == rows.map(_._1).sorted, "repair lost or duplicated vectors")
+    val sizes = repaired.groupBy("centroid_id").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.values.forall(_ > 0))
+    assert(sizes.values.max <= 40, s"hot cell not actually split: $sizes")
+    repaired.unpersist()
+  }
+
   test("every registered query runs on sf0.001 and the registry is consistent") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length, "duplicate query names")
