@@ -48,7 +48,7 @@ object Hybrid {
     * the synthetic soup corpus (31 terms, df ≈ 0.76·N each) is the
     * adversarial floor where candidates stay ~m·0.76·N per query —
     * measured in SCALE.md, which is exactly why m must be small. */
-  private[graft] def bm25DocRetrieval(s: SparkSession, d: String, k: Int,
+  private[graft] def lexScoredCandidates(s: SparkSession, d: String,
       queryMod: Int, maxDfFrac: Double, maxQueryTerms: Int,
       k1: Double, b: Double): DataFrame = {
     val tok = Tables.documents(s, d)
@@ -84,8 +84,21 @@ object Hybrid {
           (col("tf") + lit(k1) * (lit(1.0 - b) + col("bl")))))
       .select(col("qid"), col("did"),
         round(lit(1000000.0) * col("c"), 0).cast("long").as("c_ppm"))
-    val scored = contrib.groupBy(col("qid"), col("did"))
+    contrib.groupBy(col("qid"), col("did"))
       .agg(sum(col("c_ppm")).as("score_ppm"))
+  }
+
+  /** Lexical leg top-k over [[lexScoredCandidates]]. The candidate
+    * relation is exposed separately because its per-query size IS the
+    * scale cost of doc-as-query retrieval: SCALE.md measures it on both
+    * the adversarial 31-term soup corpus (df ≈ 0.76·N defeats the
+    * df-cut) and a Zipfian-vocabulary corpus (where the rarest-m lever
+    * actually bites). */
+  private[graft] def bm25DocRetrieval(s: SparkSession, d: String, k: Int,
+      queryMod: Int, maxDfFrac: Double, maxQueryTerms: Int,
+      k1: Double, b: Double): DataFrame = {
+    val scored = lexScoredCandidates(s, d, queryMod, maxDfFrac,
+      maxQueryTerms, k1, b)
     val topk = udaf(new graft.functions.TopKAggregator(k))
     scored.groupBy(col("qid"))
       .agg(topk(col("score_ppm").cast("double"), col("did")).as("top"))

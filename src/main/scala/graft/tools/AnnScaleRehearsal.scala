@@ -61,15 +61,26 @@ object AnnScaleRehearsal {
     }
     spark.sparkContext.addSparkListener(m)
 
-    val tiers: Seq[(String, String => DataFrame)] = Seq(
-      "exact_knn" -> (d => graft.operators.Similarity.knnExact(spark, d, k = 2, queryMod = 10)),
+    // the exact O(Q·N) baseline (and everything built on it — the
+    // static-12-cells counterexample, the recall probe, the flat SQ8
+    // scan) is feasible at 10× but NOT at 100× (4e9 scored pairs);
+    // 100× runs measure the sub-quadratic production tiers only, and
+    // their recall gates stay pinned by the 1×/10× rows
+    val withExact = factor < 50
+    if (!withExact)
+      println(s"[ann-rehearsal] factor=$factor >= 50: skipping the exact " +
+        "baseline, static-cells counterexample, recall probe, and flat SQ8 scan")
+
+    val tiers: Seq[(String, String => DataFrame)] = (if (withExact) Seq(
+      "exact_knn" -> ((d: String) => graft.operators.Similarity.knnExact(spark, d, k = 2, queryMod = 10))) else Seq()) ++ Seq(
       // default conf = cells "auto" (⌊√rows⌉): the cold phase pays the
       // √N KMeans fit — the judge-prescribed "auto hits √N cold" check
       "ivf_knn" -> (d => graft.operators.Ann.ivfKnn(spark, d, k = 2,
         nprobe = graft.GraftConf.ivfNprobe(spark), queryMod = 10)),
       "lsh_neardup" -> (d => graft.operators.Ann.lshNearDup(spark, d, threshold = 0.35)),
-      "nsw_knn" -> (d => graft.operators.Nsw.nswKnn(spark, d, k = 2, queryMod = 10)),
-      "sq8_knn" -> (d => graft.Registry.byName("q177_sq8_knn").run(spark, d)),
+      "nsw_knn" -> (d => graft.operators.Nsw.nswKnn(spark, d, k = 2, queryMod = 10))) ++
+      (if (withExact) Seq(
+        "sq8_knn" -> ((d: String) => graft.Registry.byName("q177_sq8_knn").run(spark, d))) else Seq()) ++ Seq(
       // SQ8 UNDER IVF (q191): the composed tier — shuffle_read_mb vs
       // ivf_knn is the 4×-payload claim, measured
       "sq8_ivf_knn" -> (d => graft.operators.Ann.sq8IvfKnn(spark, d, k = 2,
@@ -83,7 +94,14 @@ object AnnScaleRehearsal {
       // Σ|cell|² at the √N cell count — the one round-8 substrate
       // without its own rehearsal row; cell balance (which that bound
       // is only as good as) is reported separately below
-      "kcore_ann" -> (d => graft.Registry.byName("q190_ann_kcore").run(spark, d)))
+      "kcore_ann" -> (d => graft.Registry.byName("q190_ann_kcore").run(spark, d)),
+      // drift monitor→repair loop (q224): drift construction + pre-drift
+      // quantizer assign + median-split rounds — the index-maintenance
+      // wall at scale (VERDICT r9 item 7's SCALE row)
+      "ivf_rebalance" -> (d => graft.Registry.byName("q224_ivf_rebalance").run(spark, d)),
+      // integer-exact PCA (q221 = covariance + eigensolve + projection):
+      // cold pays the Gramian pass; warm rides the cached loading
+      "pca_corpus" -> (d => graft.operators.Embedding.pcaProjection(spark, d, iters = 8)))
 
     Tables.embeddings(spark, baseDir).count() // JIT/codegen warm-up
 
@@ -108,29 +126,31 @@ object AnnScaleRehearsal {
     // nprobe/cells = 6/12 scans half the corpus whatever N. The default
     // ivf_knn legs above already ran cells="auto" (⌊√rows⌉) cold, so
     // the auto-vs-static delta is measured in one run, not argued.
-    spark.conf.set("spark.graft.ivf.cells", "12")
-    Seq("cold", "warm").foreach { phase =>
-      m.reset()
-      val t0 = System.nanoTime()
-      val rows = graft.operators.Ann.ivfKnn(spark, work, k = 2,
-        nprobe = graft.GraftConf.ivfNprobe(spark), queryMod = 10).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val line = f"""\"x$factor/ivf_static_c12/$phase\":{\"sec\":$sec%.2f,\"rows\":$rows,""" +
-        f"""\"shuffle_read_mb\":${m.sr.get / 1e6}%.1f,\"spill_mb\":${m.spill.get / 1e6}%.1f}"""
-      println(s"[ann-rehearsal] $line")
-      out.append(line).append(",")
+    if (withExact) {
+      spark.conf.set("spark.graft.ivf.cells", "12")
+      Seq("cold", "warm").foreach { phase =>
+        m.reset()
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Ann.ivfKnn(spark, work, k = 2,
+          nprobe = graft.GraftConf.ivfNprobe(spark), queryMod = 10).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val line = f"""\"x$factor/ivf_static_c12/$phase\":{\"sec\":$sec%.2f,\"rows\":$rows,""" +
+          f"""\"shuffle_read_mb\":${m.sr.get / 1e6}%.1f,\"spill_mb\":${m.spill.get / 1e6}%.1f}"""
+        println(s"[ann-rehearsal] $line")
+        out.append(line).append(",")
+      }
+      spark.conf.unset("spark.graft.ivf.cells")
+      // recall of the auto (default) conf vs exact at factor×, at the
+      // default nprobe — the quality cost the auto speedup carries
+      val exact = graft.operators.Similarity.knnExact(spark, work, k = 2, queryMod = 10)
+        .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = graft.operators.Ann.ivfKnn(spark, work, k = 2,
+        nprobe = graft.GraftConf.ivfNprobe(spark), queryMod = 10)
+        .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (ivf & exact).size.toDouble / exact.size
+      println(f"[ann-rehearsal] ivf_auto_recall@2 = $recall%.4f")
+      out.append(f""""x$factor/ivf_auto_recall":$recall%.4f""").append(",")
     }
-    spark.conf.unset("spark.graft.ivf.cells")
-    // recall of the auto (default) conf vs exact at factor×, at the
-    // default nprobe — the quality cost the auto speedup carries
-    val exact = graft.operators.Similarity.knnExact(spark, work, k = 2, queryMod = 10)
-      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = graft.operators.Ann.ivfKnn(spark, work, k = 2,
-      nprobe = graft.GraftConf.ivfNprobe(spark), queryMod = 10)
-      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (ivf & exact).size.toDouble / exact.size
-    println(f"[ann-rehearsal] ivf_auto_recall@2 = $recall%.4f")
-    out.append(f""""x$factor/ivf_auto_recall":$recall%.4f""").append(",")
 
     // --- quantizer cell balance at factor× — the Σ|cell|² candidate
     // bound of the q190 threshold graph is only as good as this: a

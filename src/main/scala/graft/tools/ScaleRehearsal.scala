@@ -34,13 +34,14 @@ object ScaleRehearsal {
     val work = if (args.length > 2) args(2) else "/tmp/graft_scale_rehearsal"
     val mode = if (args.length > 3) args(3) else "distinct"
     require(factor >= 2, s"factor must be >= 2, got $factor")
-    require(mode == "distinct" || mode == "verbatim", s"bad mode $mode")
+    require(mode == "distinct" || mode == "verbatim" || mode == "zipf",
+      s"bad mode $mode")
     val spark = graft.GraftSession.local()
 
     // --- materialize the upsampled corpus (written once, reused) -----
     val docsOut = s"$work/documents.parquet"
     val marker = new java.io.File(s"$work/_UPSAMPLED_x${factor}_$mode")
-    if (!marker.exists()) {
+    if (mode != "zipf" && !marker.exists()) {
       val t0 = System.nanoTime()
       val replicaText =
         if (mode == "verbatim") col("text")
@@ -90,6 +91,70 @@ object ScaleRehearsal {
       }
     }
     spark.sparkContext.addSparkListener(m)
+
+    // --- Zipf counterpart for q210's adversarial floor (VERDICT r9
+    // item 5): the soup corpus's 31-term vocabulary at df ≈ 0.76·N is
+    // the df-cut's worst case, argued away by prose until now. This
+    // mode GENERATES a Zipfian-vocabulary corpus (word rank r drawn
+    // with P ∝ 1/r via the inverse-CDF V^u; V = 5000, 30 words/doc,
+    // all deterministic hash noise) at 1× and factor×, reuses the
+    // base embeddings (jittered replicas at factor×) for the vector
+    // tower, and records wall + shuffle + CANDIDATES PER QUERY for
+    // q210 at both scales — the rarest-m/df-cut levers measured where
+    // they are supposed to bite, next to the soup floor.
+    if (mode == "zipf") {
+      val zipfBase = s"$work/zipf1x"
+      val zmarker = new java.io.File(s"$work/_ZIPF_x$factor")
+      if (!zmarker.exists()) {
+        def zipfDocs(nDocs: Long) = spark.range(nDocs).selectExpr(
+          "id AS doc_id",
+          "array_join(transform(sequence(0, 29), p -> concat('w', " +
+            "CAST(floor(pow(5000.0, pmod(hash(id * 31 + p), 1000000) / 1000000.0)) AS INT))), ' ') AS text",
+          "'en' AS lang", "concat('src', pmod(id, 4)) AS source")
+          .withColumn("n_chars", length(col("text")))
+        val nBase = Tables.documents(spark, baseDir).count()
+        zipfDocs(nBase).write.mode("overwrite")
+          .parquet(s"$zipfBase/documents.parquet")
+        zipfDocs(nBase * factor).write.mode("overwrite")
+          .parquet(s"$work/documents.parquet")
+        Tables.embeddings(spark, baseDir).write.mode("overwrite")
+          .parquet(s"$zipfBase/embeddings.parquet")
+        Tables.embeddings(spark, baseDir)
+          .select(col("vec_id"), col("embedding"), col("label"),
+            explode(sequence(lit(1), lit(factor))).as("epoch"))
+          .select((col("vec_id") * factor + col("epoch") - 1).as("vec_id"),
+            expr("transform(embedding, (x, j) -> " +
+              "CAST(x + (((epoch - 1) * 31 + j) % 7 - 3) * 0.001 AS FLOAT))")
+              .as("embedding"),
+            col("label"))
+          .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+        zmarker.getParentFile.mkdirs(); zmarker.createNewFile()
+      }
+      val out = new StringBuilder("{")
+      Seq("zipf_base" -> zipfBase, s"zipf_x$factor" -> work).foreach {
+        case (tag, dir) =>
+          m.reset()
+          val t0 = System.nanoTime()
+          val rows = graft.operators.Hybrid
+            .rrfFusion(spark, dir, k = 5, kCand = 10, queryMod = 10).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val cand = graft.operators.Hybrid
+            .lexScoredCandidates(spark, dir, queryMod = 10,
+              maxDfFrac = 0.85, maxQueryTerms = 8, k1 = 1.2, b = 0.75)
+            .groupBy(col("qid")).agg(count(lit(1)).as("c"))
+            .agg(avg(col("c")).as("avg"), max(col("c")).as("max")).head()
+          val line = f"""\"$tag/q210_hybrid_rrf\":{\"sec\":$sec%.2f,\"rows\":$rows,""" +
+            f"""\"shuffle_read_mb\":${m.sr.get / 1e6}%.1f,\"spill_mb\":${m.spill.get / 1e6}%.1f,""" +
+            f"""\"cand_per_query_avg\":${cand.getDouble(0)}%.0f,\"cand_per_query_max\":${cand.getLong(1)}}"""
+          println(s"[rehearsal] $line")
+          out.append(line).append(",")
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$work/rehearsal_zipf.json"),
+        out.dropRight(1).append("}").toString + "\n")
+      spark.stop()
+      return
+    }
 
     val queries: Seq[(String, String => DataFrame)] = Seq(
       "q59_sketch_dedup" -> (d => graft.operators.Dedup.sketchDedupSurvivors(spark, d, 0.8)),
@@ -229,6 +294,20 @@ object ScaleRehearsal {
           f"""\"spill_mb\":${m.spill.get / 1e6}%.1f}"""
         println(s"[rehearsal] $line")
         out.append(line).append(",")
+        if (name.startsWith("q210")) {
+          // the candidates-per-query column for THIS corpus (the soup
+          // floor) — same metric the zipf mode records, so SCALE.md can
+          // put both corpora in one table
+          val cand = graft.operators.Hybrid
+            .lexScoredCandidates(spark, dir, queryMod = 10,
+              maxDfFrac = 0.85, maxQueryTerms = 8, k1 = 1.2, b = 0.75)
+            .groupBy(col("qid")).agg(count(lit(1)).as("c"))
+            .agg(avg(col("c")).as("avg"), max(col("c")).as("max")).head()
+          val cline = f"""\"$tag/q210_candidates\":{\"cand_per_query_avg\":${cand.getDouble(0)}%.0f,""" +
+            f"""\"cand_per_query_max\":${cand.getLong(1)}}"""
+          println(s"[rehearsal] $cline")
+          out.append(cline).append(",")
+        }
       }
     }
     val json = out.dropRight(1).append("}").toString
