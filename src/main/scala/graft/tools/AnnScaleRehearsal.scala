@@ -77,9 +77,14 @@ object AnnScaleRehearsal {
       // √N KMeans fit — the judge-prescribed "auto hits √N cold" check
       "ivf_knn" -> (d => graft.operators.Ann.ivfKnn(spark, d, k = 2,
         nprobe = graft.GraftConf.ivfNprobe(spark), queryMod = 10)),
-      "lsh_neardup" -> (d => graft.operators.Ann.lshNearDup(spark, d, threshold = 0.35)),
       "nsw_knn" -> (d => graft.operators.Nsw.nswKnn(spark, d, k = 2, queryMod = 10))) ++
       (if (withExact) Seq(
+        // lsh_neardup's OUTPUT on a replica corpus is pair-quadratic
+        // per base vector (every replica pair passes the threshold):
+        // measured 503k pairs / 234 s at 10×, ≈10M pairs at 100× — an
+        // output-size bound, not a plan bound, so 100× runs skip it
+        // (the linear-candidate tiers are the 100 TB search path)
+        "lsh_neardup" -> ((d: String) => graft.operators.Ann.lshNearDup(spark, d, threshold = 0.35)),
         "sq8_knn" -> ((d: String) => graft.Registry.byName("q177_sq8_knn").run(spark, d))) else Seq()) ++ Seq(
       // SQ8 UNDER IVF (q191): the composed tier — shuffle_read_mb vs
       // ivf_knn is the 4×-payload claim, measured
@@ -105,9 +110,17 @@ object AnnScaleRehearsal {
 
     Tables.embeddings(spark, baseDir).count() // JIT/codegen warm-up
 
+    // optional 4th arg "only=<prefix,...>": re-run a tier subset against
+    // an already-upsampled workDir (a 100× full pass is hours; a killed
+    // run's missing tiers should not cost a full replay)
+    val only: Option[Set[String]] =
+      args.lift(3).filter(_.startsWith("only=")).map(_.drop(5).split(",").toSet)
+    val selectedTiers = tiers.filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith)) }
+
     val out = new StringBuilder("{")
     Seq("base" -> baseDir, s"x$factor" -> work).foreach { case (tag, dir) =>
-      tiers.foreach { case (name, fn) =>
+      selectedTiers.foreach { case (name, fn) =>
         Seq("cold", "warm").foreach { phase =>
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
           m.reset()
