@@ -99,6 +99,26 @@ class IndexPersistenceSpec extends SparkSpec {
     }
   }
 
+  test("drift repair persists a versioned ivf_rebalanced artifact (round-stamped, loadable, row-exact)") {
+    withIndexDir { dir =>
+      // run the registered drift→repair loop; rebalanceCells writes the
+      // repaired (vec_id, centroid_id) assignment under the
+      // ivf_rebalanced kind with rounds/cells stamped into the params
+      val row = Registry.byName("q224_ivf_rebalance").run(spark, sfTiny).head()
+      assert(!row.getAs[Boolean]("post_exceeds"))
+      val root = new java.io.File(s"$dir/ivf_rebalanced")
+      assert(root.isDirectory, "no ivf_rebalanced artifact written")
+      val versions = root.listFiles().flatMap(_.listFiles())
+        .filter(_.getName.contains("rounds="))
+      assert(versions.nonEmpty, "artifact params carry no rounds= version stamp")
+      val back = spark.read.parquet(versions.head.getPath)
+      assert(back.columns.toSet == Set("vec_id", "centroid_id"))
+      // row-exact: every drifted vector exactly once (3n total)
+      assert(back.count() == row.getAs[Long]("n_total"))
+      assert(back.select("vec_id").distinct().count() == row.getAs[Long]("n_total"))
+    }
+  }
+
   test("without index.dir, nothing is written and queries still pass (in-memory fit)") {
     Ann.clearCaches()
     assert(GraftConf.indexDir(spark).isEmpty)

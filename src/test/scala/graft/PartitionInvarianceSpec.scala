@@ -35,7 +35,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // r9 wave 2: per-(query, side) bounded heaps with double-sim
     // tie-breaks; affine-permutation shuffle (xor order-sig binds every
     // (shard, pos, doc) triple — any partition-order leak flips it)
-    "q211_hard_negatives", "q213_seeded_shuffle")
+    "q211_hard_negatives", "q213_seeded_shuffle",
+    // r10: the Gramian aggregator — exact integer sums, so the d²
+    // covariance state (and the 8-round power iteration on it) must be
+    // BIT-identical whatever the partitioning; any float or
+    // merge-order leak in reduce/merge flips a loading
+    "q220_embedding_pca")
 
   private def canon(name: String): Seq[Seq[String]] =
     Registry.byName(name).run(spark, sfTiny)
@@ -47,10 +52,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     val orig = spark.conf.get(key)
     try {
       names.foreach { n =>
+        // q220's pca state is cached per (session, dataset, iters) — a
+        // second run would trivially return the first run's state, so
+        // the invariance check must force a genuine re-aggregation
+        def reset(): Unit =
+          if (n.startsWith("q220")) operators.Embedding.clearCaches()
         spark.conf.set(key, "3")
-        val a = canon(n)
+        reset(); val a = canon(n)
         spark.conf.set(key, "17")
-        val b = canon(n)
+        reset(); val b = canon(n)
         assert(a == b, s"$n output depends on the shuffle partition count")
         assert(a.nonEmpty, s"$n vacuous at sf0.001")
       }
