@@ -501,6 +501,12 @@ class OperatorSpec extends SparkSpec {
       .as[(Int, Long)].collect().toMap
     assert(sizes.values.forall(_ > 0))
     assert(sizes.values.max <= 40, s"hot cell not actually split: $sizes")
+    // post-repair centroids: one exact member-mean per surviving cell,
+    // dimensionality preserved — the probe table a search path would
+    // broadcast after adopting the repaired index version
+    val cents = Ann.centroidsFromAssignment(repaired).collect()
+    assert(cents.length == sizes.size, "centroid per non-empty cell")
+    assert(cents.forall(_.getAs[Seq[Double]]("cvec").length == 2))
     repaired.unpersist()
   }
 
