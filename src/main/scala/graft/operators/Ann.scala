@@ -9,6 +9,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftConf, GraftQuery, Tables}
 import graft.functions.VectorKernels._
+import graft.streaming.StreamingJobs
 
 /** Approximate-nearest-neighbor operators — the 100 TB scale path for the
   * similarity family (SURVEY §2.9 M2-M4, §2.6 J1b/J1c).
@@ -1061,11 +1062,60 @@ object Ann {
     },
     // the n_cells expression mirrors GraftConf.ivfCells "auto":
     // max(4, min(round(√N), max(1, N div minCellRows=40)))
-    Some("""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+    Some(cellBalanceOracle))
+
+  // def, not val: q223 above initializes first in object-init order and
+  // a forward val reference would freeze as Some(null)
+  private def cellBalanceOracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
       CAST(greatest(4, least(CAST(round(sqrt(count(*))) AS BIGINT),
         greatest(1, count(*) // 40))) AS INT) AS n_cells,
       true AS skew_ge_balanced, false AS skew_exceeds
-      FROM embeddings"""))
+      FROM embeddings"""
+
+  /** q225: the q223 monitor STANDING — the eleventh streamed/batch
+    * pairing: the corpus arrives as micro-batches through the M3
+    * streamed "add" path (StreamingJobs.applyIndexAddBatch — the
+    * exactly-once committed-partition contract; assignments under the
+    * quantizer FROZEN before the stream, exactly how drift reaches a
+    * production index), and the monitor reads the ACCUMULATED
+    * assignment after the drain. A re-delivered first batch is asserted
+    * a no-op in-line (the replay-torture convention), and the drained
+    * monitor row carries q223's full oracle — the standing form of the
+    * index-health check, per-trigger cost one batch assign + one
+    * partition write, never a corpus rescan. */
+  def streamedCellBalance(s: SparkSession, d: String, nBatches: Int): DataFrame = {
+    import s.implicits._
+    require(nBatches >= 1)
+    val idx = ivfIndexFull(s, d) // fit/load BEFORE the stream (frozen)
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_idxadd").toString
+    val row = try {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      def slice(i: Int) = emb.filter(pmod(col("vec_id"), lit(nBatches)) === i)
+      (0 until nBatches).foreach { i =>
+        StreamingJobs.applyIndexAddBatch(s, slice(i), i.toLong, d, outDir)
+      }
+      require(!StreamingJobs.applyIndexAddBatch(s, slice(0), 0L, d, outDir),
+        "re-delivered batch 0 was not a committed-partition no-op")
+      val assigned = s.read.parquet(outDir)
+        .select(col("vec_id"), col("centroid_id"))
+      val cells = idx.model.getK
+      val n = assigned.count()
+      val skew = skewVsBalanced(assigned, cells)
+      (n, cells, skew >= 1.0, skew > skewThreshold(s))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Seq(row).toDF("n_vectors", "n_cells", "skew_ge_balanced", "skew_exceeds")
+  }
+
+  val q225StreamedCellBalance = GraftQuery(
+    "q225_streamed_cell_balance",
+    "M3+M5 ext / streaming: cell-balance monitor over the streamed index-add state (carries q223's oracle)",
+    (s, d) => streamedCellBalance(s, d, nBatches = 3),
+    Some(cellBalanceOracle))
 
   /** q224: the monitor→repair loop under DELIBERATE drift, end-to-end
     * as a registered query: double the corpus with near-identical
@@ -1111,5 +1161,5 @@ object Ann {
     q57IvfPairRecall, q65PqQuantError, q66PqKnn, q67PqRecall,
     q149MultiProbeLsh, q150MultiProbeRecall, q156IvfKnnAgg,
     q176Sq8Codes, q177Sq8Knn, q191Sq8IvfKnn,
-    q223IvfCellBalance, q224IvfRebalance)
+    q223IvfCellBalance, q224IvfRebalance, q225StreamedCellBalance)
 }
