@@ -19,14 +19,19 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
     // Noise robustness: the graded artifact has been distorted by host
     // contention in three consecutive rounds (one random query absorbing a
-    // 10x CPU-steal spike), so each query is measured 3x and the MEDIAN is
-    // reported — one contended run can no longer move a query's number.
-    // Repeats are capped for slow queries (first run > 5 s keeps its single
-    // measurement) so the bench stays inside the driver's time budget; a
-    // >5 s query is also exactly the kind whose signal already dominates
-    // any noise spike.
-    val maxRepeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
-    val slowCutoffSec = 5.0
+    // 10x CPU-steal spike), so EVERY query is measured `repeats` times and
+    // the MEDIAN is reported — one contended run can no longer move a
+    // query's number. Slow queries are no longer exempt (they were
+    // min-of-2 through round 10, which is exactly where the r10 q189
+    // 1.55x "is it noise?" ambiguity lived); only a first run past the
+    // hard cap keeps its single measurement, so rehearsal-scale inputs
+    // don't triple an already-long run. The full artifact additionally
+    // records each query's [min, median, max] across the repeats — the
+    // measured per-query noise floor, so a cross-round swing is
+    // classifiable from the artifact alone (BASELINE.md "noise floor").
+    val maxRepeats = spark.conf.get("spark.graft.bench.repeats",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3")).toInt
+    val hardCapSec = 30.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -39,27 +44,23 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val (t1, e1) = once()
-      if (e1.isDefined || maxRepeats <= 1) (name, t1, e1)
-      else if (t1 > slowCutoffSec) {
-        // One cross-check run, keep the MIN: a first run that looks slow is
-        // either genuinely slow (the retry confirms it, ~same time) or a
-        // noise spike (dev run on this host: q36 measured 16.3 s contended
-        // vs 1.1 s quiet). Noise only ever adds time, so min of 2 is the
-        // robust estimator here, at a bounded 2x cost for slow queries.
-        val (t2, e2) = once()
-        (name, math.min(t1, t2), e2)
-      } else {
-        val more = Seq.fill(maxRepeats - 1)(once())
-        val times = (t1 +: more.map(_._1)).sorted
-        (name, times(times.size / 2), more.flatMap(_._2).headOption)
-      }
+      val runs =
+        if (e1.isDefined || maxRepeats <= 1 || t1 > hardCapSec) Seq((t1, e1))
+        else (t1, e1) +: Seq.fill(maxRepeats - 1)(once())
+      val times = runs.map(_._1).sorted
+      (name, times(times.size / 2), runs.flatMap(_._2).headOption, times)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def s3(v: Double): String = java.math.BigDecimal.valueOf(v)
+      .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) =>
+    val spread = results.map { case (k, _, _, ts) =>
+      s"\"" + k + "\":[" + ts.map(s3).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m), _) =>
       "\"" + k + "\":\"" + esc(m) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     // Compact final line for the driver: its tail capture is ~2,000 chars
     // and the full per-query map is ~6 KB, so a full-line final print
     // starts mid-line in BENCH_r* ("parsed": null). The compact line

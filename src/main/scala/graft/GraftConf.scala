@@ -119,6 +119,16 @@ object GraftConf {
   def indexDir(s: SparkSession): Option[String] =
     s.conf.getOption("spark.graft.index.dir")
 
+  /** Staging root for streamed-state harness runs that accumulate
+    * micro-batch output between triggers (the q225/q227 index-add
+    * monitors). Unset = a driver-local temp dir, which is correct on
+    * local[*] only; on a real cluster set this to a shared-FS path
+    * (HDFS/S3A) so every executor can write the batch partitions — the
+    * same contract as the checkpoint dirs of the other streamed
+    * pairings. */
+  def streamStageDir(s: SparkSession): Option[String] =
+    s.conf.getOption("spark.graft.stream.stageDir")
+
   /** Corpus-size cutoff above which the composed pipeline's pair search
     * routes through the LSH candidate path instead of the exact join. */
   def exactPairCutoff(s: SparkSession): Long =

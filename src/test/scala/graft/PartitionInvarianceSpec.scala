@@ -66,4 +66,39 @@ class PartitionInvarianceSpec extends SparkSpec {
       }
     } finally spark.conf.set(key, orig)
   }
+
+  test("rebalanceCells: repaired assignment AND cell numbering invariant under partitioning (ADVICE r10)") {
+    // the persisted ivf_rebalanced artifact's contract: same input
+    // assignment => same (vec_id -> centroid_id) mapping whatever the
+    // partition count. Exercises the two fixed leaks: new-cell ids were
+    // assigned in driver collect() order, and the split-dimension argmax
+    // compared raw float variances. The hot cell spreads on dims 1 and 2
+    // with EXACTLY equal variances in exact arithmetic (i%60 and
+    // (i*7)%60 are both uniform over 0..59), so only the rounded argmax
+    // + lowest-dim tie-break keeps the split dimension stable.
+    val s = spark
+    import s.implicits._
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    val rows =
+      (0L until 20L).map(i => (i, 0, Seq(math.sin(i * 1.7), 0.1 * i, 2.0))) ++
+        (100L until 120L).map(i => (i, 1, Seq(5.0 + 0.01 * i, -3.0, 0.3 * (i % 7)))) ++
+        (200L until 230L).map(i => (i, 2, Seq(-2.0, 0.015 * (i % 9), 4.0))) ++
+        (300L until 600L).map(i => (i, 3, Seq(1.0, 0.02 * (i % 60), 0.02 * ((i * 7) % 60))))
+    def run(parts: Int): Seq[(Long, Int)] = {
+      spark.conf.set(key, parts.toString)
+      val assigned = rows.toDF("vec_id", "centroid_id", "vec").repartition(parts)
+      val (rep, _, skews) = operators.Ann.rebalanceCells(spark, assigned, 4, threshold = 1.5)
+      assert(skews.last < skews.head, "hot cell not repaired")
+      val out = rep.select("vec_id", "centroid_id").as[(Long, Int)].collect().sorted.toSeq
+      rep.unpersist()
+      out
+    }
+    try {
+      val a = run(3)
+      val b = run(17)
+      assert(a.map(_._1) == rows.map(_._1).sorted, "repair lost or duplicated vectors")
+      assert(a == b, "repaired assignment depends on the partition count")
+    } finally spark.conf.set(key, orig)
+  }
 }

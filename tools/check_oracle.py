@@ -83,12 +83,18 @@ def main(sf_dir: str, out_dir: str, json_out: str | None):
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    json_out = None
-    if "--json" in sys.argv:
-        i = sys.argv.index("--json")
-        json_out = sys.argv[i + 1] if i + 1 < len(sys.argv) else "CORRECTNESS_local.json"
-        if json_out in args: args.remove(json_out)
-    main(args[0] if len(args) > 0 else "/root/testdata/sf0.01",
-         args[1] if len(args) > 1 else "/tmp/verify_out",
-         json_out)
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="Replay oracle_sql.json in DuckDB and hash-compare "
+                    "against the Spark parquet dumps (the driver gate).")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01",
+                    help="testdata scale-factor dir the queries ran on")
+    ap.add_argument("out_dir", nargs="?", default="/tmp/verify_out",
+                    help="graft.Verify output dir (parquet dumps + oracle_sql.json)")
+    ap.add_argument("--json", nargs="?", const="CORRECTNESS_local.json",
+                    default=None, metavar="PATH", dest="json_out",
+                    help="also write the per-query result map as JSON "
+                         "(driver schema + oracle wall times); "
+                         "PATH defaults to CORRECTNESS_local.json")
+    ns = ap.parse_args()
+    main(ns.sf_dir, ns.out_dir, ns.json_out)
