@@ -33,6 +33,17 @@ object GraftSession {
       // host; Tables.load re-pins this for sessions built elsewhere
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The typed-Aggregator top-k path (TopKAggregator: q122, q147,
+      // q156, q190, q191, the ANN serve joins) plans as
+      // ObjectHashAggregate, which silently FALLS BACK to sort-based
+      // aggregation once a task's hash map exceeds this many KEYS
+      // (default 128) — at that point the bounded-heap design degrades
+      // to exactly the candidate-volume sort it exists to avoid
+      // (measured: the q226 serve gate at 20k vectors sorted+spilled
+      // 43 GB through the fallback; zero spill above the threshold).
+      // Our aggregator buffers are k-entry heaps (~100 bytes), so 64k
+      // keys per task is still only ~MBs of map state.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     val withIdx = if (idxDir.nonEmpty) b.config("spark.graft.index.dir", idxDir) else b
     val s = withIdx.getOrCreate()
     s.sparkContext.setLogLevel("WARN")

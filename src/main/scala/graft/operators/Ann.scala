@@ -1380,28 +1380,36 @@ object Ann {
       // baseline, bounded heaps — admissible at test scale, and the
       // recall denominator at any scale)
       val topk = udaf(new graft.functions.TopKAggregator(k))
+      // each of exact/pre/post is consumed twice (count + recall), and
+      // the exact side is the Q·N baseline — persist all three so no
+      // kernel join runs more than once
       val exact = queries.join(corpus, col("qid") =!= col("nid"))
         .groupBy(col("qid"))
         .agg(topk(cosineFast(col("qvec"), col("nvec")), col("nid")).as("top"))
         .select(col("qid"), explode(col("top")).as("e"))
         .select(col("qid"), col("e._2").as("nid"))
+        .persist()
       val idx = ivfIndexFull(s, d)
       val preCents = idx.model.clusterCenters.zipWithIndex
         .map { case (c, i) => (i, c.toArray) }
       val pre = searchWithCentroids(queries, dr.assignedDrift, preCents, k, nprobe)
+        .persist()
       val postCents = collectCentroids(dr.repaired)
       // same probed corpus FRACTION as pre-repair: cells grew by the
       // split factor, so nprobe grows with it (rounded up)
       val nprobePost = math.max(nprobe,
         math.ceil(nprobe.toDouble * dr.cellsPost / dr.cellsPre).toInt)
       val post = searchWithCentroids(queries, dr.repaired, postCents, k, nprobePost)
+        .persist()
       def recallOf(ann: DataFrame): Double =
         recallVsExact(ann, exact).head().getDouble(2)
       val (recPre, recPost) = (recallOf(pre), recallOf(post))
       val nq = queries.count()
       val fullK = pre.count() == nq * k && post.count() == nq * k
-      Seq((nq, fullK, recPost >= recPre))
+      val out = Seq((nq, fullK, recPost >= recPre))
         .toDF("n_queries", "full_k", "post_recall_ge_pre")
+      exact.unpersist(); pre.unpersist(); post.unpersist()
+      out
     },
     Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS full_k,
       true AS post_recall_ge_pre

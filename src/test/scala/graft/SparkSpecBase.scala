@@ -14,6 +14,9 @@ object SparkSpecBase {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.ui.enabled", "false")
+      // match GraftSession: keep ObjectHashAggregate hash-based for the
+      // bounded-heap typed aggregators (see GraftSession.local)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
