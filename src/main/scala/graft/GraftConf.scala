@@ -119,6 +119,19 @@ object GraftConf {
   def indexDir(s: SparkSession): Option[String] =
     s.conf.getOption("spark.graft.index.dir")
 
+  /** Per-term postings ceiling for the hybrid lexical tower
+    * (operators.Hybrid), 0 = off. When set, each term keeps only its
+    * `cap` highest-BM25-contribution postings (impact-ordered cap — the
+    * WAND/impact-index public pattern), so a query touches at most
+    * maxQueryTerms·cap candidates whatever the corpus size. The
+    * fixed-vocabulary defense: SCALE.md round-11 measured that when the
+    * vocabulary does NOT grow with the corpus, per-term df is linear in
+    * N and the rarest-m lever alone stops bounding candidates (Zipf
+    * 100×: 13.9k candidates/query at 500k docs). Off by default because
+    * the ceiling trades recall. */
+  def hybridMaxPostings(s: SparkSession): Int =
+    s.conf.get("spark.graft.hybrid.maxPostingsPerTerm", "0").toInt
+
   /** Staging root for streamed-state harness runs that accumulate
     * micro-batch output between triggers (the q225/q227 index-add
     * monitors). Unset = a driver-local temp dir, which is correct on

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{GraftQuery, Tables}
+import graft.{GraftConf, GraftQuery, Tables}
 
 /** Hybrid retrieval — reciprocal-rank fusion of the engine's lexical
   * (rational BM25, q141) and vector (stats-routed k-NN, q181) tiers:
@@ -69,10 +69,15 @@ object Hybrid {
       .join(dfKept, Seq("term"))
       .withColumn("qrn", row_number().over(wq))
       .filter(col("qrn") <= maxQueryTerms)
-      .select(col("qid"), col("term"), col("df"))
-    val contrib = qterms
-      .join(tf.select(col("doc_id").as("did"), col("term"), col("tf")), Seq("term"))
-      .filter(col("did") =!= col("qid"))
+      .select(col("qid"), col("term"))
+    // per-(term, doc) BM25 contribution, computed ONCE per posting — it
+    // is query-independent, so computing it before the query join does
+    // the arithmetic df(t) times per term instead of once per
+    // (query, posting) fanout row. Values are bit-identical to the
+    // post-join form (same inputs, same rounding), so q210's oracle is
+    // untouched.
+    val posting0 = tf.select(col("doc_id").as("did"), col("term"), col("tf"))
+      .join(dfKept, Seq("term"))
       .join(lens.select(col("doc_id").as("did"), col("len")), Seq("did"))
       .crossJoin(broadcast(tot))
       .withColumn("idfr",
@@ -82,9 +87,30 @@ object Hybrid {
       .withColumn("c", col("idfr") *
         (col("tf").cast("double") /
           (col("tf") + lit(k1) * (lit(1.0 - b) + col("bl")))))
-      .select(col("qid"), col("did"),
+      .select(col("term"), col("did"),
         round(lit(1000000.0) * col("c"), 0).cast("long").as("c_ppm"))
-    contrib.groupBy(col("qid"), col("did"))
+    // Impact-ordered postings cap (public pattern: impact-sorted
+    // indexes / WAND per-term bounds; Lucene caps MoreLikeThis the same
+    // way) — the FIXED-VOCABULARY defense measured in SCALE.md r11:
+    // when V does not grow with the corpus, every term's df is linear
+    // in N and the rarest-m lever alone stops bounding candidates
+    // (Zipf 100×: 13.9k candidates/query at 500k docs). With the cap,
+    // each query touches <= maxQueryTerms·cap postings whatever N, and
+    // the dropped postings are each term's LOWEST-contribution ones.
+    // Off (0) by default: capping trades recall for the ceiling, so it
+    // is an explicit opt-in like the df cut. The per-term window ranks
+    // the posting list of one term per partition — the one-time
+    // index-build sort of an impact-ordered index, not a query cost.
+    val cap = GraftConf.hybridMaxPostings(s)
+    val posting = if (cap <= 0) posting0 else {
+      val wp = Window.partitionBy(col("term"))
+        .orderBy(col("c_ppm").desc, col("did"))
+      posting0.withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= cap).drop("prn")
+    }
+    qterms.join(posting, Seq("term"))
+      .filter(col("did") =!= col("qid"))
+      .groupBy(col("qid"), col("did"))
       .agg(sum(col("c_ppm")).as("score_ppm"))
   }
 

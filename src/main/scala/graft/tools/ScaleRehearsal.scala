@@ -131,23 +131,40 @@ object ScaleRehearsal {
         zmarker.getParentFile.mkdirs(); zmarker.createNewFile()
       }
       val out = new StringBuilder("{")
+      // each corpus measured twice: uncapped, then with the impact-
+      // ordered per-term postings cap (the fixed-V defense — see
+      // GraftConf.hybridMaxPostings); "agreement" is the fraction of
+      // the uncapped top-5 (qid, doc_id) pairs the capped run retains
       Seq("zipf_base" -> zipfBase, s"zipf_x$factor" -> work).foreach {
         case (tag, dir) =>
-          m.reset()
-          val t0 = System.nanoTime()
-          val rows = graft.operators.Hybrid
-            .rrfFusion(spark, dir, k = 5, kCand = 10, queryMod = 10).count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          val cand = graft.operators.Hybrid
-            .lexScoredCandidates(spark, dir, queryMod = 10,
-              maxDfFrac = 0.85, maxQueryTerms = 8, k1 = 1.2, b = 0.75)
-            .groupBy(col("qid")).agg(count(lit(1)).as("c"))
-            .agg(avg(col("c")).as("avg"), max(col("c")).as("max")).head()
-          val line = f"""\"$tag/q210_hybrid_rrf\":{\"sec\":$sec%.2f,\"rows\":$rows,""" +
-            f"""\"shuffle_read_mb\":${m.sr.get / 1e6}%.1f,\"spill_mb\":${m.spill.get / 1e6}%.1f,""" +
-            f"""\"cand_per_query_avg\":${cand.getDouble(0)}%.0f,\"cand_per_query_max\":${cand.getLong(1)}}"""
-          println(s"[rehearsal] $line")
-          out.append(line).append(",")
+          var uncapped: Set[(Long, Long)] = Set.empty
+          Seq(0, 200).foreach { cap =>
+            if (cap > 0)
+              spark.conf.set("spark.graft.hybrid.maxPostingsPerTerm", cap.toString)
+            m.reset()
+            val t0 = System.nanoTime()
+            val res = graft.operators.Hybrid
+              .rrfFusion(spark, dir, k = 5, kCand = 10, queryMod = 10)
+              .select(col("qid"), col("doc_id"))
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            val sec = (System.nanoTime() - t0) / 1e9
+            val cand = graft.operators.Hybrid
+              .lexScoredCandidates(spark, dir, queryMod = 10,
+                maxDfFrac = 0.85, maxQueryTerms = 8, k1 = 1.2, b = 0.75)
+              .groupBy(col("qid")).agg(count(lit(1)).as("c"))
+              .agg(avg(col("c")).as("avg"), max(col("c")).as("max")).head()
+            val key = if (cap == 0) s"$tag/q210_hybrid_rrf"
+              else s"$tag/q210_hybrid_rrf_cap$cap"
+            val agree = if (cap == 0) { uncapped = res; 1.0 }
+              else res.intersect(uncapped).size.toDouble / math.max(1, uncapped.size)
+            val line = f"""\"$key\":{\"sec\":$sec%.2f,\"rows\":${res.size},""" +
+              f"""\"shuffle_read_mb\":${m.sr.get / 1e6}%.1f,\"spill_mb\":${m.spill.get / 1e6}%.1f,""" +
+              f"""\"cand_per_query_avg\":${cand.getDouble(0)}%.0f,\"cand_per_query_max\":${cand.getLong(1)},""" +
+              f"""\"agreement_vs_uncapped\":$agree%.3f}"""
+            println(s"[rehearsal] $line")
+            out.append(line).append(",")
+            spark.conf.unset("spark.graft.hybrid.maxPostingsPerTerm")
+          }
       }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$work/rehearsal_zipf.json"),

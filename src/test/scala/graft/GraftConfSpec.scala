@@ -282,6 +282,26 @@ class GraftConfSpec extends SparkSpec {
       s"byte cutoff did not flip route to LSH:\n$viaBytes")
   }
 
+  test("spark.graft.hybrid.maxPostingsPerTerm caps the lexical tower's candidates (impact-ordered)") {
+    def cands() = operators.Hybrid.lexScoredCandidates(spark, sfTiny,
+      queryMod = 10, maxDfFrac = 0.85, maxQueryTerms = 8, k1 = 1.2, b = 0.75)
+    def pairs() = cands().select("qid", "did")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairs()
+    assert(base.nonEmpty)
+    // a cap above every df must be a no-op (bit-identical candidates)
+    val wide = withConf("spark.graft.hybrid.maxPostingsPerTerm", "1000000") { pairs() }
+    assert(wide == base, "over-wide cap changed the candidate set")
+    // a tight cap must bound per-query candidates by maxQueryTerms*cap
+    // and strictly shrink the relation on the soup corpus (df ~ 0.76*N)
+    val capped = withConf("spark.graft.hybrid.maxPostingsPerTerm", "5") {
+      cands().groupBy("qid").count().collect().map(_.getLong(1))
+    }
+    assert(capped.nonEmpty && capped.forall(_ <= 8 * 5),
+      s"per-query candidates exceed maxQueryTerms*cap: ${capped.max}")
+    assert(capped.sum < base.size, "tight cap did not shrink the candidate relation")
+  }
+
   test("spark.graft.stream.stageDir roots the streamed staging dirs (shared-FS cluster contract)") {
     // q225/q227 accumulate micro-batch state between triggers; on a real
     // cluster that staging root must be a shared-FS path every executor
