@@ -132,6 +132,18 @@ object GraftConf {
   def hybridMaxPostings(s: SparkSession): Int =
     s.conf.get("spark.graft.hybrid.maxPostingsPerTerm", "0").toInt
 
+  /** With the postings cap on, use the capped lists only to GENERATE
+    * candidates and rescore survivors against their FULL postings (the
+    * WAND verify step; exact BM25 for every survivor). Costs one extra
+    * bounded equi-join — ≤ maxQueryTerms²·cap probe rows per query —
+    * and recovers the ranking quality the generation cap gives up:
+    * measured in SCALE.md round-12, top-5 agreement on the 500k
+    * fixed-vocabulary Zipf corpus vs generate-only capping. Default on
+    * because a cheaper lever that silently mis-ranks is the wrong
+    * default; turn off to measure the generation floor itself. */
+  def hybridCapRerank(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.hybrid.capRerank", "true").toBoolean
+
   /** Staging root for streamed-state harness runs that accumulate
     * micro-batch output between triggers (the q225/q227 index-add
     * monitors). Unset = a driver-local temp dir, which is correct on

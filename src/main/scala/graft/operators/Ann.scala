@@ -971,12 +971,27 @@ object Ann {
     * against the unsplit-cells×d centroid matrix — the M3 "add" cost on
     * the touched subset.
     *
+    * The refinement pass can itself RAISE skew: an unsplit cell near
+    * the stranded members absorbs all of them at once, and nothing
+    * capped how much it may grow (ADVICE r11 — an adversarial drift
+    * shape flips q224's post_exceeds oracle). So the split loop and the
+    * refinement pass alternate until the post-REFINEMENT skew is under
+    * the threshold or the round budget is spent: if refinement pushes
+    * the absorber over, the next split round sees it as overloaded and
+    * halves it. Termination is by the same `maxRounds` budget — every
+    * re-entered split round advances `round`, so the alternation cannot
+    * loop. OperatorSpec pins this on a constructed absorber fixture
+    * whose skew trajectory goes above-threshold again after refinement.
+    *
     * Returns the repaired assignment
     * (vec_id, centroid_id, vec), the new total cell count, and the skew
     * trajectory (head = pre-repair, last = final). The repaired
     * assignment is written as a versioned ModelStore artifact
-    * (kind `ivf_rebalanced`, round-stamped params — the NSW-graph
-    * persistence discipline) when `spark.graft.index.dir` is set. */
+    * (kind `ivf_rebalanced`, DETERMINISTIC params — the path must be
+    * computable before the repair runs so a later session can LOAD the
+    * artifact instead of re-repairing; the resulting cell count rides
+    * inside as the constant `n_cells` column) when
+    * `spark.graft.index.dir` is set. */
   def rebalanceCells(s: SparkSession, assigned0: DataFrame, totalCells0: Int,
       threshold: Double, maxRounds: Int = 6,
       artifactKey: Option[(String, String)] = None): (DataFrame, Int, Seq[Double]) = {
@@ -986,6 +1001,8 @@ object Ann {
     var skews = Vector(skewVsBalanced(assigned, cells))
     var round = 0
     var touched = Set.empty[Int] // every cell that was ever split (parent or child)
+    var repairing = true
+    while (repairing) {
     while (round < maxRounds && skews.last > threshold) {
       val sizes = assigned.groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("n"))
@@ -1062,7 +1079,6 @@ object Ann {
         round += 1
       }
     }
-    val splitRounds = skews.size - 1
     val untouchedCents = if (touched.isEmpty) Array.empty[(Int, Array[Double])]
       else collectCentroids(assigned).filterNot(c => touched(c._1))
     if (untouchedCents.nonEmpty) {
@@ -1094,10 +1110,16 @@ object Ann {
       assigned = refined
       skews :+= skewVsBalanced(assigned, cells)
     }
+    // ADVICE r11: an unsplit absorber may now sit above the threshold —
+    // re-enter the split loop while round budget remains (each re-entry
+    // advances `round`, so the alternation terminates)
+    repairing = untouchedCents.nonEmpty && skews.last > threshold &&
+      round < maxRounds
+    }
     artifactKey.foreach { case (d, params) =>
-      ModelStore.artifactPath(s, "ivf_rebalanced", d,
-        s"$params,rounds=$splitRounds,cells=$cells").foreach { p =>
-        assigned.select(col("vec_id"), col("centroid_id"))
+      ModelStore.artifactPath(s, "ivf_rebalanced", d, params).foreach { p =>
+        assigned.select(col("vec_id"), col("centroid_id"),
+            lit(cells).as("n_cells"))
           .write.mode("overwrite").parquet(p)
       }
     }
@@ -1123,19 +1145,32 @@ object Ann {
   // oracle sees the same corpus.
   // -------------------------------------------------------------------
 
+  /** `count` jittered replicas of the corpus's min-id vector, replica
+    * indices `from until from+count` (ids `maxId+1+from ...`) — the
+    * drift generator shared by [[driftedCorpus]] (the first wave) and
+    * the standing loop's POST-repair waves (q227: drift keeps arriving
+    * after the first repair, and those arrivals must route through the
+    * repaired version). Jitter is a pure function of replica index and
+    * dimension, so every query and oracle sees the same corpus. */
+  private[graft] def driftReplicas(s: SparkSession, d: String,
+      from: Long, count: Long): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    emb.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding"),
+        explode(sequence(lit(from), lit(from + count - 1))).as("e"))
+      .select((col("e") + lit(maxId + 1)).as("vec_id"),
+        expr("transform(embedding, (x, j) -> CAST(x + ((e * 13 + j) % 5 - 2) * 0.0005 AS FLOAT))")
+          .as("embedding"))
+  }
+
   /** The drift corpus as (vec_id, embedding), plus the base row count
     * (drift replica ids start at maxId+1, so original rows are exactly
     * those with vec_id <= the base corpus max). */
   private[graft] def driftedCorpus(s: SparkSession, d: String): (DataFrame, Long) = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val n = graft.plans.TableStats.embeddings(s, d).rows
-    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-    val drift = emb.orderBy(col("vec_id")).limit(1)
-      .select(col("embedding"), explode(sequence(lit(0L), lit(2 * n - 1))).as("e"))
-      .select((col("e") + lit(maxId + 1)).as("vec_id"),
-        expr("transform(embedding, (x, j) -> CAST(x + ((e * 13 + j) % 5 - 2) * 0.0005 AS FLOAT))")
-          .as("embedding"))
-    (emb.unionByName(drift), n)
+    (emb.unionByName(driftReplicas(s, d, 0L, 2 * n)), n)
   }
 
   /** One completed monitor→repair pass over the drift corpus: the
@@ -1187,6 +1222,28 @@ object Ann {
     centroidsFromAssignment(assigned).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+
+  /** M3 "add" against an explicit (cell id, centroid) matrix: the
+    * [[assignCells]] twin for a REPAIRED index version, whose centroids
+    * are member means rather than a fitted KMeansModel — this is how a
+    * batch arriving AFTER a repair lands in the CURRENT version's
+    * cells, split cells included (faiss adds through the re-trained
+    * quantizer the same way, app/vector_search.py:85-106 train →
+    * :108-141 add). The matrix ships as a codegen literal (cells×d,
+    * index-metadata-sized); matrix positions map back to the repaired
+    * numbering, which need not be dense. */
+  private[graft] def assignWithCentroids(batch: DataFrame,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val matrix = centroids.map(_._2)
+    val ids = centroids.map(_._1).toSeq
+    batch
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      .select(col("vec_id"),
+        element_at(typedLit(ids),
+          nearestCellsFast(col("vec"), matrix, 1)(0) + 1).as("centroid_id"),
+        col("vec"))
+  }
 
   /** M4 search against an explicit (cell id, centroid) matrix: rank the
     * matrix in the scan's codegen stage (nearestCellsFast — the matrix
@@ -1417,21 +1474,38 @@ object Ann {
 
   /** q227: the maintenance loop STANDING — monitor→repair→swap composed
     * into the streamed index-add path (the action half q225's monitor
-    * lacked), the twelfth streamed/batch pairing: the original corpus
-    * arrives in micro-batches through StreamingJobs.applyIndexAddBatch
+    * lacked), the twelfth streamed/batch pairing, now with the loop's
+    * STEADY STATE (VERDICT r11 #1): the original corpus arrives in
+    * micro-batches through StreamingJobs.applyIndexAddBatch
     * (exactly-once committed partitions, assignments under the frozen
-    * pre-drift quantizer), the drift wave arrives as the LAST batch,
-    * and the per-trigger monitor — one index-metadata-sized skew read
-    * over the accumulated assignment — fires the median-split repair
-    * the moment skew crosses the threshold. Each trigger writes the
-    * repaired assignment as the next index VERSION (a per-trigger
-    * versioned ivf_rebalanced artifact + a swapped serving-state dir),
-    * and the post-swap monitor reads the NEW version. Per-trigger
-    * steady-state cost: one batch assign + one partition write + the
-    * skew read; repair cost only on trigger, bounded by the overloaded
-    * cells' members. A re-delivered first batch is asserted a no-op
-    * in-line (the replay-torture convention). */
-  def streamedMonitorRepair(s: SparkSession, d: String, nBatches: Int): DataFrame = {
+    * pre-drift quantizer), the drift wave trips the monitor and the
+    * median-split repair swaps in version v1 — and then drift KEEPS
+    * arriving: `postBatches` further waves route through
+    * applyIndexAddBatchVersioned against the CURRENT version's
+    * centroids (the faiss add-through-the-new-quantizer discipline,
+    * app/vector_search.py:85-106 → :108-141), landing in post-split
+    * cells — which only the repaired quantizer knows. A later wave that
+    * trips the monitor again repairs again (v2, v3, ... — per-trigger
+    * versioned ivf_rebalanced artifacts), and already-folded post
+    * batches stay excluded from the monitored relation, so a replayed
+    * post batch is still a committed-partition no-op.
+    *
+    * The monitor itself is INCREMENTAL (the 100 TB shape): cell sizes
+    * are maintained as a driver-side map — O(cells), index-metadata —
+    * updated from each batch's own per-cell counts, so the per-batch
+    * steady-state cost is one batch assign + one partition write + one
+    * BATCH-sized count, never a rescan of the accumulated corpus
+    * (ADVICE r11: the old form recomputed skew over the raw
+    * accumulation, and after a swap it compared old-numbering counts
+    * against the grown cell count — a clean batch could spuriously
+    * re-trigger). On trigger the map is rebuilt from the repaired
+    * assignment (cells-sized collect). The drained run re-derives the
+    * final skew from the full served relation and REQUIREs it equal to
+    * the incrementally-maintained value — the bookkeeping is
+    * self-checking. Replay torture: the first batch of each phase is
+    * re-delivered and asserted a no-op in-line. */
+  def streamedMonitorRepair(s: SparkSession, d: String, nBatches: Int,
+      postBatches: Int = 2): DataFrame = {
     import s.implicits._
     require(nBatches >= 2, "need at least one corpus batch plus the drift batch")
     val idx = ivfIndexFull(s, d) // frozen BEFORE the stream
@@ -1441,64 +1515,226 @@ object Ann {
     val thr = skewThreshold(s)
     val stage = stagingDir(s, "graft_monrep")
     val row = try {
-      val (drifted, _) = driftedCorpus(s, d)
+      val n = graft.plans.TableStats.embeddings(s, d).rows
       val orig = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val maxId = orig.agg(max(col("vec_id"))).head().getLong(0)
-      val addDir = s"$stage/assign"
+      val addDir = s"$stage/assign" // pre-trigger adds (frozen quantizer)
+      val postDir = s"$stage/post" // post-swap adds (current version)
       var triggers = 0
       var servedCells = cells0
-      var servedDir = addDir
+      var servedDir: Option[String] = None
+      var servedCents: Array[(Int, Array[Double])] = null
       var cleanUntilDrift = true
-      var lastSkew = 1.0
+      var postInSplitCells = 0L
+      var postWritten = -1L // highest committed post-batch id
+      var foldedUpTo = -1L // post batches folded into the last repair
+      var cellSizes = Map.empty[Int, Long] // the incremental monitor state
+
+      def addCounts(partitionDir: String): Unit =
+        s.read.parquet(partitionDir).groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("c"))
+          .collect().foreach { r =>
+            val (c, k) = (r.getInt(0), r.getLong(1))
+            cellSizes = cellSizes.updated(c, cellSizes.getOrElse(c, 0L) + k)
+          }
+
+      def skewFromSizes(): Double = {
+        val nn = cellSizes.values.sum
+        if (nn == 0) 1.0
+        else cellSizes.values.map(x => x.toDouble * x).sum *
+          servedCells / (nn.toDouble * nn)
+      }
+
+      // everything the monitor governs: the served version (or, before
+      // any trigger, the raw accumulated adds) plus not-yet-folded
+      // post-swap batches. Only read on TRIGGER (repair input) and at
+      // the drained self-check — never per clean batch.
+      def monitoredRelation(): DataFrame = servedDir match {
+        case None => s.read.parquet(addDir)
+          .select(col("vec_id"), col("centroid_id"), col("vec"))
+        case Some(v) =>
+          val base = s.read.parquet(v)
+            .select(col("vec_id"), col("centroid_id"), col("vec"))
+          if (postWritten > foldedUpTo)
+            base.unionByName(s.read.parquet(postDir)
+              .filter(col("batch_id") > foldedUpTo)
+              .select(col("vec_id"), col("centroid_id"), col("vec")))
+          else base
+      }
+
+      def checkAndRepair(duringStream: Boolean): Unit =
+        if (skewFromSizes() > thr) {
+          if (duringStream) cleanUntilDrift = false
+          // TRIGGER: repair the monitored relation, persist it as the
+          // next version (artifact params carry the trigger number), swap
+          val (repaired, cellsPost, _) = rebalanceCells(s, monitoredRelation(),
+            servedCells, thr, artifactKey = Some((d, s"stream_v$triggers,thr=$thr")))
+          triggers += 1
+          val v = s"$stage/v$triggers"
+          repaired.select(col("vec_id"), col("centroid_id"), col("vec"))
+            .write.mode("overwrite").parquet(v)
+          repaired.unpersist()
+          servedDir = Some(v)
+          servedCells = cellsPost
+          servedCents = collectCentroids(s.read.parquet(v)
+            .select(col("vec_id"), col("centroid_id"), col("vec")))
+          foldedUpTo = postWritten
+          // rebuild the monitor state from the swapped version —
+          // cells-sized, the repair's own metadata read
+          cellSizes = Map.empty
+          addCounts(v)
+        }
+
+      // phase 1: the corpus streams in under the FROZEN quantizer; the
+      // drift wave (2n replicas) arrives last and trips the monitor
       (0 until nBatches).foreach { b =>
         val batch =
-          if (b == nBatches - 1) drifted.filter(col("vec_id") > maxId)
+          if (b == nBatches - 1) driftReplicas(s, d, 0L, 2 * n)
           else orig.filter(pmod(col("vec_id"), lit(nBatches - 1)) === b)
-        StreamingJobs.applyIndexAddBatch(s, batch, b.toLong, d, addDir)
+        if (StreamingJobs.applyIndexAddBatch(s, batch, b.toLong, d, addDir))
+          addCounts(s"$addDir/batch_id=$b")
         if (b == 0)
           require(!StreamingJobs.applyIndexAddBatch(s, batch, 0L, d, addDir),
             "re-delivered batch 0 was not a committed-partition no-op")
-        val acc = s.read.parquet(addDir)
-          .select(col("vec_id"), col("centroid_id"), col("vec"))
-        lastSkew = skewVsBalanced(acc, servedCells)
-        if (lastSkew > thr) {
-          if (b < nBatches - 1) cleanUntilDrift = false
-          // TRIGGER: repair the accumulated assignment, persist it as the
-          // next version (artifact params carry the trigger number), swap
-          val (repaired, cellsPost, skews) = rebalanceCells(s, acc, servedCells,
-            thr, artifactKey = Some((d, s"stream_v$triggers,thr=$thr")))
-          triggers += 1
-          servedDir = s"$stage/v$triggers"
-          repaired.select(col("vec_id"), col("centroid_id"), col("vec"))
-            .write.mode("overwrite").parquet(servedDir)
-          repaired.unpersist()
-          servedCells = cellsPost
-          lastSkew = skews.last
-        }
+        checkAndRepair(duringStream = b < nBatches - 1)
       }
-      // the post-swap monitor reads the SERVING version — the swapped
-      // state, not the raw accumulated adds
-      val served = s.read.parquet(servedDir)
-        .select(col("vec_id"), col("centroid_id"))
+      require(triggers >= 1, "the drift wave must trip the monitor")
+
+      // phase 2: drift KEEPS arriving after the swap — n replicas per
+      // wave, assigned against the CURRENT version's centroids
+      (0 until postBatches).foreach { j =>
+        val wave = driftReplicas(s, d, (2 + j) * n, n)
+        if (StreamingJobs.applyIndexAddBatchVersioned(s, wave, j.toLong,
+            servedCents, postDir)) {
+          postWritten = j.toLong
+          addCounts(s"$postDir/batch_id=$j")
+          postInSplitCells += s.read.parquet(s"$postDir/batch_id=$j")
+            .filter(col("centroid_id") >= cells0).count()
+        }
+        if (j == 0)
+          require(!StreamingJobs.applyIndexAddBatchVersioned(s, wave, 0L,
+            servedCents, postDir),
+            "re-delivered post batch 0 was not a committed-partition no-op")
+        checkAndRepair(duringStream = false)
+      }
+
+      // drained: the full-relation skew must agree with the maintained
+      // map — the incremental monitor is self-checking
+      val served = monitoredRelation().persist()
       val nTotal = served.count()
       val finalSkew = skewVsBalanced(served, servedCells)
-      (nTotal, triggers, cleanUntilDrift, finalSkew > thr, servedCells > cells0)
+      served.unpersist()
+      require(math.abs(finalSkew - skewFromSizes()) < 1e-9,
+        s"incremental monitor drifted from the full relation: " +
+          s"$finalSkew vs ${skewFromSizes()}")
+      (nTotal, triggers >= 1, cleanUntilDrift, postInSplitCells > 0,
+        finalSkew > thr, servedCells > cells0)
     } finally {
       val p = new org.apache.hadoop.fs.Path(stage)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
-    Seq(row).toDF("n_total", "n_triggers", "clean_until_drift",
-      "final_exceeds", "swapped")
+    Seq(row).toDF("n_total", "triggered", "clean_until_drift",
+      "post_adds_in_split_cells", "final_exceeds", "swapped")
   }
 
   val q227StreamedMonitorRepair = GraftQuery(
     "q227_streamed_monitor_repair",
-    "M3+M5 ext / streaming: standing monitor→repair→swap over the streamed index-add (12th streamed/batch pairing)",
-    (s, d) => streamedMonitorRepair(s, d, nBatches = 4),
-    Some("""SELECT CAST(3 * count(*) AS BIGINT) AS n_total,
-      CAST(1 AS INTEGER) AS n_triggers, true AS clean_until_drift,
+    "M3+M5 ext / streaming: standing monitor→repair→swap over the streamed index-add, post-swap arrivals routed through the repaired version",
+    (s, d) => streamedMonitorRepair(s, d, nBatches = 4, postBatches = 2),
+    // 3 original slices + the 2n drift wave + two post-swap n-waves = 5n;
+    // post_adds_in_split_cells pins that post-swap arrivals landed in
+    // cells only the REPAIRED quantizer knows (ids >= the pre-repair
+    // cell count)
+    Some("""SELECT CAST(5 * count(*) AS BIGINT) AS n_total,
+      true AS triggered, true AS clean_until_drift,
+      true AS post_adds_in_split_cells,
       false AS final_exceeds, true AS swapped
       FROM embeddings"""))
+
+  /** Load the persisted drift-repair artifact, if the model store is on
+    * and the artifact committed: the (vec_id, centroid_id) assignment
+    * with vectors re-joined from the (deterministic) drifted corpus —
+    * the artifact is the INDEX, the corpus is the data — plus the
+    * repaired cell count carried in the artifact's n_cells column. The
+    * path is fully determined by (dataset, threshold), so a fresh
+    * session can resolve it WITHOUT re-running the repair. */
+  private[graft] def loadRebalanced(s: SparkSession, d: String): Option[(DataFrame, Int)] = {
+    val thr = skewThreshold(s)
+    indexArtifactPath(s, "ivf_rebalanced", d, s"drift2n,thr=$thr").flatMap { p =>
+      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)) None
+      else {
+        val art = s.read.parquet(p)
+        val cells = art.agg(max(col("n_cells"))).head().getInt(0)
+        val (drifted, _) = driftedCorpus(s, d)
+        val assigned = art.select(col("vec_id"), col("centroid_id"))
+          .join(drifted.select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("vec")),
+            Seq("vec_id"))
+        Some((assigned, cells))
+      }
+    }
+  }
+
+  /** q228: serve through the LOADED ivf_rebalanced artifact (VERDICT
+    * r11 #2 — the NSW load-not-rebuild discipline applied to the repair
+    * loop): a restart between repair and serve costs a parquet READ,
+    * never a re-repair. The query resolves the artifact's deterministic
+    * path, loads the repaired assignment (re-joining vectors from the
+    * deterministic drifted corpus — the artifact is the index, the
+    * corpus is the data), serves the q226 query batch through it, and
+    * pins bit-exact equality with the in-memory repair's serve path
+    * (same centroids-from-members, same probe scaling, same bounded
+    * top-k heap). IndexPersistenceSpec proves the load-not-rebuild
+    * discipline itself by tampering: a corrupted artifact is LOADED
+    * (its fake cell count comes back), a deleted one falls back to
+    * repair.
+    *
+    * Conf dependency, BY DESIGN (the q223 convention): the oracle pins
+    * loaded_artifact=true, which certifies the DEFAULT configuration —
+    * GraftSession roots the model store at .graft_index, so Verify and
+    * Bench always have persistence on. With persistence explicitly
+    * disabled the query still serves (in-memory fallback) but reports
+    * loaded_artifact=false. */
+  val q228RebalancedServeLoaded = GraftQuery(
+    "q228_rebalanced_serve_loaded",
+    "S6+M4+M5 ext: serve through the LOADED ivf_rebalanced artifact — restart costs a read, not a re-repair",
+    (s, d) => {
+      import s.implicits._
+      val k = 2
+      val nprobe = GraftConf.ivfNprobe(s)
+      val queries = driftQueries(s, d)
+      val (assigned, cellsPost, fromArtifact) = loadRebalanced(s, d) match {
+        case Some((a, c)) => (a, c, true)
+        case None =>
+          // first run in a fresh store: repair once (persists when the
+          // store is on), then take the load path like any later session
+          val dr = driftRepair(s, d)
+          loadRebalanced(s, d) match {
+            case Some((a, c)) => (a, c, true)
+            case None => (dr.repaired, dr.cellsPost, false) // store off
+          }
+      }
+      val cellsPre = ivfIndexFull(s, d).model.getK
+      val nprobePost = math.max(nprobe,
+        math.ceil(nprobe.toDouble * cellsPost / cellsPre).toInt)
+      val served = searchWithCentroids(queries, assigned,
+        collectCentroids(assigned), k, nprobePost).persist()
+      // the in-memory serve path (q226's post side) — the loaded artifact
+      // must reproduce it bit-exactly
+      val dr = driftRepair(s, d)
+      val mem = searchWithCentroids(queries, dr.repaired,
+        collectCentroids(dr.repaired), k, nprobePost).persist()
+      val nq = queries.count()
+      val fullK = served.count() == nq * k
+      val diff = served.exceptAll(mem).unionByName(mem.exceptAll(served)).count()
+      val out = Seq((nq, fullK, fromArtifact, diff == 0L))
+        .toDF("n_queries", "full_k", "loaded_artifact", "matches_in_memory")
+      served.unpersist(); mem.unpersist()
+      out
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS full_k,
+      true AS loaded_artifact, true AS matches_in_memory
+      FROM embeddings WHERE vec_id % 10 = 0"""))
 
   def queries: Seq[GraftQuery] = Seq(
     q34IvfKnn, q35IvfRecall, q36LshNearDup, q37LshRecall, q56IvfNearDup,
@@ -1506,5 +1742,6 @@ object Ann {
     q149MultiProbeLsh, q150MultiProbeRecall, q156IvfKnnAgg,
     q176Sq8Codes, q177Sq8Knn, q191Sq8IvfKnn,
     q223IvfCellBalance, q224IvfRebalance, q225StreamedCellBalance,
-    q226RebalancedServe, q227StreamedMonitorRepair)
+    q226RebalancedServe, q227StreamedMonitorRepair,
+    q228RebalancedServeLoaded)
 }

@@ -222,6 +222,25 @@ object StreamingJobs {
     true
   }
 
+  /** [[applyIndexAddBatch]] for a REPAIRED index version: the batch is
+    * assigned against an EXPLICIT centroid table (the current version's
+    * member-mean centroids — post-repair cells are not a KMeansModel)
+    * instead of the frozen fitted quantizer, under the same
+    * committed-partition exactly-once contract. This is the steady
+    * state of the standing maintenance loop (Ann.streamedMonitorRepair):
+    * after a monitor-triggered repair swaps in version v+1, every later
+    * arrival routes through v+1's quantizer — the faiss discipline that
+    * `add` after a re-train goes through the NEW index
+    * (app/vector_search.py:85-106 train → :108-141 add). */
+  def applyIndexAddBatchVersioned(spark: SparkSession, batch: DataFrame,
+      batchId: Long, centroids: Array[(Int, Array[Double])],
+      outDir: String): Boolean = {
+    if (batchPartitionCommitted(spark, outDir, batchId)) return false // replay
+    graft.operators.Ann.assignWithCentroids(batch, centroids)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    true
+  }
+
   def runStreamingIndexAdd(spark: SparkSession, streamDir: String, corpusDir: String,
       outDir: String): StreamingQuery = {
     graft.operators.Ann.ivfIndexFull(spark, corpusDir) // fit/load once, up front

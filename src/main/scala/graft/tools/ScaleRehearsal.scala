@@ -131,16 +131,19 @@ object ScaleRehearsal {
         zmarker.getParentFile.mkdirs(); zmarker.createNewFile()
       }
       val out = new StringBuilder("{")
-      // each corpus measured twice: uncapped, then with the impact-
-      // ordered per-term postings cap (the fixed-V defense — see
-      // GraftConf.hybridMaxPostings); "agreement" is the fraction of
-      // the uncapped top-5 (qid, doc_id) pairs the capped run retains
+      // each corpus measured three ways: uncapped, the impact-ordered
+      // per-term postings cap GENERATE-ONLY, and cap + verify-rerank
+      // (candidates from the capped lists, survivors rescored exactly —
+      // VERDICT r11 #5); "agreement" is the fraction of the uncapped
+      // top-5 (qid, doc_id) pairs the capped run retains
       Seq("zipf_base" -> zipfBase, s"zipf_x$factor" -> work).foreach {
         case (tag, dir) =>
           var uncapped: Set[(Long, Long)] = Set.empty
-          Seq(0, 200).foreach { cap =>
+          Seq(("", 0, false), ("_cap200", 200, false),
+            ("_cap200_rerank", 200, true)).foreach { case (suffix, cap, rerank) =>
             if (cap > 0)
               spark.conf.set("spark.graft.hybrid.maxPostingsPerTerm", cap.toString)
+            spark.conf.set("spark.graft.hybrid.capRerank", rerank.toString)
             m.reset()
             val t0 = System.nanoTime()
             val res = graft.operators.Hybrid
@@ -153,8 +156,7 @@ object ScaleRehearsal {
                 maxDfFrac = 0.85, maxQueryTerms = 8, k1 = 1.2, b = 0.75)
               .groupBy(col("qid")).agg(count(lit(1)).as("c"))
               .agg(avg(col("c")).as("avg"), max(col("c")).as("max")).head()
-            val key = if (cap == 0) s"$tag/q210_hybrid_rrf"
-              else s"$tag/q210_hybrid_rrf_cap$cap"
+            val key = s"$tag/q210_hybrid_rrf$suffix"
             val agree = if (cap == 0) { uncapped = res; 1.0 }
               else res.intersect(uncapped).size.toDouble / math.max(1, uncapped.size)
             val line = f"""\"$key\":{\"sec\":$sec%.2f,\"rows\":${res.size},""" +
@@ -164,6 +166,7 @@ object ScaleRehearsal {
             println(s"[rehearsal] $line")
             out.append(line).append(",")
             spark.conf.unset("spark.graft.hybrid.maxPostingsPerTerm")
+            spark.conf.unset("spark.graft.hybrid.capRerank")
           }
       }
       java.nio.file.Files.writeString(

@@ -99,23 +99,67 @@ class IndexPersistenceSpec extends SparkSpec {
     }
   }
 
-  test("drift repair persists a versioned ivf_rebalanced artifact (round-stamped, loadable, row-exact)") {
+  test("drift repair persists an ivf_rebalanced artifact at a DETERMINISTIC path (loadable, row-exact)") {
     withIndexDir { dir =>
       // run the registered drift→repair loop; rebalanceCells writes the
-      // repaired (vec_id, centroid_id) assignment under the
-      // ivf_rebalanced kind with rounds/cells stamped into the params
+      // repaired (vec_id, centroid_id, n_cells) assignment under the
+      // ivf_rebalanced kind at a path computable BEFORE the repair runs
+      // (VERDICT r11 #2 — a later session must be able to resolve it
+      // without re-repairing)
       val row = Registry.byName("q224_ivf_rebalance").run(spark, sfTiny).head()
       assert(!row.getAs[Boolean]("post_exceeds"))
-      val root = new java.io.File(s"$dir/ivf_rebalanced")
-      assert(root.isDirectory, "no ivf_rebalanced artifact written")
-      val versions = root.listFiles().flatMap(_.listFiles())
-        .filter(_.getName.contains("rounds="))
-      assert(versions.nonEmpty, "artifact params carry no rounds= version stamp")
-      val back = spark.read.parquet(versions.head.getPath)
-      assert(back.columns.toSet == Set("vec_id", "centroid_id"))
+      val thr = Ann.skewThreshold(spark)
+      val path = Ann.indexArtifactPath(spark, "ivf_rebalanced", sfTiny,
+        s"drift2n,thr=$thr").get
+      assert(new java.io.File(path, "_SUCCESS").exists(),
+        s"artifact missing at the deterministic path $path")
+      val back = spark.read.parquet(path)
+      assert(back.columns.toSet == Set("vec_id", "centroid_id", "n_cells"))
       // row-exact: every drifted vector exactly once (3n total)
       assert(back.count() == row.getAs[Long]("n_total"))
       assert(back.select("vec_id").distinct().count() == row.getAs[Long]("n_total"))
+    }
+  }
+
+  test("q228 serves through the LOADED ivf_rebalanced artifact: tampered cell count comes back, deleted artifact rebuilds") {
+    withIndexDir { dir =>
+      // first pass in a fresh store: q228 repairs once, persists, then
+      // takes the load path — and its serve must match the in-memory one
+      val row = Registry.byName("q228_rebalanced_serve_loaded")
+        .run(spark, sfTiny).head()
+      assert(row.getAs[Boolean]("loaded_artifact"), "q228 did not round-trip the artifact")
+      assert(row.getAs[Boolean]("full_k"))
+      assert(row.getAs[Boolean]("matches_in_memory"),
+        "serve through the loaded artifact diverged from the in-memory repair's serve")
+
+      val thr = Ann.skewThreshold(spark)
+      val path = Ann.indexArtifactPath(spark, "ivf_rebalanced", sfTiny,
+        s"drift2n,thr=$thr").get
+
+      // tamper: a fake assignment with an impossible cell count saved
+      // over the slot — a loader that actually READS the artifact sees
+      // the fake count; a re-repair would have produced the real one
+      val n = plans.TableStats.embeddings(spark, sfTiny).rows
+      spark.range(3 * n)
+        .select(col("id").as("vec_id"), lit(0).as("centroid_id"),
+          lit(9999).as("n_cells"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      Ann.clearCaches() // "new JVM"
+      val tampered = Ann.loadRebalanced(spark, sfTiny)
+      assert(tampered.isDefined && tampered.get._2 == 9999,
+        "expected the tampered artifact to be LOADED — a rebuild would have produced the real cell count")
+
+      // delete: the loader reports absence and the caller repairs again
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      assert(Ann.loadRebalanced(spark, sfTiny).isEmpty,
+        "deleted artifact still resolved")
+      Ann.clearCaches()
+      val row2 = Registry.byName("q228_rebalanced_serve_loaded")
+        .run(spark, sfTiny).head()
+      assert(row2.getAs[Boolean]("loaded_artifact") &&
+        row2.getAs[Boolean]("matches_in_memory"),
+        "q228 did not rebuild+persist after the artifact was deleted")
     }
   }
 

@@ -549,13 +549,62 @@ class OperatorSpec extends SparkSpec {
     assert(recPost >= 0.9, s"post-repair recall $recPost under the 0.9 gate")
   }
 
-  test("q227 standing monitor→repair→swap: one trigger, clean before the drift wave, swapped state healthy") {
+  test("q227 standing monitor→repair→swap: post-swap arrivals route through the repaired version") {
     val row = Registry.byName("q227_streamed_monitor_repair").run(spark, sfTiny).head()
-    assert(row.getAs[Long]("n_total") == 1500L, "swap lost or duplicated vectors")
-    assert(row.getAs[Int]("n_triggers") == 1, "monitor must fire exactly once (drift is one batch)")
+    // 3 original slices + 2n drift wave + two post-swap n-waves = 5n
+    assert(row.getAs[Long]("n_total") == 2500L, "loop lost or duplicated vectors")
+    assert(row.getAs[Boolean]("triggered"), "the drift wave did not trip the monitor")
     assert(row.getAs[Boolean]("clean_until_drift"), "monitor tripped before the drift arrived")
+    // the steady-state proof (VERDICT r11 #1): arrivals AFTER the swap are
+    // assigned by the REPAIRED quantizer — some land in cells whose ids
+    // only exist post-split, which the frozen pre-drift quantizer could
+    // never produce
+    assert(row.getAs[Boolean]("post_adds_in_split_cells"),
+      "no post-swap arrival landed in a post-split cell — adds are not routing through the repaired version")
     assert(!row.getAs[Boolean]("final_exceeds"), "swapped serving state still over the threshold")
     assert(row.getAs[Boolean]("swapped"), "no index version swap happened")
+  }
+
+  test("rebalanceCells re-enters the split loop when the refinement pass overloads an absorber (ADVICE r11)") {
+    val s = spark
+    import s.implicits._
+    // Constructed absorber fixture: cell 0 holds 500 drift replicas at
+    // x≈10 plus 300 stranded originals at x≈0; cell 1 (the absorber)
+    // holds 260 members at x≈0 — just UNDER the 2·mean overload cutoff,
+    // so the split loop leaves it alone; eight filler cells of 30 sit
+    // far away at x≈100. The median split of cell 0 cuts inside the
+    // drift cluster, so its left half (300 originals + ~100 drift) has
+    // a member mean ~2.5 — and the refinement pass moves all 300
+    // originals into the absorber, pushing it to 560 members and the
+    // skew back ABOVE the threshold. Without re-entering the split loop
+    // the function would return an over-threshold "repair".
+    def jit(i: Long): Double = (i % 7).toDouble * 1e-4
+    val rows =
+      (0L until 500L).map(i => (i, 0, Seq(10.0 + jit(i), 0.0))) ++ // drift in cell 0
+        (500L until 800L).map(i => (i, 0, Seq(jit(i), 0.0))) ++ // stranded originals in cell 0
+        (800L until 1060L).map(i => (i, 1, Seq(jit(i), 1e-3))) ++ // the absorber
+        (1060L until 1300L).map(i => (i, (2 + (i % 8)).toInt, Seq(100.0 + (i % 8) * 10.0, jit(i))))
+    val assigned = rows.toDF("vec_id", "centroid_id", "vec")
+    val thr = 2.8
+    val pre = Ann.skewVsBalanced(assigned, 10)
+    assert(pre > thr, s"fixture must start over-threshold (pre=$pre)")
+    val (repaired, cellsAfter, skews) =
+      Ann.rebalanceCells(spark, assigned, 10, threshold = thr)
+    // the trajectory must show the refinement RAISING skew back over the
+    // threshold after an under-threshold split (the adversarial shape),
+    // and the guard must then bring the final state back under
+    assert(skews.exists(_ <= thr) && {
+      val firstUnder = skews.indexWhere(_ <= thr)
+      skews.drop(firstUnder + 1).exists(_ > thr)
+    }, s"fixture did not exercise the refinement-overload path: $skews")
+    assert(skews.last <= thr,
+      s"repair returned an over-threshold assignment: $skews")
+    assert(cellsAfter > 11,
+      s"guard did not re-enter the split loop (cells=$cellsAfter): $skews")
+    // no vector lost or duplicated through the alternation
+    val ids = repaired.select("vec_id").as[Long].collect().sorted
+    assert(ids.toSeq == rows.map(_._1).sorted)
+    repaired.unpersist()
   }
 
   test("every registered query runs on sf0.001 and the registry is consistent") {
