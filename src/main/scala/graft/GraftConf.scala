@@ -134,13 +134,20 @@ object GraftConf {
 
   /** With the postings cap on, use the capped lists only to GENERATE
     * candidates and rescore survivors against their FULL postings (the
-    * WAND verify step; exact BM25 for every survivor). Costs one extra
-    * bounded equi-join — ≤ maxQueryTerms²·cap probe rows per query —
-    * and recovers the ranking quality the generation cap gives up:
-    * measured in SCALE.md round-12, top-5 agreement on the 500k
-    * fixed-vocabulary Zipf corpus vs generate-only capping. Default on
-    * because a cheaper lever that silently mis-ranks is the wrong
-    * default; turn off to measure the generation floor itself. */
+    * WAND verify step; exact BM25 for every survivor, so mis-ranking
+    * among generated candidates is impossible — the only loss left is a
+    * true winner absent from every capped list). The rescore probe is
+    * ≤ maxQueryTerms²·cap rows per query — N-independent, the point of
+    * the ceiling — but NOT free: on the 500k fixed-V Zipf corpus
+    * (SCALE.md round 12) cap=200 rerank lifts top-5 agreement
+    * 0.38→0.57 at 0.6-0.7× the uncapped wall, while caps large enough
+    * for ≥0.9 agreement make the rescore probe exceed the uncapped
+    * fanout (cap=500: 0.95 at 1.9× uncapped) — there is no free
+    * quality on impact-flat lists; the measured curve is the doc.
+    * Default on: the cap exists for TIGHT ceilings, and there rerank
+    * strictly improves agreement at a cost still under uncapped; for
+    * loose caps (≳ d̄f/maxQueryTerms) turn it off — generate-only is
+    * strictly better there (cap=1000: 0.89 at 0.9× uncapped). */
   def hybridCapRerank(s: SparkSession): Boolean =
     s.conf.get("spark.graft.hybrid.capRerank", "true").toBoolean
 

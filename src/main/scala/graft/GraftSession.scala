@@ -43,6 +43,23 @@ object GraftSession {
       // 43 GB through the fallback; zero spill above the threshold).
       // Our aggregator buffers are k-entry heaps (~100 bytes), so 64k
       // keys per task is still only ~MBs of map state.
+      //
+      // The setting is session-global, so every OTHER ObjectHashAggregate
+      // also holds up to 64k buffers per task before the sort-based path
+      // engages (ADVICE r11). Audited per family in SCALE.md round 12 —
+      // the short version: per-task map bytes = keys/task × buffer size,
+      // and every producer bounds one of the factors. Percentile and
+      // centroid aggregations key on index metadata (cells, quality
+      // buckets — hundreds of keys); doc-keyed list assembly (BPE token
+      // ids, dedup excision rebuilds) holds one document's tokens per
+      // key, so 64k keys ≈ the task's own input partition bytes, and
+      // past 64k docs/task the fallback still engages; term-keyed
+      // posting builds (q135/q140/q159) hold df-sized buffers but only
+      // V/partitions keys per task, and their map bytes equal the
+      // postings relation's per-task share — the same bytes the
+      // sort-based path would have buffered before spilling, so the
+      // mitigation at scale is partition count ∝ postings bytes, not an
+      // earlier fallback (measured at 500k docs / V=5000 in SCALE.md).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     val withIdx = if (idxDir.nonEmpty) b.config("spark.graft.index.dir", idxDir) else b
     val s = withIdx.getOrCreate()

@@ -5,10 +5,12 @@ import graft.operators.Ann
 
 /** Dev probe for the q226 serve-after-repair gate: prints pre/post
   * recall at a sweep of post-repair nprobe values so the scaling rule is
-  * chosen from measurement (`runMain graft.tools.ServeProbe [sfDir]`). */
+  * chosen from measurement
+  * (`runMain graft.tools.ServeProbe [sfDir] [maxExtraProbes]`). */
 object ServeProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val maxExtra = if (args.length > 1) args(1).toInt else 8
     val spark = graft.GraftSession.local()
     val dr = Ann.driftRepair(spark, sfDir)
     println(s"[probe] cellsPre=${dr.cellsPre} cellsPost=${dr.cellsPost} skews=${dr.skews}")
@@ -32,7 +34,7 @@ object ServeProbe {
     println(s"[probe] recall PRE  nprobe=$nprobe: " +
       Ann.recallVsExact(pre, exact).head())
     val postCents = Ann.collectCentroids(dr.repaired)
-    (nprobe to math.min(dr.cellsPost, nprobe + 8)).foreach { np =>
+    (nprobe to math.min(dr.cellsPost, nprobe + maxExtra)).foreach { np =>
       val post = Ann.searchWithCentroids(queries, dr.repaired, postCents, k, np)
       println(s"[probe] recall POST nprobe=$np: " +
         Ann.recallVsExact(post, exact).head())
