@@ -79,6 +79,19 @@ object Ann {
       dr.assignedDrift.unpersist(); dr.repaired.unpersist()
     }
     driftRepairCache.clear()
+    standingLoopCache.values.foreach { loop =>
+      loop.served.unpersist()
+      // the served frame's lineage reads the retained staging dir —
+      // safe to delete only once the cache entry dies
+      try {
+        val p = new org.apache.hadoop.fs.Path(loop.stage)
+        p.getFileSystem(
+          loop.served.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      } catch { case _: Exception => () }
+    }
+    standingLoopCache.clear()
+    Hybrid.clearCache()
   }
 
   // -------------------------------------------------------------------
@@ -1504,136 +1517,163 @@ object Ann {
     * the incrementally-maintained value — the bookkeeping is
     * self-checking. Replay torture: the first batch of each phase is
     * re-delivered and asserted a no-op in-line. */
-  def streamedMonitorRepair(s: SparkSession, d: String, nBatches: Int,
-      postBatches: Int = 2): DataFrame = {
-    import s.implicits._
+  /** The standing loop's drained state: the final served assignment
+    * (persisted; its lineage reads the retained staging dir — released
+    * by [[clearCaches]]), the version's cell count, the pre-loop cell
+    * count, and the monitor-row facts. Cached per (session, dataset,
+    * shape) like [[driftRepair]] — fit-once-query-many, so q227's
+    * monitor row and q229's serve path share ONE loop run. */
+  final case class StandingLoop(served: DataFrame, servedCells: Int,
+      cells0: Int, stage: String, nTotal: Long, triggered: Boolean,
+      cleanUntilDrift: Boolean, postInSplitCells: Long, finalSkew: Double,
+      threshold: Double)
+
+  private val standingLoopCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), StandingLoop]
+
+  def standingLoop(s: SparkSession, d: String, nBatches: Int,
+      postBatches: Int): StandingLoop = {
     require(nBatches >= 2, "need at least one corpus batch plus the drift batch")
     val idx = ivfIndexFull(s, d) // frozen BEFORE the stream
     val cells0 = idx.model.getK
     require(cells0 >= 10,
       s"streamed drift fixture needs >= 10 IVF cells (skew lower bound 4K/9); got K=$cells0")
     val thr = skewThreshold(s)
+    standingLoopCache.getOrElseUpdate(
+      (sessionKey(s), s"$d@n=$nBatches,post=$postBatches,thr=$thr"), {
     val stage = stagingDir(s, "graft_monrep")
-    val row = try {
-      val n = graft.plans.TableStats.embeddings(s, d).rows
-      val orig = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val addDir = s"$stage/assign" // pre-trigger adds (frozen quantizer)
-      val postDir = s"$stage/post" // post-swap adds (current version)
-      var triggers = 0
-      var servedCells = cells0
-      var servedDir: Option[String] = None
-      var servedCents: Array[(Int, Array[Double])] = null
-      var cleanUntilDrift = true
-      var postInSplitCells = 0L
-      var postWritten = -1L // highest committed post-batch id
-      var foldedUpTo = -1L // post batches folded into the last repair
-      var cellSizes = Map.empty[Int, Long] // the incremental monitor state
+    val n = graft.plans.TableStats.embeddings(s, d).rows
+    val orig = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val addDir = s"$stage/assign" // pre-trigger adds (frozen quantizer)
+    val postDir = s"$stage/post" // post-swap adds (current version)
+    var triggers = 0
+    var servedCells = cells0
+    var servedDir: Option[String] = None
+    var servedCents: Array[(Int, Array[Double])] = null
+    var cleanUntilDrift = true
+    var postInSplitCells = 0L
+    var postWritten = -1L // highest committed post-batch id
+    var foldedUpTo = -1L // post batches folded into the last repair
+    var cellSizes = Map.empty[Int, Long] // the incremental monitor state
 
-      def addCounts(partitionDir: String): Unit =
-        s.read.parquet(partitionDir).groupBy(col("centroid_id"))
-          .agg(count(lit(1)).as("c"))
-          .collect().foreach { r =>
-            val (c, k) = (r.getInt(0), r.getLong(1))
-            cellSizes = cellSizes.updated(c, cellSizes.getOrElse(c, 0L) + k)
-          }
-
-      def skewFromSizes(): Double = {
-        val nn = cellSizes.values.sum
-        if (nn == 0) 1.0
-        else cellSizes.values.map(x => x.toDouble * x).sum *
-          servedCells / (nn.toDouble * nn)
+    // fold one relation's per-cell counts into the monitor map and
+    // return the increments — one BATCH-sized (or, on trigger,
+    // version-sized) grouped count, output bounded by the cell count
+    def addCounts(dir: String): Array[(Int, Long)] = {
+      val inc = s.read.parquet(dir).groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      inc.foreach { case (c, k) =>
+        cellSizes = cellSizes.updated(c, cellSizes.getOrElse(c, 0L) + k)
       }
-
-      // everything the monitor governs: the served version (or, before
-      // any trigger, the raw accumulated adds) plus not-yet-folded
-      // post-swap batches. Only read on TRIGGER (repair input) and at
-      // the drained self-check — never per clean batch.
-      def monitoredRelation(): DataFrame = servedDir match {
-        case None => s.read.parquet(addDir)
-          .select(col("vec_id"), col("centroid_id"), col("vec"))
-        case Some(v) =>
-          val base = s.read.parquet(v)
-            .select(col("vec_id"), col("centroid_id"), col("vec"))
-          if (postWritten > foldedUpTo)
-            base.unionByName(s.read.parquet(postDir)
-              .filter(col("batch_id") > foldedUpTo)
-              .select(col("vec_id"), col("centroid_id"), col("vec")))
-          else base
-      }
-
-      def checkAndRepair(duringStream: Boolean): Unit =
-        if (skewFromSizes() > thr) {
-          if (duringStream) cleanUntilDrift = false
-          // TRIGGER: repair the monitored relation, persist it as the
-          // next version (artifact params carry the trigger number), swap
-          val (repaired, cellsPost, _) = rebalanceCells(s, monitoredRelation(),
-            servedCells, thr, artifactKey = Some((d, s"stream_v$triggers,thr=$thr")))
-          triggers += 1
-          val v = s"$stage/v$triggers"
-          repaired.select(col("vec_id"), col("centroid_id"), col("vec"))
-            .write.mode("overwrite").parquet(v)
-          repaired.unpersist()
-          servedDir = Some(v)
-          servedCells = cellsPost
-          servedCents = collectCentroids(s.read.parquet(v)
-            .select(col("vec_id"), col("centroid_id"), col("vec")))
-          foldedUpTo = postWritten
-          // rebuild the monitor state from the swapped version —
-          // cells-sized, the repair's own metadata read
-          cellSizes = Map.empty
-          addCounts(v)
-        }
-
-      // phase 1: the corpus streams in under the FROZEN quantizer; the
-      // drift wave (2n replicas) arrives last and trips the monitor
-      (0 until nBatches).foreach { b =>
-        val batch =
-          if (b == nBatches - 1) driftReplicas(s, d, 0L, 2 * n)
-          else orig.filter(pmod(col("vec_id"), lit(nBatches - 1)) === b)
-        if (StreamingJobs.applyIndexAddBatch(s, batch, b.toLong, d, addDir))
-          addCounts(s"$addDir/batch_id=$b")
-        if (b == 0)
-          require(!StreamingJobs.applyIndexAddBatch(s, batch, 0L, d, addDir),
-            "re-delivered batch 0 was not a committed-partition no-op")
-        checkAndRepair(duringStream = b < nBatches - 1)
-      }
-      require(triggers >= 1, "the drift wave must trip the monitor")
-
-      // phase 2: drift KEEPS arriving after the swap — n replicas per
-      // wave, assigned against the CURRENT version's centroids
-      (0 until postBatches).foreach { j =>
-        val wave = driftReplicas(s, d, (2 + j) * n, n)
-        if (StreamingJobs.applyIndexAddBatchVersioned(s, wave, j.toLong,
-            servedCents, postDir)) {
-          postWritten = j.toLong
-          addCounts(s"$postDir/batch_id=$j")
-          postInSplitCells += s.read.parquet(s"$postDir/batch_id=$j")
-            .filter(col("centroid_id") >= cells0).count()
-        }
-        if (j == 0)
-          require(!StreamingJobs.applyIndexAddBatchVersioned(s, wave, 0L,
-            servedCents, postDir),
-            "re-delivered post batch 0 was not a committed-partition no-op")
-        checkAndRepair(duringStream = false)
-      }
-
-      // drained: the full-relation skew must agree with the maintained
-      // map — the incremental monitor is self-checking
-      val served = monitoredRelation().persist()
-      val nTotal = served.count()
-      val finalSkew = skewVsBalanced(served, servedCells)
-      served.unpersist()
-      require(math.abs(finalSkew - skewFromSizes()) < 1e-9,
-        s"incremental monitor drifted from the full relation: " +
-          s"$finalSkew vs ${skewFromSizes()}")
-      (nTotal, triggers >= 1, cleanUntilDrift, postInSplitCells > 0,
-        finalSkew > thr, servedCells > cells0)
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(stage)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      inc
     }
-    Seq(row).toDF("n_total", "triggered", "clean_until_drift",
-      "post_adds_in_split_cells", "final_exceeds", "swapped")
+
+    def skewFromSizes(): Double = {
+      val nn = cellSizes.values.sum
+      if (nn == 0) 1.0
+      else cellSizes.values.map(x => x.toDouble * x).sum *
+        servedCells / (nn.toDouble * nn)
+    }
+
+    // everything the monitor governs: the served version (or, before
+    // any trigger, the raw accumulated adds) plus not-yet-folded
+    // post-swap batches. Only read on TRIGGER (repair input) and at
+    // the drained self-check — never per clean batch.
+    def monitoredRelation(): DataFrame = servedDir match {
+      case None => s.read.parquet(addDir)
+        .select(col("vec_id"), col("centroid_id"), col("vec"))
+      case Some(v) =>
+        val base = s.read.parquet(v)
+          .select(col("vec_id"), col("centroid_id"), col("vec"))
+        if (postWritten > foldedUpTo)
+          base.unionByName(s.read.parquet(postDir)
+            .filter(col("batch_id") > foldedUpTo)
+            .select(col("vec_id"), col("centroid_id"), col("vec")))
+        else base
+    }
+
+    def checkAndRepair(duringStream: Boolean): Unit =
+      if (skewFromSizes() > thr) {
+        if (duringStream) cleanUntilDrift = false
+        // TRIGGER: repair the monitored relation, persist it as the
+        // next version (artifact params carry the trigger number), swap
+        val (repaired, cellsPost, _) = rebalanceCells(s, monitoredRelation(),
+          servedCells, thr, artifactKey = Some((d, s"stream_v$triggers,thr=$thr")))
+        triggers += 1
+        val v = s"$stage/v$triggers"
+        repaired.select(col("vec_id"), col("centroid_id"), col("vec"))
+          .write.mode("overwrite").parquet(v)
+        repaired.unpersist()
+        servedDir = Some(v)
+        servedCells = cellsPost
+        servedCents = collectCentroids(s.read.parquet(v)
+          .select(col("vec_id"), col("centroid_id"), col("vec")))
+        foldedUpTo = postWritten
+        // rebuild the monitor state from the swapped version —
+        // output cells-sized, the repair's own metadata read
+        cellSizes = Map.empty
+        addCounts(v)
+      }
+
+    // phase 1: the corpus streams in under the FROZEN quantizer; the
+    // drift wave (2n replicas) arrives last and trips the monitor
+    (0 until nBatches).foreach { b =>
+      val batch =
+        if (b == nBatches - 1) driftReplicas(s, d, 0L, 2 * n)
+        else orig.filter(pmod(col("vec_id"), lit(nBatches - 1)) === b)
+      if (StreamingJobs.applyIndexAddBatch(s, batch, b.toLong, d, addDir))
+        addCounts(s"$addDir/batch_id=$b")
+      if (b == 0)
+        require(!StreamingJobs.applyIndexAddBatch(s, batch, 0L, d, addDir),
+          "re-delivered batch 0 was not a committed-partition no-op")
+      checkAndRepair(duringStream = b < nBatches - 1)
+    }
+    require(triggers >= 1, "the drift wave must trip the monitor")
+
+    // phase 2: drift KEEPS arriving after the swap — n replicas per
+    // wave, assigned against the CURRENT version's centroids; the
+    // batch's own count increments both feed the monitor map and prove
+    // where the arrivals landed (post-split cell ids only the repaired
+    // quantizer knows)
+    (0 until postBatches).foreach { j =>
+      val wave = driftReplicas(s, d, (2 + j) * n, n)
+      if (StreamingJobs.applyIndexAddBatchVersioned(s, wave, j.toLong,
+          servedCents, postDir)) {
+        postWritten = j.toLong
+        postInSplitCells += addCounts(s"$postDir/batch_id=$j")
+          .collect { case (c, k) if c >= cells0 => k }.sum
+      }
+      if (j == 0)
+        require(!StreamingJobs.applyIndexAddBatchVersioned(s, wave, 0L,
+          servedCents, postDir),
+          "re-delivered post batch 0 was not a committed-partition no-op")
+      checkAndRepair(duringStream = false)
+    }
+
+    // drained: the full-relation skew must agree with the maintained
+    // map — the incremental monitor is self-checking
+    val served = monitoredRelation()
+      .select(col("vec_id"), col("centroid_id"), col("vec")).persist()
+    val nTotal = served.count()
+    val finalSkew = skewVsBalanced(served, servedCells)
+    require(math.abs(finalSkew - skewFromSizes()) < 1e-9,
+      s"incremental monitor drifted from the full relation: " +
+        s"$finalSkew vs ${skewFromSizes()}")
+    StandingLoop(served, servedCells, cells0, stage, nTotal, triggers >= 1,
+      cleanUntilDrift, postInSplitCells, finalSkew, thr)
+    })
+  }
+
+  def streamedMonitorRepair(s: SparkSession, d: String, nBatches: Int,
+      postBatches: Int = 2): DataFrame = {
+    import s.implicits._
+    val loop = standingLoop(s, d, nBatches, postBatches)
+    Seq((loop.nTotal, loop.triggered, loop.cleanUntilDrift,
+      loop.postInSplitCells > 0, loop.finalSkew > loop.threshold,
+      loop.servedCells > loop.cells0))
+      .toDF("n_total", "triggered", "clean_until_drift",
+        "post_adds_in_split_cells", "final_exceeds", "swapped")
   }
 
   val q227StreamedMonitorRepair = GraftQuery(
@@ -1649,6 +1689,66 @@ object Ann {
       true AS post_adds_in_split_cells,
       false AS final_exceeds, true AS swapped
       FROM embeddings"""))
+
+  /** q229: serve through the standing loop's FINAL version — the
+    * quality gate q227's monitor row cannot express: after one-or-more
+    * repairs with post-swap arrivals folded in, the loop's output must
+    * actually SEARCH at least as well as never having repaired. The
+    * counterfactual is the frozen pre-drift quantizer assigning the
+    * same 5n corpus (what a loop-less deployment would serve); both
+    * sides are recall-scored against the exact top-k on that corpus,
+    * fraction-matched probes (the q226 convention: nprobe scaled by
+    * the version's cell growth). Shares ONE loop run with q227 through
+    * the [[standingLoop]] cache — the driftRepair/q224/q226 discipline.
+    * The oracle pins the query count, the full-k result shape from
+    * BOTH versions, and loop-serve recall ≥ the counterfactual's.
+    * OperatorSpec asserts the measured recall values. */
+  val q229StandingLoopServe = GraftQuery(
+    "q229_standing_loop_serve",
+    "M4+M5 ext: search through the standing loop's final index version, recall-gated vs the never-repaired counterfactual",
+    (s, d) => {
+      import s.implicits._
+      val k = 2
+      val nprobe = GraftConf.ivfNprobe(s)
+      val loop = standingLoop(s, d, nBatches = 4, postBatches = 2)
+      val queries = driftQueries(s, d)
+      val corpus = loop.served
+        .select(col("vec_id").as("nid"), col("vec").as("nvec"))
+      val topk = udaf(new graft.functions.TopKAggregator(k))
+      val exact = queries.join(corpus, col("qid") =!= col("nid"))
+        .groupBy(col("qid"))
+        .agg(topk(cosineFast(col("qvec"), col("nvec")), col("nid")).as("top"))
+        .select(col("qid"), explode(col("top")).as("e"))
+        .select(col("qid"), col("e._2").as("nid"))
+        .persist()
+      // counterfactual: the same 5n corpus, never repaired — every
+      // arrival assigned by the frozen pre-drift quantizer
+      val n = graft.plans.TableStats.embeddings(s, d).rows
+      val cfCorpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(driftReplicas(s, d, 0L, 4 * n))
+      val idx = ivfIndexFull(s, d)
+      val preCents = idx.model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }
+      val cf = searchWithCentroids(queries, assignCells(s, d, cfCorpus),
+        preCents, k, nprobe).persist()
+      val nprobePost = math.max(nprobe,
+        math.ceil(nprobe.toDouble * loop.servedCells / loop.cells0).toInt)
+      val post = searchWithCentroids(queries, loop.served,
+        collectCentroids(loop.served), k, nprobePost).persist()
+      def recallOf(ann: DataFrame): Double =
+        recallVsExact(ann, exact).head().getDouble(2)
+      val (recCf, recPost) = (recallOf(cf), recallOf(post))
+      val nq = queries.count()
+      val fullK = cf.count() == nq * k && post.count() == nq * k
+      val out = Seq((nq, fullK, recPost >= recCf))
+        .toDF("n_queries", "full_k", "loop_recall_ge_counterfactual")
+      exact.unpersist(); cf.unpersist(); post.unpersist()
+      out
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS full_k,
+      true AS loop_recall_ge_counterfactual
+      FROM embeddings WHERE vec_id % 10 = 0"""))
 
   /** Load the persisted drift-repair artifact, if the model store is on
     * and the artifact committed: the (vec_id, centroid_id) assignment
@@ -1743,5 +1843,5 @@ object Ann {
     q176Sq8Codes, q177Sq8Knn, q191Sq8IvfKnn,
     q223IvfCellBalance, q224IvfRebalance, q225StreamedCellBalance,
     q226RebalancedServe, q227StreamedMonitorRepair,
-    q228RebalancedServeLoaded)
+    q228RebalancedServeLoaded, q229StandingLoopServe)
 }

@@ -35,6 +35,38 @@ object Hybrid {
   private def toks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     split(lower(trim(c)), "\\s+")
 
+  // The lexical tower's term-frequency relations, cached per (session,
+  // dataset) — the fitted-model discipline (lshCache/driftRepair)
+  // applied to the BM25 tier. Without this, every reference to `tf`
+  // re-runs the tokenize→explode→groupBy chain: q210's physical plan
+  // scanned the documents table EIGHT times (measured round 12; the
+  // plan has no ReusedExchange because each reference optimizes into a
+  // differently-pruned subtree). At 100 TB these relations ARE the
+  // materialized tf/df side of an inverted index — computed once per
+  // corpus, not once per query batch. Persisted lazily; evicted blocks
+  // recompute from the parquet lineage; released by clearCache()
+  // (wired into Ann.clearCaches, the specs' "new JVM" hook).
+  private val tfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, DataFrame)] // (tf, lens)
+
+  private def tfAndLens(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    tfCache.getOrElseUpdate((System.identityHashCode(s).toString, d), {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val lens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len")).persist()
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")).persist()
+      (tf, lens)
+    })
+
+  private[graft] def clearCache(): Unit = {
+    tfCache.values.foreach { case (tf, lens) =>
+      tf.unpersist(); lens.unpersist()
+    }
+    tfCache.clear()
+  }
+
   /** Lexical leg: doc-as-query rational-BM25 top-k with integer-ppm
     * scores — (qid, rank, doc_id, score_ppm).
     *
@@ -51,12 +83,8 @@ object Hybrid {
   private[graft] def lexScoredCandidates(s: SparkSession, d: String,
       queryMod: Int, maxDfFrac: Double, maxQueryTerms: Int,
       k1: Double, b: Double): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-    val lens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val (tf, lens) = tfAndLens(s, d)
     val tot = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfKept = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(tot.select(col("n_docs").as("nd"))))
       .filter(col("df") <= col("nd") * maxDfFrac)

@@ -138,6 +138,16 @@ object AnnScaleRehearsal {
           dr.repaired, graft.operators.Ann.collectCentroids(dr.repaired),
           2, npPost)
       }),
+      // the full standing loop (q227, r12 steady-state form): stream the
+      // corpus + drift wave under the frozen quantizer, repair + swap on
+      // trigger, then route TWO further waves through the repaired
+      // version with the incremental O(cells) monitor. Cold = the whole
+      // loop (assigns + repairs + versioned writes + the drained
+      // self-check); warm = the standingLoop cache hit. The cold slope
+      // across factors is the measured claim that the loop's per-batch
+      // cost is batch-sized, not index-sized.
+      "standing_loop" -> (d => graft.Registry
+        .byName("q227_streamed_monitor_repair").run(spark, d)),
       // integer-exact PCA (q221 = covariance + eigensolve + projection):
       // cold pays the Gramian pass; warm rides the cached loading
       "pca_corpus" -> (d => graft.operators.Embedding.pcaProjection(spark, d, iters = 8)))

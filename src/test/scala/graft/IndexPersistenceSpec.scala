@@ -163,6 +163,41 @@ class IndexPersistenceSpec extends SparkSpec {
     }
   }
 
+  test("impact-ordered capped postings persist and are loaded, not re-sorted") {
+    withIndexDir { dir =>
+      def scored() = operators.Hybrid.lexScoredCandidates(spark, sfTiny,
+        queryMod = 10, maxDfFrac = 0.85, maxQueryTerms = 8, k1 = 1.2, b = 0.75)
+      spark.conf.set("spark.graft.hybrid.maxPostingsPerTerm", "5")
+      spark.conf.set("spark.graft.hybrid.capRerank", "false")
+      try {
+        val base = scored().collect().map(_.toSeq).toSet
+        val path = operators.ModelStore.artifactPath(spark, "impact_postings",
+          sfTiny, "cap=5,df=0.85,k1=1.2,b=0.75").get
+        assert(new java.io.File(path, "_SUCCESS").exists(),
+          s"capped postings artifact missing at $path")
+        // tamper: a single fake posting saved over the slot — a reader
+        // that actually LOADS the artifact collapses to candidates of
+        // that one posting; a re-sort would reproduce the full relation
+        spark.createDataFrame(Seq(("zzz_never_a_token", 0L, 1L)))
+          .toDF("term", "did", "c_ppm")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        val tampered = scored().collect()
+        assert(tampered.isEmpty,
+          s"expected the tampered one-posting artifact to be LOADED (no real term matches it); got ${tampered.length} rows — the relation was re-sorted from data")
+        // delete: recompute + re-persist, back to the real relation
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        assert(scored().collect().map(_.toSeq).toSet == base,
+          "deleted artifact did not rebuild to the original relation")
+        assert(new java.io.File(path, "_SUCCESS").exists(),
+          "rebuild did not re-persist the artifact")
+      } finally {
+        spark.conf.unset("spark.graft.hybrid.maxPostingsPerTerm")
+        spark.conf.unset("spark.graft.hybrid.capRerank")
+      }
+    }
+  }
+
   test("without index.dir, nothing is written and queries still pass (in-memory fit)") {
     Ann.clearCaches()
     assert(GraftConf.indexDir(spark).isEmpty)

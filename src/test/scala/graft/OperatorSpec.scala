@@ -607,6 +607,51 @@ class OperatorSpec extends SparkSpec {
     repaired.unpersist()
   }
 
+  test("q229 standing-loop serve: loop-version recall >= never-repaired counterfactual AND >= 0.9") {
+    // the q229 gate with the measured recall VALUES asserted (the
+    // registered query reduces them to oracle-checkable booleans): after
+    // the full standing loop (trigger + two post-swap waves), searching
+    // through the loop's final version must not lose quality vs the
+    // frozen pre-drift quantizer serving the same 5n corpus
+    val s = spark
+    val loop = Ann.standingLoop(s, sfTiny, nBatches = 4, postBatches = 2)
+    assert(loop.triggered && loop.servedCells > loop.cells0)
+    val k = 2
+    val nprobe = GraftConf.ivfNprobe(s)
+    val queries = Tables.embeddings(s, sfTiny)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x.cast("double")).as("qvec"))
+    val corpus = loop.served.select(col("vec_id").as("nid"), col("vec").as("nvec"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    val exact = queries.join(corpus, col("qid") =!= col("nid"))
+      .groupBy(col("qid"))
+      .agg(topk(graft.functions.VectorKernels.cosineFast(col("qvec"), col("nvec")),
+        col("nid")).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e._2").as("nid"))
+    val n = plans.TableStats.embeddings(s, sfTiny).rows
+    val cfCorpus = Tables.embeddings(s, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(Ann.driftReplicas(s, sfTiny, 0L, 4 * n))
+    val idx = Ann.ivfIndexFull(s, sfTiny)
+    val preCents = idx.model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val recCf = Ann.recallVsExact(
+      Ann.searchWithCentroids(queries, Ann.assignCells(s, sfTiny, cfCorpus),
+        preCents, k, nprobe), exact).head().getDouble(2)
+    val nprobePost = math.max(nprobe,
+      math.ceil(nprobe.toDouble * loop.servedCells / loop.cells0).toInt)
+    val recPost = Ann.recallVsExact(
+      Ann.searchWithCentroids(queries, loop.served,
+        Ann.collectCentroids(loop.served), k, nprobePost), exact)
+      .head().getDouble(2)
+    info(s"counterfactual recall $recCf, loop-serve recall $recPost " +
+      s"(cells ${loop.cells0} -> ${loop.servedCells}, nprobe $nprobe -> $nprobePost)")
+    assert(recPost >= recCf,
+      s"loop-serve recall $recPost dropped below the counterfactual $recCf")
+    assert(recPost >= 0.9, s"loop-serve recall $recPost under the 0.9 gate")
+  }
+
   test("every registered query runs on sf0.001 and the registry is consistent") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length, "duplicate query names")
