@@ -108,9 +108,8 @@ class IndexPersistenceSpec extends SparkSpec {
       // without re-repairing)
       val row = Registry.byName("q224_ivf_rebalance").run(spark, sfTiny).head()
       assert(!row.getAs[Boolean]("post_exceeds"))
-      val thr = Ann.skewThreshold(spark)
       val path = Ann.indexArtifactPath(spark, "ivf_rebalanced", sfTiny,
-        s"drift2n,thr=$thr").get
+        Ann.driftArtifactParams(spark, sfTiny)).get
       assert(new java.io.File(path, "_SUCCESS").exists(),
         s"artifact missing at the deterministic path $path")
       val back = spark.read.parquet(path)
@@ -118,6 +117,21 @@ class IndexPersistenceSpec extends SparkSpec {
       // row-exact: every drifted vector exactly once (3n total)
       assert(back.count() == row.getAs[Long]("n_total"))
       assert(back.select("vec_id").distinct().count() == row.getAs[Long]("n_total"))
+
+      // load-not-rebuild for the REPAIR itself (round 12): a "new JVM"
+      // re-running q224 must LOAD the persisted repair — observable as
+      // the two-point skew trajectory (pre, post), where a re-run split
+      // loop would have recorded its intermediate rounds too
+      val coldSkews = Ann.driftRepair(spark, sfTiny).skews
+      Ann.clearCaches()
+      val warm = Ann.driftRepair(spark, sfTiny)
+      assert(warm.skews.length == 2,
+        s"fresh-session driftRepair re-ran the split loop (trajectory ${warm.skews}) instead of loading the artifact")
+      assert(warm.skews.head == coldSkews.head && warm.skews.last == coldSkews.last,
+        "loaded repair's skew endpoints diverge from the computed repair's")
+      val row2 = Registry.byName("q224_ivf_rebalance").run(spark, sfTiny).head()
+      assert(row2.getAs[Boolean]("pre_exceeds") && !row2.getAs[Boolean]("post_exceeds"),
+        "q224 through the loaded repair lost its monitor-row facts")
     }
   }
 
@@ -132,9 +146,8 @@ class IndexPersistenceSpec extends SparkSpec {
       assert(row.getAs[Boolean]("matches_in_memory"),
         "serve through the loaded artifact diverged from the in-memory repair's serve")
 
-      val thr = Ann.skewThreshold(spark)
       val path = Ann.indexArtifactPath(spark, "ivf_rebalanced", sfTiny,
-        s"drift2n,thr=$thr").get
+        Ann.driftArtifactParams(spark, sfTiny)).get
 
       // tamper: a fake assignment with an impossible cell count saved
       // over the slot — a loader that actually READS the artifact sees
