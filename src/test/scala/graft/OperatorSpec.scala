@@ -607,6 +607,23 @@ class OperatorSpec extends SparkSpec {
     repaired.unpersist()
   }
 
+  test("standing loop with zero post-swap batches: the drained monitor reads the swapped version alone") {
+    // the postBatches=0 edge of the steady-state loop (the r11 q227
+    // shape): no post dir is ever written, so the drained monitored
+    // relation must be exactly the swapped version — n_total = 3n, no
+    // post-split arrivals to report, state healthy
+    val s = spark
+    import s.implicits._
+    val row = operators.Ann.streamedMonitorRepair(s, sfTiny, nBatches = 4,
+      postBatches = 0).head()
+    assert(row.getAs[Long]("n_total") == 1500L)
+    assert(row.getAs[Boolean]("triggered") && row.getAs[Boolean]("swapped"))
+    assert(row.getAs[Boolean]("clean_until_drift"))
+    assert(!row.getAs[Boolean]("post_adds_in_split_cells"),
+      "no post batch ran, so nothing can have landed in split cells")
+    assert(!row.getAs[Boolean]("final_exceeds"))
+  }
+
   test("q229 standing-loop serve: loop-version recall >= never-repaired counterfactual AND >= 0.9") {
     // the q229 gate with the measured recall VALUES asserted (the
     // registered query reduces them to oracle-checkable booleans): after
