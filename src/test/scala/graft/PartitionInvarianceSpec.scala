@@ -101,4 +101,42 @@ class PartitionInvarianceSpec extends SparkSpec {
       assert(a == b, "repaired assignment depends on the partition count")
     } finally spark.conf.set(key, orig)
   }
+
+  test("rebalanceCells: the refinement-overload RE-ENTRY path is partition-invariant too (ADVICE r11)") {
+    // the round-12 guard alternates split loop <-> refinement pass; the
+    // re-entered rounds split cells whose membership was produced by the
+    // refinement's float distance comparisons, so this is a NEW surface
+    // for partition-order leaks. Same absorber fixture as OperatorSpec's
+    // re-entry test (the trajectory provably rises back over the
+    // threshold after refinement), run under two partition counts: the
+    // final (vec_id -> centroid_id) mapping must be identical.
+    val s = spark
+    import s.implicits._
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    def jit(i: Long): Double = (i % 7).toDouble * 1e-4
+    val rows =
+      (0L until 500L).map(i => (i, 0, Seq(10.0 + jit(i), 0.0))) ++
+        (500L until 800L).map(i => (i, 0, Seq(jit(i), 0.0))) ++
+        (800L until 1060L).map(i => (i, 1, Seq(jit(i), 1e-3))) ++
+        (1060L until 1300L).map(i => (i, (2 + (i % 8)).toInt, Seq(100.0 + (i % 8) * 10.0, jit(i))))
+    def run(parts: Int): Seq[(Long, Int)] = {
+      spark.conf.set(key, parts.toString)
+      val assigned = rows.toDF("vec_id", "centroid_id", "vec").repartition(parts)
+      val (rep, _, skews) = operators.Ann.rebalanceCells(spark, assigned, 10, threshold = 2.8)
+      // the fixture must actually take the re-entry path
+      val firstUnder = skews.indexWhere(_ <= 2.8)
+      assert(firstUnder >= 0 && skews.drop(firstUnder + 1).exists(_ > 2.8),
+        s"fixture no longer exercises the re-entry path: $skews")
+      val out = rep.select("vec_id", "centroid_id").as[(Long, Int)].collect().sorted.toSeq
+      rep.unpersist()
+      out
+    }
+    try {
+      val a = run(3)
+      val b = run(17)
+      assert(a.map(_._1) == rows.map(_._1).sorted, "re-entered repair lost or duplicated vectors")
+      assert(a == b, "re-entered repair depends on the partition count")
+    } finally spark.conf.set(key, orig)
+  }
 }
