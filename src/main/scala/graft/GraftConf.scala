@@ -140,16 +140,21 @@ object GraftConf {
     * ≤ maxQueryTerms²·cap rows per query — N-independent, the point of
     * the ceiling — but NOT free: on the 500k fixed-V Zipf corpus
     * (SCALE.md round 12) cap=200 rerank lifts top-5 agreement
-    * 0.38→0.57 at 0.6-0.7× the uncapped wall, while caps large enough
-    * for ≥0.9 agreement make the rescore probe exceed the uncapped
-    * fanout (cap=500: 0.95 at 1.9× uncapped) — there is no free
-    * quality on impact-flat lists; the measured curve is the doc.
-    * Default on: the cap exists for TIGHT ceilings, and there rerank
-    * strictly improves agreement at a cost still under uncapped; for
-    * loose caps (≳ d̄f/maxQueryTerms) turn it off — generate-only is
-    * strictly better there (cap=1000: 0.89 at 0.9× uncapped). */
-  def hybridCapRerank(s: SparkSession): Boolean =
-    s.conf.get("spark.graft.hybrid.capRerank", "true").toBoolean
+    * 0.38→0.57 at 0.6-0.7× the uncapped wall, while loose caps regress
+    * (cap=1000 generate-only beats cap=500+rerank on both axes) — there
+    * is no free quality on impact-flat lists; the measured curve is the
+    * doc. The default is therefore "auto" (ADVICE r12: an unconditional
+    * default-on silently made loose-cap runs SLOWER than uncapped, the
+    * opposite of what the cap opts into): rerank engages only for tight
+    * ceilings (cap ≤ 256, the measured regime where it strictly improves
+    * agreement at a cost still under uncapped), and loose caps keep
+    * their prior generate-only behavior. Explicit true/false override
+    * either way. */
+  def hybridCapRerank(s: SparkSession, cap: Int): Boolean =
+    s.conf.get("spark.graft.hybrid.capRerank", "auto") match {
+      case "auto" => cap > 0 && cap <= 256
+      case other => other.toBoolean
+    }
 
   /** Staging root for streamed-state harness runs that accumulate
     * micro-batch output between triggers (the q225/q227 index-add

@@ -92,6 +92,10 @@ object Ann {
     }
     standingLoopCache.clear()
     Hybrid.clearCache()
+    // the one cache the "new JVM" hook used to miss: memoized dataset
+    // fingerprints would keep a mid-session regeneration serving
+    // artifacts keyed to the previous generation's content
+    ModelStore.clearFingerprints()
   }
 
   // -------------------------------------------------------------------
@@ -1556,6 +1560,13 @@ object Ann {
   private val standingLoopCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), StandingLoop]
 
+  /** Simulated driver death for the restart-recovery specs: thrown by
+    * [[runStandingLoop]] right after the Nth committed batch write —
+    * the worst-case crash point (data committed, monitor map not yet
+    * updated, manifest not yet written). */
+  private[graft] final class SimulatedCrash extends RuntimeException(
+    "simulated driver crash (standing-loop recovery spec hook)")
+
   def standingLoop(s: SparkSession, d: String, nBatches: Int,
       postBatches: Int): StandingLoop = {
     require(nBatches >= 2, "need at least one corpus batch plus the drift batch")
@@ -1568,26 +1579,86 @@ object Ann {
     // re-fit of the quantizer must miss this cache too
     standingLoopCache.getOrElseUpdate(
       (sessionKey(s), s"$d@n=$nBatches,post=$postBatches,thr=$thr,cells=$cells0"), {
-    val stage = stagingDir(s, "graft_monrep")
+        val stage = stagingDir(s, "graft_monrep")
+        try runStandingLoop(s, d, nBatches, postBatches, stage)
+        catch {
+          case e: Throwable =>
+            // ADVICE r12: a body that throws before the cache entry
+            // exists would leak the freshly created stage dir (only
+            // clearCaches-reaped dirs are recorded) — reap it here
+            try {
+              val p = new org.apache.hadoop.fs.Path(stage)
+              p.getFileSystem(s.sparkContext.hadoopConfiguration)
+                .delete(p, true)
+            } catch { case _: Exception => () }
+            throw e
+        }
+      })
+  }
+
+  /** The standing loop's engine, uncached and RESTART-RECOVERABLE: all
+    * loop state lives in, or is derivable from, the staging dir, so a
+    * driver that dies mid-loop resumes by calling this again with the
+    * SAME stage dir. Committed batch partitions replay as no-ops (the
+    * exactly-once contract); the monitor map is rebuilt from the latest
+    * swapped version plus the not-yet-folded batch partitions — one
+    * cells-sized count plus the unfolded tail, never a corpus rescan;
+    * the version pointer, fold watermarks, and clean-until-drift flag
+    * come from a tiny per-trigger manifest (`manifest_v<n>`, written
+    * through a rename so a torn write is invisible to recovery).
+    * Reference analogue: faiss reloads its persisted index rather than
+    * re-adding every vector (app/vector_search.py:241-294).
+    *
+    * `driftAt` places the 2n drift wave (default: last phase-1 batch).
+    * The early-drift form has phase-1 slices still arriving AFTER the
+    * first swap; those are tracked by the addDir fold watermark and
+    * unioned into the monitored relation until a repair folds them, so
+    * a second trigger can never silently drop them (ADVICE r12: the old
+    * form read only servedDir+postDir, and a second trigger rebuilt the
+    * monitor map from the new version — erasing the unfolded phase-1
+    * batches' counts while the drained self-check still passed).
+    *
+    * `crashAfterCommits` throws [[SimulatedCrash]] right after the Nth
+    * committed batch write — the recovery specs' driver-death hook
+    * (data on disk, monitor state and manifest not yet updated). */
+  private[graft] def runStandingLoop(s: SparkSession, d: String, nBatches: Int,
+      postBatches: Int, stage: String, driftAt0: Int = -1,
+      crashAfterCommits: Int = -1): StandingLoop = {
+    val idx = ivfIndexFull(s, d)
+    val cells0 = idx.model.getK
+    val thr = skewThreshold(s)
+    val driftAt = if (driftAt0 < 0) nBatches - 1 else driftAt0
+    require(driftAt >= 1 && driftAt < nBatches, s"driftAt $driftAt out of range")
     val n = graft.plans.TableStats.embeddings(s, d).rows
     val orig = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val addDir = s"$stage/assign" // pre-trigger adds (frozen quantizer)
+    val addDir = s"$stage/assign" // phase-1 adds (frozen quantizer)
     val postDir = s"$stage/post" // post-swap adds (current version)
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
     var triggers = 0
     var servedCells = cells0
     var servedDir: Option[String] = None
     var servedCents: Array[(Int, Array[Double])] = null
     var cleanUntilDrift = true
     var postInSplitCells = 0L
+    var addWritten = -1L // highest committed phase-1 batch id
     var postWritten = -1L // highest committed post-batch id
+    var addFoldedUpTo = -1L // phase-1 batches folded into the last repair
     var foldedUpTo = -1L // post batches folded into the last repair
     var cellSizes = Map.empty[Int, Long] // the incremental monitor state
+    var commits = 0
+
+    def crashPoint(): Unit = {
+      commits += 1
+      if (commits == crashAfterCommits) throw new SimulatedCrash
+    }
 
     // fold one relation's per-cell counts into the monitor map and
     // return the increments — one BATCH-sized (or, on trigger,
     // version-sized) grouped count, output bounded by the cell count
-    def addCounts(dir: String): Array[(Int, Long)] = {
-      val inc = s.read.parquet(dir).groupBy(col("centroid_id"))
+    def addCounts(rel: DataFrame): Array[(Int, Long)] = {
+      val inc = rel.groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getInt(0), r.getLong(1)))
       inc.foreach { case (c, k) =>
@@ -1603,30 +1674,55 @@ object Ann {
         servedCells / (nn.toDouble * nn)
     }
 
+    def unfolded(dir: String, written: Long, folded: Long): Option[DataFrame] =
+      if (written > folded)
+        Some(s.read.parquet(dir).filter(col("batch_id") > folded)
+          .select(col("vec_id"), col("centroid_id"), col("vec")))
+      else None
+
     // everything the monitor governs: the served version (or, before
-    // any trigger, the raw accumulated adds) plus not-yet-folded
-    // post-swap batches. Only read on TRIGGER (repair input) and at
-    // the drained self-check — never per clean batch.
+    // any trigger, the raw accumulated adds) plus EVERY not-yet-folded
+    // batch partition — phase-1 adds included (ADVICE r12: an early
+    // trigger leaves later phase-1 batches outside any version until
+    // the next repair folds them; dropping them from this union
+    // silently lost vectors). Only read on TRIGGER (repair input) and
+    // at the drained self-check — never per clean batch.
     def monitoredRelation(): DataFrame = servedDir match {
       case None => s.read.parquet(addDir)
         .select(col("vec_id"), col("centroid_id"), col("vec"))
       case Some(v) =>
         val base = s.read.parquet(v)
           .select(col("vec_id"), col("centroid_id"), col("vec"))
-        if (postWritten > foldedUpTo)
-          base.unionByName(s.read.parquet(postDir)
-            .filter(col("batch_id") > foldedUpTo)
-            .select(col("vec_id"), col("centroid_id"), col("vec")))
-        else base
+        Seq(unfolded(addDir, addWritten, addFoldedUpTo),
+          unfolded(postDir, postWritten, foldedUpTo))
+          .flatten.foldLeft(base)(_ unionByName _)
+    }
+
+    // per-trigger manifest: the loop state NOT derivable from the data
+    // dirs alone (fold watermarks, version cell count, the
+    // clean-until-drift fact). Written to a temp name then renamed —
+    // atomic on local FS and HDFS, so recovery never parses a torn file.
+    def writeManifest(): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(stage, s"manifest_v$triggers.tmp")
+      val dst = new org.apache.hadoop.fs.Path(stage, s"manifest_v$triggers")
+      val out = fs.create(tmp, true)
+      out.write((s"servedCells=$servedCells;foldedUpTo=$foldedUpTo;" +
+        s"addFoldedUpTo=$addFoldedUpTo;cleanUntilDrift=$cleanUntilDrift")
+        .getBytes("UTF-8"))
+      out.close()
+      fs.delete(dst, false)
+      fs.rename(tmp, dst)
     }
 
     def checkAndRepair(duringStream: Boolean): Unit =
       if (skewFromSizes() > thr) {
         if (duringStream) cleanUntilDrift = false
         // TRIGGER: repair the monitored relation, persist it as the
-        // next version (artifact params carry the trigger number), swap
+        // next version (artifact params carry the trigger number and
+        // the loop shape), swap
         val (repaired, cellsPost, _) = rebalanceCells(s, monitoredRelation(),
-          servedCells, thr, artifactKey = Some((d, s"stream_v$triggers,thr=$thr")))
+          servedCells, thr, artifactKey = Some((d,
+            s"stream_v$triggers,n=$nBatches,post=$postBatches,da=$driftAt,thr=$thr")))
         triggers += 1
         val v = s"$stage/v$triggers"
         repaired.select(col("vec_id"), col("centroid_id"), col("vec"))
@@ -1637,24 +1733,91 @@ object Ann {
         servedCents = collectCentroids(s.read.parquet(v)
           .select(col("vec_id"), col("centroid_id"), col("vec")))
         foldedUpTo = postWritten
+        addFoldedUpTo = addWritten
         // rebuild the monitor state from the swapped version —
         // output cells-sized, the repair's own metadata read
         cellSizes = Map.empty
-        addCounts(v)
+        addCounts(s.read.parquet(v))
+        writeManifest()
       }
 
+    // ---- recovery preamble (no-op on a fresh stage dir): rebuild the
+    // monitor state from the committed batch partitions plus the latest
+    // manifest — a directory listing, one cells-sized count over the
+    // current version, and the unfolded tail. Never a re-repair.
+    def committedIds(dir: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong)
+        .filter(b => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/batch_id=$b", "_SUCCESS")))
+        .sorted
+    }
+    val addCommitted = committedIds(addDir)
+    val postCommitted = committedIds(postDir)
+    if (addCommitted.nonEmpty || postCommitted.nonEmpty) {
+      addWritten = addCommitted.lastOption.getOrElse(-1L)
+      postWritten = postCommitted.lastOption.getOrElse(-1L)
+      val latestManifest = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .toSeq.map(_.getPath.getName)
+        .filter(nm => nm.startsWith("manifest_v") && !nm.endsWith(".tmp"))
+        .flatMap(nm => scala.util.Try(nm.stripPrefix("manifest_v").toInt).toOption)
+        .sorted.lastOption
+      latestManifest match {
+        case Some(t) =>
+          val in = fs.open(new org.apache.hadoop.fs.Path(stage, s"manifest_v$t"))
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val kv = txt.split(";").map(_.split("=", 2))
+            .map(a => a(0) -> a(1)).toMap
+          triggers = t
+          servedCells = kv("servedCells").toInt
+          foldedUpTo = kv("foldedUpTo").toLong
+          addFoldedUpTo = kv("addFoldedUpTo").toLong
+          cleanUntilDrift = kv("cleanUntilDrift").toBoolean
+          val v = s"$stage/v$t"
+          servedDir = Some(v)
+          servedCents = collectCentroids(s.read.parquet(v)
+            .select(col("vec_id"), col("centroid_id"), col("vec")))
+          addCounts(s.read.parquet(v))
+          unfolded(addDir, addWritten, addFoldedUpTo).foreach(addCounts)
+          unfolded(postDir, postWritten, foldedUpTo).foreach(addCounts)
+        case None =>
+          // no trigger had completed: the monitor map is the raw adds
+          // (post batches cannot exist before the first trigger)
+          if (addCommitted.nonEmpty) addCounts(s.read.parquet(addDir))
+      }
+      if (postCommitted.nonEmpty)
+        // as-written per-batch assignments: identical to the sum of the
+        // original run's per-batch increments
+        postInSplitCells = s.read.parquet(postDir)
+          .filter(col("centroid_id") >= cells0).count()
+      // complete any trigger pending at the crash, with the
+      // historically-correct flag: the pending skew was caused by the
+      // last committed wave — pre-drift iff it precedes the drift batch
+      checkAndRepair(duringStream = addWritten >= 0 && addWritten < driftAt)
+    }
+
     // phase 1: the corpus streams in under the FROZEN quantizer; the
-    // drift wave (2n replicas) arrives last and trips the monitor
+    // drift wave (2n replicas) arrives at `driftAt` and trips the monitor
     (0 until nBatches).foreach { b =>
       val batch =
-        if (b == nBatches - 1) driftReplicas(s, d, 0L, 2 * n)
-        else orig.filter(pmod(col("vec_id"), lit(nBatches - 1)) === b)
-      if (StreamingJobs.applyIndexAddBatch(s, batch, b.toLong, d, addDir))
-        addCounts(s"$addDir/batch_id=$b")
+        if (b == driftAt) driftReplicas(s, d, 0L, 2 * n)
+        else {
+          val slice = if (b < driftAt) b else b - 1
+          orig.filter(pmod(col("vec_id"), lit(nBatches - 1)) === slice)
+        }
+      if (StreamingJobs.applyIndexAddBatch(s, batch, b.toLong, d, addDir)) {
+        addWritten = b.toLong
+        crashPoint()
+        addCounts(s.read.parquet(s"$addDir/batch_id=$b"))
+      }
       if (b == 0)
         require(!StreamingJobs.applyIndexAddBatch(s, batch, 0L, d, addDir),
           "re-delivered batch 0 was not a committed-partition no-op")
-      checkAndRepair(duringStream = b < nBatches - 1)
+      checkAndRepair(duringStream = b < driftAt)
     }
     require(triggers >= 1, "the drift wave must trip the monitor")
 
@@ -1668,7 +1831,8 @@ object Ann {
       if (StreamingJobs.applyIndexAddBatchVersioned(s, wave, j.toLong,
           servedCents, postDir)) {
         postWritten = j.toLong
-        postInSplitCells += addCounts(s"$postDir/batch_id=$j")
+        crashPoint()
+        postInSplitCells += addCounts(s.read.parquet(s"$postDir/batch_id=$j"))
           .collect { case (c, k) if c >= cells0 => k }.sum
       }
       if (j == 0)
@@ -1689,7 +1853,6 @@ object Ann {
         s"$finalSkew vs ${skewFromSizes()}")
     StandingLoop(served, servedCells, cells0, stage, nTotal, triggers >= 1,
       cleanUntilDrift, postInSplitCells, finalSkew, thr)
-    })
   }
 
   def streamedMonitorRepair(s: SparkSession, d: String, nBatches: Int,

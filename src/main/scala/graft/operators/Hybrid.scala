@@ -67,6 +67,49 @@ object Hybrid {
     tfCache.clear()
   }
 
+  /** The full (term, did, c_ppm) posting relation as a PERSISTED
+    * BUCKETED table when the model store is on (VERDICT r12 Missing #2:
+    * the rescore probe re-shuffled this relation on (term, did) every
+    * run, while the capped relation next to it was already persisted).
+    * Written once per (dataset, BM25 params), bucketed by `did`,
+    * registered in the session catalog (a fresh JVM re-registers the
+    * existing files with one DDL — no rewrite). `did` rather than the
+    * join key (term) is the load-bearing choice: the query-side term
+    * lists are the SMALL side by design (Q·m rows) and broadcast, so
+    * the posting side never shuffles for the join — and because
+    * did ⊆ (qid, did), the BM25 scoring aggregate then runs directly on
+    * the bucket partitioning with NO exchange: the corpus-sized Σqf·df
+    * fanout is consumed in place and only bounded per-query heaps ever
+    * move (measured: the fanout shuffle owned q210's wall — see
+    * SCALE.md round 13). The verify-rerank probe on (term, did) rides
+    * the same bucketing (its keys are a superset of the bucket key).
+    * At 100 TB this is the bucketed posting index a production
+    * deployment maintains next to the impact-capped lists, with a
+    * bucket count sized to the corpus instead of 32. Store off → the
+    * inline relation, as before. */
+  private def storedPostings(s: SparkSession, d: String, maxDfFrac: Double,
+      k1: Double, b: Double)(inline: => DataFrame): DataFrame =
+    ModelStore.artifactPath(s, "bm25_postings", d,
+        s"df=$maxDfFrac,k1=$k1,b=$b") match {
+      case Some(p) =>
+        val table = "graft_postings_" + java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(p).toLong & 0xffffffffL)
+        if (!s.catalog.tableExists(table)) {
+          val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+          if (marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .exists(marker))
+            s.sql(s"""CREATE TABLE $table (term STRING, did BIGINT, c_ppm BIGINT)
+              USING parquet CLUSTERED BY (did) SORTED BY (did)
+              INTO 32 BUCKETS LOCATION '$p'""")
+          else
+            inline.write.mode("overwrite")
+              .bucketBy(32, "did").sortBy("did")
+              .option("path", p).format("parquet").saveAsTable(table)
+        }
+        s.table(table)
+      case None => inline
+    }
+
   /** Lexical leg: doc-as-query rational-BM25 top-k with integer-ppm
     * scores — (qid, rank, doc_id, score_ppm).
     *
@@ -138,7 +181,16 @@ object Hybrid {
     // independent size for fixed V).
     val cap = GraftConf.hybridMaxPostings(s)
     if (cap <= 0) {
-      qterms.join(posting0, Seq("term"))
+      // the query-side term lists broadcast (Q·m rows — the small side
+      // by design; a query batch too large to broadcast belongs behind
+      // the postings cap), so the posting relation — did-bucketed when
+      // the store is on — is consumed WHERE IT SITS: broadcast join,
+      // then the (qid, did) sum runs on the bucket partitioning with no
+      // exchange, and only the per-(qid, did) aggregated rows reach the
+      // downstream bounded top-k heap. Exact integer-ppm sums, so the
+      // restructured plan is hash-identical to the shuffled one.
+      broadcast(qterms)
+        .join(storedPostings(s, d, maxDfFrac, k1, b)(posting0), Seq("term"))
         .filter(col("did") =!= col("qid"))
         .groupBy(col("qid"), col("did"))
         .agg(sum(col("c_ppm")).as("score_ppm"))
@@ -159,11 +211,11 @@ object Hybrid {
           s.read.parquet(p)
         case None => computeCapped()
       }
-      if (!GraftConf.hybridCapRerank(s)) {
+      if (!GraftConf.hybridCapRerank(s, cap)) {
         // generate-only: scores count capped postings alone — the cheap
         // lever, measured at 0.38 top-5 agreement on the impact-flat
         // corpus (SCALE.md r11), kept for measuring the generation floor
-        qterms.join(capped, Seq("term"))
+        broadcast(qterms).join(capped, Seq("term"))
           .filter(col("did") =!= col("qid"))
           .groupBy(col("qid"), col("did"))
           .agg(sum(col("c_ppm")).as("score_ppm"))
@@ -171,17 +223,25 @@ object Hybrid {
         // verify-rerank (the WAND pattern proper, VERDICT r11 #5): the
         // capped lists only GENERATE candidates (≤ maxQueryTerms·cap per
         // query, the fixed-V ceiling); every survivor is then rescored
-        // EXACTLY against the full postings of its query's terms — one
-        // bounded equi-join of ≤ maxQueryTerms²·cap probe rows per query
-        // into the (term, did)-keyed posting relation. Survivor scores
-        // are bit-identical to the uncapped scores, so the only quality
-        // loss left is a true top-k doc missing from every capped list.
-        val cands = qterms
+        // EXACTLY against the full postings of its query's terms. The
+        // rescore is the FORWARD-INDEX pattern (generation reads
+        // term-keyed impact lists, rescoring fetches each candidate
+        // DOC's postings): probe the did-bucketed posting table by did
+        // alone — the bucketing matches, so the corpus-sized side plans
+        // with no exchange and only the bounded candidate relation
+        // moves — then keep the query's own terms with a broadcast join
+        // and exact-sum. Same row set as the (term, did) equi-join (a
+        // row survives iff cand(qid,did) ∧ qterm(qid,term) ∧
+        // posting(term,did)), so survivor scores stay bit-identical to
+        // the uncapped scores; the only quality loss left is a true
+        // top-k doc missing from every capped list.
+        val cands = broadcast(qterms)
           .join(capped.select(col("term"), col("did")), Seq("term"))
           .filter(col("did") =!= col("qid"))
           .select(col("qid"), col("did")).distinct()
-        cands.join(qterms, Seq("qid"))
-          .join(posting0, Seq("term", "did"))
+        cands.join(storedPostings(s, d, maxDfFrac, k1, b)(posting0),
+            Seq("did"))
+          .join(broadcast(qterms), Seq("qid", "term"))
           .groupBy(col("qid"), col("did"))
           .agg(sum(col("c_ppm")).as("score_ppm"))
       }
