@@ -147,14 +147,34 @@ object GraftConf {
     * default-on silently made loose-cap runs SLOWER than uncapped, the
     * opposite of what the cap opts into): rerank engages only for tight
     * ceilings (cap ≤ 256, the measured regime where it strictly improves
-    * agreement at a cost still under uncapped), and loose caps keep
-    * their prior generate-only behavior. Explicit true/false override
-    * either way. */
-  def hybridCapRerank(s: SparkSession, cap: Int): Boolean =
+    * agreement at a cost still under uncapped) AND bounded query
+    * batches — `rescoreEst` is the caller's Q·m²·cap rescore-row
+    * estimate, and past the fanout cutoff the rescore rivals the
+    * uncapped fanout itself (measured round 13: 500k-doc Zipf at
+    * Q=50k — cap200+rerank 413 s vs 40 s generate-only vs 286 s
+    * uncapped), so auto stays generate-only there. Explicit true/false
+    * override either way. */
+  def hybridCapRerank(s: SparkSession, cap: Int, rescoreEst: Long): Boolean =
     s.conf.get("spark.graft.hybrid.capRerank", "auto") match {
-      case "auto" => cap > 0 && cap <= 256
+      case "auto" =>
+        cap > 0 && cap <= 256 && rescoreEst <= hybridAggShuffleCutoff(s)
       case other => other.toBoolean
     }
+
+  /** Estimated fanout-row cutoff that routes the hybrid lexical
+    * tower's PLAN SHAPE. Under it (bounded query batches — the serving
+    * case) the query-side term lists broadcast and scoring/rescoring
+    * aggregates run in place on the posting table's did-buckets with
+    * zero corpus-side exchange. Over it (doc-as-query batches, where Q
+    * grows with the corpus and the fanout IS the dataset) the classic
+    * scatter-gather shapes run instead — shuffle-join on the join key,
+    * natural (qid, did) exchange — because bucket parallelism caps the
+    * in-place aggregate's task count and its group maps stop fitting
+    * (measured on the 500k-doc Zipf corpus at Q=50k: ~700M scored rows,
+    * ~21 GB of spill over 32 buckets). Default 64M rows ≈ 2M groups per
+    * bucket at 32 buckets. */
+  def hybridAggShuffleCutoff(s: SparkSession): Long =
+    s.conf.get("spark.graft.hybrid.aggShuffleCutoff", "64000000").toLong
 
   /** Staging root for streamed-state harness runs that accumulate
     * micro-batch output between triggers (the q225/q227 index-add

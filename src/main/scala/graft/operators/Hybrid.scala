@@ -81,12 +81,16 @@ object Hybrid {
     * the bucket partitioning with NO exchange: the corpus-sized Σqf·df
     * fanout is consumed in place and only bounded per-query heaps ever
     * move (measured: the fanout shuffle owned q210's wall — see
-    * SCALE.md round 13). The verify-rerank probe on (term, did) rides
-    * the same bucketing (its keys are a superset of the bucket key).
-    * At 100 TB this is the bucketed posting index a production
-    * deployment maintains next to the impact-capped lists, with a
-    * bucket count sized to the corpus instead of 32. Store off → the
-    * inline relation, as before. */
+    * SCALE.md round 13). The verify-rerank rescore fetches candidate
+    * docs' postings through the same buckets (the forward-index
+    * pattern). Both uses sit behind GraftConf.hybridAggShuffleCutoff:
+    * past it (doc-as-query batches, Q ∝ N, the fanout IS the dataset)
+    * the callers run the classic scatter-gather shapes instead, still
+    * reading this table rather than recomputing the relation. At
+    * 100 TB this is the bucketed posting index a production deployment
+    * maintains next to the impact-capped lists, with a bucket count
+    * sized to the corpus instead of 32. Store off → the inline
+    * relation, as before. */
   private def storedPostings(s: SparkSession, d: String, maxDfFrac: Double,
       k1: Double, b: Double)(inline: => DataFrame): DataFrame =
     ModelStore.artifactPath(s, "bm25_postings", d,
@@ -179,21 +183,60 @@ object Hybrid {
     // fitted quantizers (at 100 TB this is the bucketed index table a
     // production deployment would maintain; V·cap rows, corpus-
     // independent size for fixed V).
+    // stats-gated PLAN SHAPE (the knnAuto routing discipline): the
+    // broadcast-queries / aggregate-in-place-on-did-buckets plan is the
+    // zero-exchange shape for BOUNDED query batches — the serving case,
+    // where the corpus-sized posting relation must not move. With
+    // doc-as-query batches Q grows with the corpus, the fanout becomes
+    // the dataset (measured: 500k-doc Zipf at Q=50k — ~700M scored
+    // rows; in-place aggregation spills ~21 GB over 32 buckets and an
+    // explicit repartition doesn't save it, because bucket parallelism
+    // caps the aggregate's task count), and the classic scatter-gather
+    // shape — shuffle-join on term, natural (qid, did) exchange — wins:
+    // there the exchange IS the parallelism. Route by the cheap
+    // footer-stats upper bound on fanout rows; the bound is pessimistic
+    // for small-Q batches over huge corpora (per-term df is bounded by
+    // maxDfFrac·N, not measured), where the wrongly chosen exchange
+    // moves only the small true fanout.
+    val nDocs = graft.plans.TableStats.forParquet(s, s"$d/documents.parquet").rows
+    val estQ = math.max(1L, nDocs / queryMod)
+    def bigFanout(estRows: Long): Boolean =
+      estRows > GraftConf.hybridAggShuffleCutoff(s)
+    // the (qid, did) exact-sum, shaped by the fanout estimate. Over the
+    // cutoff: ONE explicit exchange, keyed by qid ALONE and sized to
+    // the fanout (~2M rows/partition). qid ⊆ (qid, did) satisfies the
+    // sum's clustering AND the downstream per-query top-k's, so Spark
+    // plans both as single complete aggregates — no partial map ever
+    // builds on the join side, and no second exchange feeds the heap.
+    // At the session default of 32 partitions the same aggregate holds
+    // tens of millions of groups per reducer and falls back to
+    // sort+spill (measured at 696M fanout rows: 18.6 GB spill, 554 s;
+    // sized + single-phase: no spill). Under the cutoff: no exchange at
+    // all — the input is already did-bucketed or candidate-sized.
+    def grouped(scored: DataFrame, estRows: Long): DataFrame = {
+      val base = if (bigFanout(estRows))
+        scored.repartition(
+          math.min(1024, math.max(32, (estRows / 2000000L).toInt)), col("qid"))
+      else scored
+      base.groupBy(col("qid"), col("did"))
+        .agg(sum(col("c_ppm")).as("score_ppm"))
+    }
     val cap = GraftConf.hybridMaxPostings(s)
     if (cap <= 0) {
-      // the query-side term lists broadcast (Q·m rows — the small side
-      // by design; a query batch too large to broadcast belongs behind
-      // the postings cap), so the posting relation — did-bucketed when
-      // the store is on — is consumed WHERE IT SITS: broadcast join,
-      // then the (qid, did) sum runs on the bucket partitioning with no
-      // exchange, and only the per-(qid, did) aggregated rows reach the
-      // downstream bounded top-k heap. Exact integer-ppm sums, so the
-      // restructured plan is hash-identical to the shuffled one.
-      broadcast(qterms)
-        .join(storedPostings(s, d, maxDfFrac, k1, b)(posting0), Seq("term"))
-        .filter(col("did") =!= col("qid"))
-        .groupBy(col("qid"), col("did"))
-        .agg(sum(col("c_ppm")).as("score_ppm"))
+      val posting = storedPostings(s, d, maxDfFrac, k1, b)(posting0)
+      val est = estQ * maxQueryTerms * (maxDfFrac * nDocs).toLong
+      val fanout =
+        if (bigFanout(est))
+          qterms.join(posting, Seq("term"))
+        else
+          // bounded batch: the query-side term lists broadcast (Q·m
+          // rows), the did-bucketed posting relation is consumed WHERE
+          // IT SITS, and the (qid, did) sum runs on the bucket
+          // partitioning with no exchange — only the per-(qid, did)
+          // sums reach the downstream bounded top-k heap. Exact
+          // integer-ppm sums, so both shapes are hash-identical.
+          broadcast(qterms).join(posting, Seq("term"))
+      grouped(fanout.filter(col("did") =!= col("qid")), est)
     } else {
       def computeCapped() = {
         val wp = Window.partitionBy(col("term"))
@@ -211,39 +254,51 @@ object Hybrid {
           s.read.parquet(p)
         case None => computeCapped()
       }
-      if (!GraftConf.hybridCapRerank(s, cap)) {
+      if (!GraftConf.hybridCapRerank(s, cap,
+          rescoreEst = estQ * maxQueryTerms * maxQueryTerms * cap)) {
         // generate-only: scores count capped postings alone — the cheap
         // lever, measured at 0.38 top-5 agreement on the impact-flat
         // corpus (SCALE.md r11), kept for measuring the generation floor
-        broadcast(qterms).join(capped, Seq("term"))
-          .filter(col("did") =!= col("qid"))
-          .groupBy(col("qid"), col("did"))
-          .agg(sum(col("c_ppm")).as("score_ppm"))
+        val est = estQ * maxQueryTerms * cap
+        val gen = if (bigFanout(est)) qterms.join(capped, Seq("term"))
+          else broadcast(qterms).join(capped, Seq("term"))
+        grouped(gen.filter(col("did") =!= col("qid")), est)
       } else {
         // verify-rerank (the WAND pattern proper, VERDICT r11 #5): the
         // capped lists only GENERATE candidates (≤ maxQueryTerms·cap per
         // query, the fixed-V ceiling); every survivor is then rescored
-        // EXACTLY against the full postings of its query's terms. The
-        // rescore is the FORWARD-INDEX pattern (generation reads
-        // term-keyed impact lists, rescoring fetches each candidate
-        // DOC's postings): probe the did-bucketed posting table by did
-        // alone — the bucketing matches, so the corpus-sized side plans
-        // with no exchange and only the bounded candidate relation
-        // moves — then keep the query's own terms with a broadcast join
-        // and exact-sum. Same row set as the (term, did) equi-join (a
-        // row survives iff cand(qid,did) ∧ qterm(qid,term) ∧
-        // posting(term,did)), so survivor scores stay bit-identical to
-        // the uncapped scores; the only quality loss left is a true
-        // top-k doc missing from every capped list.
-        val cands = broadcast(qterms)
+        // EXACTLY against the full postings of its query's terms. Two
+        // shapes behind the same fanout gate:
+        //  - bounded batch: the FORWARD-INDEX pattern (generation reads
+        //    term-keyed impact lists, rescoring fetches each candidate
+        //    DOC's postings) — probe the did-bucketed posting table by
+        //    did alone, so the corpus-sized side plans with no exchange
+        //    and only the bounded candidate relation moves, then keep
+        //    the query's own terms with a broadcast join and exact-sum.
+        //  - corpus-growing Q: the scatter-gather (term, did) equi-join
+        //    — there the probe relation dwarfs the posting relation, so
+        //    moving postings is the cheap part and the exchanges are
+        //    the parallelism.
+        // Same row set either way (a row survives iff cand(qid,did) ∧
+        // qterm(qid,term) ∧ posting(term,did)), so survivor scores stay
+        // bit-identical to the uncapped scores; the only quality loss
+        // left is a true top-k doc missing from every capped list.
+        val est = estQ * maxQueryTerms * maxQueryTerms * cap
+        val big = bigFanout(est)
+        val qSide = if (big) qterms else broadcast(qterms)
+        val cands = qSide
           .join(capped.select(col("term"), col("did")), Seq("term"))
           .filter(col("did") =!= col("qid"))
           .select(col("qid"), col("did")).distinct()
-        cands.join(storedPostings(s, d, maxDfFrac, k1, b)(posting0),
-            Seq("did"))
-          .join(broadcast(qterms), Seq("qid", "term"))
-          .groupBy(col("qid"), col("did"))
-          .agg(sum(col("c_ppm")).as("score_ppm"))
+        val posting = storedPostings(s, d, maxDfFrac, k1, b)(posting0)
+        val rescored =
+          if (big)
+            cands.join(qterms, Seq("qid"))
+              .join(posting, Seq("term", "did"))
+          else
+            cands.join(posting, Seq("did"))
+              .join(broadcast(qterms), Seq("qid", "term"))
+        grouped(rescored, est)
       }
     }
   }

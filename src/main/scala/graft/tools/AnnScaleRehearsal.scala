@@ -228,6 +228,47 @@ object AnnScaleRehearsal {
       out.append(line).append(",")
     }
 
+    // --- standing-loop restart recovery (round 13): crash the loop
+    // right after the first post-swap batch commit (partition on disk,
+    // monitor map + manifest unwritten — the worst point), clear every
+    // in-memory cache (the driver-death hook), then time the RESUME
+    // against the same staging dir. The claim under measurement:
+    // recovery = a directory listing + one cells-sized count + only the
+    // batches that never committed — never a re-repair of already
+    // swapped work, never a corpus rescan.
+    if (only.forall(_.exists("loop_recovery".startsWith))) {
+      Seq("base" -> baseDir, s"x$factor" -> work).foreach { case (tag, dir) =>
+        val stage = s"$work/recovery_stage_$tag"
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(sp, true)
+        fs.mkdirs(sp)
+        graft.operators.Ann.clearCaches()
+        val t0 = System.nanoTime()
+        val crashSec = try {
+          graft.operators.Ann.runStandingLoop(spark, dir, nBatches = 4,
+            postBatches = 2, stage = stage, crashAfterCommits = 5)
+          Double.NaN // unreachable: the hook always fires at commit 5
+        } catch {
+          case _: graft.operators.Ann.SimulatedCrash =>
+            (System.nanoTime() - t0) / 1e9
+        }
+        graft.operators.Ann.clearCaches() // driver died: no state survives
+        m.reset()
+        val t1 = System.nanoTime()
+        val loop = graft.operators.Ann.runStandingLoop(spark, dir,
+          nBatches = 4, postBatches = 2, stage = stage)
+        val resumeSec = (System.nanoTime() - t1) / 1e9
+        val line = f""""$tag/loop_recovery":{"crash_sec":$crashSec%.2f,""" +
+          f""""resume_sec":$resumeSec%.2f,"n_total":${loop.nTotal},""" +
+          f""""shuffle_read_mb":${m.sr.get / 1e6}%.1f,"spill_mb":${m.spill.get / 1e6}%.1f}"""
+        println(s"[ann-rehearsal] $line")
+        out.append(line).append(",")
+        loop.served.unpersist()
+        fs.delete(sp, true)
+      }
+    }
+
     // --- NN-Descent sensitivity sweep (opt-in: 4th arg "sweep") —
     // recall measured at 1× against the exact N² edge build (feasible
     // there), wall measured at factor× where the exact build is not:

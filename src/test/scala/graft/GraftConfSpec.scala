@@ -302,6 +302,25 @@ class GraftConfSpec extends SparkSpec {
     assert(capped.sum < base.size, "tight cap did not shrink the candidate relation")
   }
 
+  test("capRerank auto engages only for tight caps AND bounded rescore fanout") {
+    // the measured regimes (SCALE.md r12 curve + r13 corpus-scale-Q
+    // point): rerank strictly improves agreement under uncapped cost
+    // only when the cap is tight AND the Q·m²·cap rescore stays under
+    // the fanout cutoff — loose caps and corpus-scale query batches
+    // keep generate-only; explicit conf overrides both ways
+    val cutoff = GraftConf.hybridAggShuffleCutoff(spark)
+    assert(GraftConf.hybridCapRerank(spark, 200, rescoreEst = 1000L))
+    assert(!GraftConf.hybridCapRerank(spark, 500, rescoreEst = 1000L),
+      "loose cap must not auto-rerank")
+    assert(!GraftConf.hybridCapRerank(spark, 200, rescoreEst = cutoff + 1),
+      "corpus-scale rescore fanout must not auto-rerank")
+    assert(!GraftConf.hybridCapRerank(spark, 0, rescoreEst = 0L))
+    spark.conf.set("spark.graft.hybrid.capRerank", "true")
+    try assert(GraftConf.hybridCapRerank(spark, 5000, rescoreEst = cutoff * 2),
+      "explicit true must override the auto gate")
+    finally spark.conf.unset("spark.graft.hybrid.capRerank")
+  }
+
   test("spark.graft.stream.stageDir roots the streamed staging dirs (shared-FS cluster contract)") {
     // q225/q227 accumulate micro-batch state between triggers; on a real
     // cluster that staging root must be a shared-FS path every executor
