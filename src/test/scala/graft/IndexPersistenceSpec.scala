@@ -274,6 +274,31 @@ class IndexPersistenceSpec extends SparkSpec {
     }
   }
 
+  test("curation stage chain persists: a re-run resumes from committed stages, never rewrites") {
+    withIndexDir { dir =>
+      def run() = Registry.byName("q193_curation_pipeline").run(spark, sfTiny)
+        .collect().map(_.toSeq).toSeq
+      val first = run()
+      val work = operators.ModelStore
+        .artifactPath(spark, "curation_stages", sfTiny, "v1").get
+      assert(new java.io.File(work, "s1_gate/_DONE").exists(),
+        s"committed stage marker missing under $work")
+      def mtimes(): Map[String, Long] = {
+        val base = java.nio.file.Paths.get(work)
+        val st = java.nio.file.Files.walk(base)
+        try st.filter(java.nio.file.Files.isRegularFile(_)).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .map(p => base.relativize(p).toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+        finally st.close()
+      }
+      val before = mtimes()
+      assert(run() == first, "resumed chain changed the manifest")
+      assert(mtimes() == before,
+        "stage files rewritten — the re-run should resume from the _DONE markers")
+    }
+  }
+
   test("without index.dir, nothing is written and queries still pass (in-memory fit)") {
     Ann.clearCaches()
     assert(GraftConf.indexDir(spark).isEmpty)
