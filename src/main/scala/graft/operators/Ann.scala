@@ -1745,6 +1745,29 @@ object Ann {
     // monitor state from the committed batch partitions plus the latest
     // manifest — a directory listing, one cells-sized count over the
     // current version, and the unfolded tail. Never a re-repair.
+    //
+    // TORN batches are reaped FIRST (ADVICE r13, medium): the realistic
+    // driver death is mid-partition-write, which leaves a batch_id=N dir
+    // with data files and no _SUCCESS. committedIds() already ignores it
+    // for the watermarks, but every bulk read below (the no-manifest
+    // addCounts, unfolded()'s folded-side-only filter, the
+    // postInSplitCells count) scans the whole dir — the torn rows would
+    // fold into the monitor map and, through the preamble's repair, into
+    // the served version, after which replay rewrites and RE-counts the
+    // full batch: silently duplicated vectors that the drained
+    // self-check cannot see (map and relation are consistently wrong
+    // together). Deleting the uncommitted partition dirs up front makes
+    // every later read committed-only and lets replay rewrite them
+    // cleanly — the same partial-write discipline the batch sinks
+    // themselves rely on (mode overwrite into the partition dir).
+    def reapTorn(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("batch_id="))
+          .filterNot(bp => fs.exists(new org.apache.hadoop.fs.Path(bp, "_SUCCESS")))
+          .foreach(bp => fs.delete(bp, true))
+    }
     def committedIds(dir: String): Seq[Long] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       if (!fs.exists(p)) Seq.empty
@@ -1755,6 +1778,8 @@ object Ann {
           new org.apache.hadoop.fs.Path(s"$dir/batch_id=$b", "_SUCCESS")))
         .sorted
     }
+    reapTorn(addDir)
+    reapTorn(postDir)
     val addCommitted = committedIds(addDir)
     val postCommitted = committedIds(postDir)
     if (addCommitted.nonEmpty || postCommitted.nonEmpty) {

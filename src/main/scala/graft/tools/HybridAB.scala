@@ -32,10 +32,14 @@ object HybridAB {
         f"shuffle_read_mb=${m.sr.get / 1e6}%.1f spill_mb=${m.spill.get / 1e6}%.1f")
     }
     run("storeOn")
-    val prev = spark.conf.get("spark.graft.index.dir")
-    spark.conf.unset("spark.graft.index.dir")
-    run("storeOff_inline")
-    spark.conf.set("spark.graft.index.dir", prev)
+    // getOption + try/finally (ADVICE r13): with the model store off the
+    // key is absent — a bare get threw after the storeOn arm, and any
+    // failure between unset and restore would have skipped the restore
+    val prev = spark.conf.getOption("spark.graft.index.dir")
+    try {
+      spark.conf.unset("spark.graft.index.dir")
+      run("storeOff_inline")
+    } finally prev.foreach(spark.conf.set("spark.graft.index.dir", _))
     spark.stop()
   }
 }

@@ -94,6 +94,45 @@ class StandingLoopRecoverySpec extends SparkSpec {
     cleanup(resumed)
   }
 
+  test("TORN partition write (data files, no _SUCCESS): recovery reaps it — no silently duplicated vectors") {
+    val s = spark
+    val conf = s.sparkContext.hadoopConfiguration
+    val stage = Files.createTempDirectory("graft_slr_torn").toString
+    // die right after post batch 0 commits (the post-trigger regime,
+    // where ADVICE r13's hazard lives: unfolded() has no upper bound at
+    // the committed watermark, so torn rows would fold into the monitor
+    // map AND the next repaired version before replay re-adds the real
+    // batch — duplicated vectors the drained self-check cannot see)
+    intercept[Ann.SimulatedCrash] {
+      Ann.runStandingLoop(s, sfTiny, nBatches = 4, postBatches = 2,
+        stage = stage, crashAfterCommits = 5)
+    }
+    // forge the realistic mid-write crash artifact: a batch_id=1 dir
+    // with REAL parquet data files but no _SUCCESS marker (clone the
+    // committed batch 0 partition, then strip its commit marker) —
+    // plausible rows that duplicate already-counted vectors, exactly
+    // the silent-duplication shape
+    val fs = new org.apache.hadoop.fs.Path(stage).getFileSystem(conf)
+    val src = new org.apache.hadoop.fs.Path(s"$stage/post/batch_id=0")
+    val torn = new org.apache.hadoop.fs.Path(s"$stage/post/batch_id=1")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(src, "_SUCCESS")))
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, torn, false, conf)
+    fs.delete(new org.apache.hadoop.fs.Path(torn, "_SUCCESS"), false)
+    assert(fs.exists(torn))
+
+    Ann.clearCaches() // driver died: no in-memory state survives
+    val resumed = Ann.runStandingLoop(s, sfTiny, nBatches = 4,
+      postBatches = 2, stage = stage)
+    // the reap must have let replay rewrite batch 1 cleanly: bit-equal
+    // to the uninterrupted run, every vector exactly once
+    assertSameLoop(resumed, uninterrupted)
+    assert(resumed.served.select(col("vec_id")).distinct().count()
+      == resumed.nTotal, "duplicate vec_ids in the served relation")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(torn, "_SUCCESS")),
+      "replay did not rewrite the reaped batch as a committed partition")
+    cleanup(resumed)
+  }
+
   test("crash mid-phase-1, before the drift wave: resume equals the uninterrupted run") {
     val s = spark
     val stage = Files.createTempDirectory("graft_slr_p1").toString
