@@ -6,6 +6,22 @@ object Bench {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
+
+  /** The committed artifact's per-query medians, parsed leniently (the
+    * `queries` object holds flat name:number pairs, nothing nested) —
+    * read BEFORE this run overwrites the file, to classify the run
+    * against the last committed signal. */
+  private def committedMedians(path: java.nio.file.Path): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(path)
+      "\"queries\":\\{(.*?)\\}".r.findFirstMatchIn(txt).map(_.group(1)) match {
+        case Some(body) =>
+          "\"([^\"]+)\":([-0-9.eE+]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        case None => Map.empty
+      }
+    } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = BenchLock.exclusively("bench") {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // shared builder: UTC pin + persistent model store, so a fresh bench
@@ -17,22 +33,20 @@ object Bench {
     // across rounds (a Map's iteration order would hand the warmup cost to
     // a random query each run).
     Tables.lineitem(spark, sfDir).count()
-    // Noise robustness: the graded artifact has been distorted by host
-    // contention in three consecutive rounds (one random query absorbing a
-    // 10x CPU-steal spike), so EVERY query is measured `repeats` times and
-    // the MEDIAN is reported — one contended run can no longer move a
-    // query's number. Slow queries are no longer exempt (they were
-    // min-of-2 through round 10, which is exactly where the r10 q189
-    // 1.55x "is it noise?" ambiguity lived); only a first run past the
-    // hard cap keeps its single measurement, so rehearsal-scale inputs
-    // don't triple an already-long run. The full artifact additionally
-    // records each query's [min, median, max] across the repeats — the
-    // measured per-query noise floor, so a cross-round swing is
-    // classifiable from the artifact alone (BASELINE.md "noise floor").
+    // Noise robustness: EVERY query is measured `repeats` times and the
+    // MEDIAN is reported — one contended run cannot move a query's
+    // number. Only a first run past the hard cap keeps its single
+    // measurement, so rehearsal-scale inputs don't triple a long run.
+    // The artifact records each query's [min, median, max] — the
+    // measured per-query noise floor (BASELINE.md "noise floor").
     val maxRepeats = spark.conf.get("spark.graft.bench.repeats",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3")).toInt
     val hardCapSec = 30.0
+    streaming.StreamingJobs.TriggerTiming.reset()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // label the streamed jobs' per-trigger work with this query's name
+      // (VERDICT r13 #6) — accumulated across the repeats
+      streaming.StreamingJobs.TriggerTiming.label = name
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         // a failing query must surface as an error, not bench as "fast":
@@ -59,25 +73,45 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m), _) =>
       "\"" + k + "\":\"" + esc(m) + "\"" }.mkString("{", ",", "}")
+    // streamed work-vs-wait attribution (VERDICT r13 #6): for each
+    // streamed query, the summed foreachBatch busy seconds and trigger
+    // count across its repeats — wall (in `spread`) minus work is the
+    // trigger-wait share, which is where host-load sensitivity lives, so
+    // a cross-round streamed swing is classifiable from the artifact
+    // alone (tools/bench_diff.py "stream-wait" rule)
+    val streamTimes = streaming.StreamingJobs.TriggerTiming.snapshot
+    val stream = results.flatMap { case (k, _, _, _) =>
+      streamTimes.get(k).map { case (batches, nanos) =>
+        s"\"" + k + "\":{\"work\":" + s3(nanos / 1e9) +
+          ",\"batches\":" + batches + "}" }
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
-    // Compact final line for the driver: its tail capture is ~2,000 chars
-    // and the full per-query map is ~6 KB, so a full-line final print
-    // starts mid-line in BENCH_r* ("parsed": null). The compact line
-    // carries total/counts/sf only (≤ 200 chars); the full per-query map
-    // lives in the artifact file below.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"stream":$stream,"sf":"$sfDir"}"""
     // Locale-pinned rounding (ADVICE r9): the f-interpolator's %.3f uses
     // the default JVM locale, which under a comma-decimal locale would
     // print `"value":210,957` and break the driver's JSON parse.
-    val totalStr = java.math.BigDecimal.valueOf(total)
-      .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    val totalStr = s3(total)
     val compact = s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
-    // Also persist the full artifact: the driver's BENCH_r* capture
-    // truncates stdout at 2,000 chars, which loses the per-query map for
-    // most of the suite — the file keeps cross-round per-query
-    // comparison possible. Path override: SPARK_GRAFT_BENCH_OUT.
+    // The full artifact goes to the FILE; stdout carries only what the
+    // driver's ~2,000-char tail can hold whole (VERDICT r13 #5: the full
+    // per-query map is ~6 KB, so printing it front-truncated the tail and
+    // only 47/221 spreads reached BENCH_r13 — while the same map already
+    // lived in this file). Path override: SPARK_GRAFT_BENCH_OUT.
     val sfName = new java.io.File(sfDir).getName
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench_$sfName.json")
+    // out-of-band rows vs the COMMITTED artifact (read before overwrite):
+    // median > 2x committed AND +0.75s absolute — the same first-pass
+    // screen bench_diff applies, so the driver tail itself says which
+    // queries moved and by how much, without needing the truncated map
+    val committed = committedMedians(java.nio.file.Paths.get(outPath))
+    val oob = results.flatMap { case (k, v, _, _) =>
+      committed.get(k).collect {
+        case c if v > 2 * c && v - c > 0.75 => (k, c, v)
+      }
+    }.sortBy { case (_, c, v) => c - v }.take(12)
+    val oobLine = s"""{"metric":"oob_vs_committed","n_oob":${oob.size},"known":${committed.nonEmpty},"rows":${
+      oob.map { case (k, c, v) => s"\"" + k + "\":[" + s3(c) + "," + s3(v) + "]" }
+        .mkString("{", ",", "}")}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
@@ -85,11 +119,12 @@ object Bench {
       s"[bench] ${results.count(_._3.isDefined)} queries FAILED — totals are not comparable")
     // Stop the session BEFORE printing, so the JSON is the FINAL stdout
     // line of the run — the driver tail-parses stdout and anything Spark
-    // emits during shutdown after an early print could bury it. The full
-    // line prints first (greppable locally), the compact line LAST (the
-    // driver's 2,000-char tail always contains it whole).
+    // emits during shutdown after an early print could bury it. The oob
+    // line prints first, the compact line LAST (the driver's 2,000-char
+    // tail must always contain it whole — and with the oob line capped at
+    // 12 rows the tail usually holds both).
     spark.stop()
-    println(line)
+    println(oobLine)
     println(compact)
   }
 }

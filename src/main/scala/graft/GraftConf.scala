@@ -161,6 +161,33 @@ object GraftConf {
       case other => other.toBoolean
     }
 
+  /** Bucket count for the hybrid tower's persisted posting/tf/lens
+    * catalog tables (operators.Hybrid). "auto" (default) sizes to the
+    * corpus — the ivf.cells discipline applied to the lexical index
+    * (ADVICE r13: the old hard-coded 32 was the "corpus-sized in
+    * production" TODO): the smallest power of two giving ≤ ~1M docs
+    * per bucket, clamped to [32, 4096] (at ~hundreds of posting rows
+    * per doc that is ~10⁸ rows ≈ low-GB parquet per bucket — one
+    * healthy task; 10⁹-doc corpora land at 1024-4096 buckets). A
+    * numeric value pins it. The RESOLVED count is part of the artifact
+    * params (operators.Hybrid.storedPostings), so a resize re-builds
+    * the artifact instead of re-registering files under a mismatched
+    * bucket spec — and the count actually used by a write is recorded
+    * in the artifact's `_meta` sidecar, which the re-registration DDL
+    * is built from. */
+  def hybridPostingBuckets(s: SparkSession, docRows: Long): Int =
+    s.conf.get("spark.graft.hybrid.postingBuckets", "auto") match {
+      case "auto" =>
+        val target = math.max(1L, docRows / 1000000L)
+        var bk = 32
+        while (bk < 4096 && bk < target) bk <<= 1
+        bk
+      case v =>
+        val i = v.toInt
+        require(i >= 1, s"spark.graft.hybrid.postingBuckets must be >= 1, got $i")
+        i
+    }
+
   /** Estimated fanout-row cutoff that routes the hybrid lexical
     * tower's PLAN SHAPE. Under it (bounded query batches — the serving
     * case) the query-side term lists broadcast and scoring/rescoring

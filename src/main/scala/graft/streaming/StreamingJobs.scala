@@ -20,6 +20,40 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingJobs {
 
+  /** Per-trigger WORK timing for the micro-batch state jobs (VERDICT
+    * r13 #6: streamed-query walls swing 2-5× with host load, and
+    * without a work-vs-wait split every swing costs a manual re-run to
+    * classify). Every apply*Batch body records here — through
+    * [[withStateVersion]] for the versioned-state family and explicit
+    * [[TriggerTiming.record]] wraps for the partition-dir sinks — so
+    * the time INSIDE per-trigger merge/commit work is separable from
+    * everything around it (stream bookkeeping, file discovery, host
+    * scheduling: the load-sensitive share). The accumulated
+    * (batches, busy-nanos) per label lets Bench emit
+    * `stream: {q: {work, batches}}` into its artifact; wall − work is
+    * the wait share, and tools/bench_diff.py's stream-wait rule
+    * classifies a cross-round swing from the artifacts alone. Labels
+    * are set by the measuring caller (Bench tags each query before its
+    * repeats); the jobs are driver-side and awaited synchronously per
+    * query, so one volatile label is race-free for the bench's
+    * sequential use. */
+  object TriggerTiming {
+    @volatile var label: String = "untagged"
+    private val acc = scala.collection.concurrent.TrieMap
+      .empty[String, (Long, Long)] // label -> (batches, busyNanos)
+    def record[T](body: => T): T = {
+      val t0 = System.nanoTime()
+      try body
+      finally {
+        val l = label
+        val (b, n) = acc.getOrElse(l, (0L, 0L))
+        acc.update(l, (b + 1, n + (System.nanoTime() - t0)))
+      }
+    }
+    def snapshot: Map[String, (Long, Long)] = acc.toMap
+    def reset(): Unit = acc.clear()
+  }
+
   /** Shared transform: tumbling 1-hour window count/sum per event type. */
   def windowedAgg(events: DataFrame): DataFrame =
     events
@@ -217,9 +251,11 @@ object StreamingJobs {
   def applyIndexAddBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       corpusDir: String, outDir: String): Boolean = {
     if (batchPartitionCommitted(spark, outDir, batchId)) return false // replay
-    graft.operators.Ann.assignCells(spark, corpusDir, batch)
-      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-    true
+    TriggerTiming.record {
+      graft.operators.Ann.assignCells(spark, corpusDir, batch)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      true
+    }
   }
 
   /** [[applyIndexAddBatch]] for a REPAIRED index version: the batch is
@@ -236,9 +272,11 @@ object StreamingJobs {
       batchId: Long, centroids: Array[(Int, Array[Double])],
       outDir: String): Boolean = {
     if (batchPartitionCommitted(spark, outDir, batchId)) return false // replay
-    graft.operators.Ann.assignWithCentroids(batch, centroids)
-      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-    true
+    TriggerTiming.record {
+      graft.operators.Ann.assignWithCentroids(batch, centroids)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      true
+    }
   }
 
   def runStreamingIndexAdd(spark: SparkSession, streamDir: String, corpusDir: String,
@@ -286,17 +324,19 @@ object StreamingJobs {
     val seenDir = s"$outDir/_seen"
     val survivorsDir = s"$outDir/survivors"
     if (batchPartitionCommitted(spark, seenDir, batchId)) return false // replay
-    val b = batch.select(col("doc_id"), col("source"), col("text"))
-    val seen =
-      try spark.read.parquet(seenDir)
-        .filter(col("batch_id") < batchId)
-        .select(col("doc_id"), col("source"), col("text"))
-      catch { case _: Exception => b.limit(0) }
-    val ref = corpus.unionByName(seen)
-    graft.operators.Dedup.incrementalDedupFrames(ref, b, threshold)
-      .write.mode("overwrite").parquet(s"$survivorsDir/batch_id=$batchId")
-    b.write.mode("overwrite").parquet(s"$seenDir/batch_id=$batchId")
-    true
+    TriggerTiming.record {
+      val b = batch.select(col("doc_id"), col("source"), col("text"))
+      val seen =
+        try spark.read.parquet(seenDir)
+          .filter(col("batch_id") < batchId)
+          .select(col("doc_id"), col("source"), col("text"))
+        catch { case _: Exception => b.limit(0) }
+      val ref = corpus.unionByName(seen)
+      graft.operators.Dedup.incrementalDedupFrames(ref, b, threshold)
+        .write.mode("overwrite").parquet(s"$survivorsDir/batch_id=$batchId")
+      b.write.mode("overwrite").parquet(s"$seenDir/batch_id=$batchId")
+      true
+    }
   }
 
   def runStreamingTextDedup(spark: SparkSession, streamDir: String,
@@ -350,19 +390,24 @@ object StreamingJobs {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = committedVersions(fs, dir)
     if (versions.lastOption.exists(_._1 >= batchId)) return false // replay: no-op
-    val prev = versions.lastOption.map { case (_, p) => spark.read.parquet(p.toString) }
-    val out = merge(prev)
-    val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
-    (if (coalesceOne) out.coalesce(1) else out)
-      .write.mode("overwrite").parquet(target.toString)
-    fs.listStatus(dir).foreach { st =>
-      st.getPath.getName match {
-        case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
-          fs.delete(st.getPath, true)
-        case _ => ()
+    // applied (non-replay) triggers record their merge+commit wall as
+    // WORK (TriggerTiming) — the per-trigger share a bench artifact can
+    // subtract from the query wall to isolate load-sensitive wait
+    TriggerTiming.record {
+      val prev = versions.lastOption.map { case (_, p) => spark.read.parquet(p.toString) }
+      val out = merge(prev)
+      val target = new org.apache.hadoop.fs.Path(dir, s"state_b$batchId")
+      (if (coalesceOne) out.coalesce(1) else out)
+        .write.mode("overwrite").parquet(target.toString)
+      fs.listStatus(dir).foreach { st =>
+        st.getPath.getName match {
+          case StateVersionRe(b) if st.isDirectory && b.toLong < batchId =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
       }
+      true
     }
-    true
   }
 
   /** Committed (_SUCCESS-marked) state versions under `stateDir` as

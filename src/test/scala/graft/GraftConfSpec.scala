@@ -321,6 +321,24 @@ class GraftConfSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.hybrid.capRerank")
   }
 
+  test("spark.graft.hybrid.postingBuckets: auto sizes to the corpus (ivf.cells discipline), explicit pins") {
+    // auto: smallest power of two at ≤ ~1M docs/bucket, clamped [32, 4096]
+    assert(GraftConf.hybridPostingBuckets(spark, 500L) == 32)
+    assert(GraftConf.hybridPostingBuckets(spark, 50000000L) == 64,
+      "50M docs should spill past the 32-bucket floor")
+    assert(GraftConf.hybridPostingBuckets(spark, 1000000000L) == 1024)
+    assert(GraftConf.hybridPostingBuckets(spark, 100000000000L) == 4096,
+      "the cap must bound the bucket count at extreme corpora")
+    spark.conf.set("spark.graft.hybrid.postingBuckets", "8")
+    try assert(GraftConf.hybridPostingBuckets(spark, 1000000000L) == 8)
+    finally spark.conf.unset("spark.graft.hybrid.postingBuckets")
+    intercept[IllegalArgumentException] {
+      spark.conf.set("spark.graft.hybrid.postingBuckets", "0")
+      try GraftConf.hybridPostingBuckets(spark, 1L)
+      finally spark.conf.unset("spark.graft.hybrid.postingBuckets")
+    }
+  }
+
   test("spark.graft.stream.stageDir roots the streamed staging dirs (shared-FS cluster contract)") {
     // q225/q227 accumulate micro-batch state between triggers; on a real
     // cluster that staging root must be a shared-FS path every executor

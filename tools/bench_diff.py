@@ -41,24 +41,35 @@ def slack(median_sec: float) -> float:
 
 SPREAD_RE = re.compile(r'"(q\d+[a-zA-Z0-9_]*)":\[([0-9.]+),([0-9.]+),([0-9.]+)\]')
 TOTAL_RE = re.compile(r'\{"metric":"total","value":([0-9.]+)')
+OOB_RE = re.compile(r'\{"metric":"oob_vs_committed".*?"rows":(\{[^}]*\})')
 
 
 def load_driver(path: str):
-    """Per-query [min, med, max] triples + total from a driver BENCH
-    artifact (parsed from the stdout tail; the tail is truncated at the
-    front, so early queries may be absent — reported, not guessed) or
-    from a plain graft.Bench bench_sf0.1.json (then nothing is
-    truncated)."""
+    """Per-query [min, med, max] triples + total + streamed work map from
+    a driver BENCH artifact (parsed from the stdout tail) or a plain
+    graft.Bench bench_sf0.1.json (then nothing is truncated). Since
+    round 14 the stdout tail carries only the compact total and the
+    oob-vs-committed pre-screen (the full spread map front-truncated the
+    2,000-char tail — only 47/221 spreads survived in round 13); the
+    oob rows are returned separately and the full per-query comparison
+    should diff two graft.Bench artifacts (the driver's run overwrites
+    bench_sf0.1.json in place; git holds the committed one)."""
     with open(path) as f:
         data = json.load(f)
     if "spread" in data:  # a graft.Bench artifact directly
-        return {q: tuple(v) for q, v in data["spread"].items()}, data["value"], False
+        return ({q: tuple(v) for q, v in data["spread"].items()},
+                data["value"], False, None, data.get("stream") or {})
     tail = data.get("tail", "")
     spreads = {q: (float(a), float(b), float(c))
                for q, a, b, c in SPREAD_RE.findall(tail)}
     totals = TOTAL_RE.findall(tail)
     total = float(totals[-1]) if totals else (data.get("parsed") or {}).get("value")
-    return spreads, total, True
+    oob = None
+    m = OOB_RE.search(tail)
+    if m:
+        oob = {q: (float(c), float(v)) for q, c, v in re.findall(
+            r'"(q\d+[a-zA-Z0-9_]*)":\[([0-9.]+),([0-9.]+)\]', m.group(1))}
+    return spreads, total, True, oob, {}
 
 
 def main():
@@ -69,11 +80,12 @@ def main():
     ap.add_argument("-o", "--out", help="write the markdown report here (default stdout)")
     args = ap.parse_args()
 
-    drv, drv_total, truncated = load_driver(args.driver)
+    drv, drv_total, truncated, drv_oob, drv_stream = load_driver(args.driver)
     with open(args.committed) as f:
         com = json.load(f)
     com_spread = {q: tuple(v) for q, v in com["spread"].items()}
     com_total = com["value"]
+    com_stream = com.get("stream") or {}
 
     weather = drv_total / com_total if drv_total and com_total else 1.0
     lines = []
@@ -86,6 +98,21 @@ def main():
     lines.append(f"- global weather factor (driver/committed): **{weather:.2f}×** — "
                  "a uniform shift of this size is run environment, not plans")
     lines.append("")
+    if drv_oob is not None:
+        # round-14 tail format: the bench run pre-screened itself against
+        # the committed artifact it found on disk (median > 2x and
+        # +0.75s) and printed only those rows — nothing is truncated
+        lines.append(f"## Driver-side oob pre-screen ({len(drv_oob)} rows, "
+                     "from the bench run's own compare against the on-disk artifact)")
+        lines.append("")
+        if drv_oob:
+            lines.append("| query | committed med | driver med | factor |")
+            lines.append("|---|---|---|---|")
+            for q, (c, v) in sorted(drv_oob.items(), key=lambda kv: -(kv[1][1] - kv[1][0])):
+                lines.append(f"| {q} | {c:.2f} | {v:.2f} | {v / c if c else float('inf'):.2f}× |")
+        else:
+            lines.append("No query exceeded 2× committed + 0.75 s in the driver's run.")
+        lines.append("")
 
     rows = []
     n_in = 0
@@ -104,6 +131,15 @@ def main():
         # if the weather-normalized factor falls back inside the slack
         # band, the whole-run shift explains it
         verdict = "weather?" if (1 / s) <= norm <= s else "REGRESSION?" if factor > 1 else "improvement"
+        # streamed work-vs-wait rule (round 14): when both artifacts
+        # carry per-trigger foreachBatch work for q and the WORK moved
+        # in-band while the wall blew out, the swing sits in trigger
+        # wait (file discovery, stream bookkeeping, host scheduling) —
+        # load sensitivity, not a plan change; no re-run needed
+        if verdict == "REGRESSION?" and q in drv_stream and q in com_stream:
+            wc, wd = com_stream[q].get("work"), drv_stream[q].get("work")
+            if wc and wd and (1 / s) <= (wd / wc) <= s:
+                verdict = "stream-wait?"
         rows.append((q, cmed, (cmin, cmax), dmed, factor, norm, verdict))
 
     lines.append(f"## Out-of-band queries ({len(rows)} of {n_in + len(rows)} compared)")
