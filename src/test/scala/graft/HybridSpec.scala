@@ -70,6 +70,66 @@ class HybridSpec extends SparkSpec {
     assert(wideRerank == base, "over-wide cap with rerank changed the relation")
   }
 
+  test("posting bucket count is a pure layout knob: results invariant, _meta drives the re-registration DDL") {
+    // spark.graft.hybrid.postingBuckets resizes the persisted layout
+    // (keyed into the artifact params, so each count is its own
+    // artifact); the scored relation must be bit-identical across
+    // counts, and a fresh catalog must re-register with the count the
+    // WRITE recorded in _meta — not whatever the write-side default is
+    // today (ADVICE r13: a drifted bucket spec returns wrong no-exchange
+    // join results rather than failing)
+    val s = spark
+    val store = java.nio.file.Files.createTempDirectory("graft_bk_store").toString
+    def scored() = Hybrid.lexScoredCandidates(s, sfTiny, queryMod = 10,
+      maxDfFrac = 0.85, maxQueryTerms = 8, k1 = 1.2, b = 0.75)
+      .collect().map(_.toSeq).toSet
+    operators.Ann.clearCaches()
+    val base = scored() // store off
+    s.conf.set("spark.graft.index.dir", store)
+    try {
+      for (bk <- Seq("8", "32")) {
+        s.conf.set("spark.graft.hybrid.postingBuckets", bk)
+        operators.Ann.clearCaches()
+        assert(scored() == base, s"bucket count $bk changed the relation")
+        val p = operators.ModelStore.artifactPath(s, "bm25_postings",
+          sfTiny, s"df=0.85,k1=1.2,b=0.75,bk=$bk").get
+        assert(new java.io.File(p, "_meta").exists(), s"_meta missing at $p")
+        val table = "graft_postings_" + java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(p).toLong & 0xffffffffL)
+        def numBuckets(): Option[String] =
+          s.sql(s"DESCRIBE FORMATTED $table").collect()
+            .find(_.getString(0).trim == "Num Buckets").map(_.getString(1).trim)
+        assert(numBuckets().contains(bk), s"write-side bucket spec: ${numBuckets()}")
+        // fresh catalog: re-registration must follow _meta, not today's
+        // write-side value — tamper _meta to a count nothing else
+        // carries and observe the DDL pick it up (provenance proof; the
+        // tampered spec is NOT queried for results)
+        s.sql(s"DROP TABLE $table")
+        val metaP = java.nio.file.Paths.get(p, "_meta")
+        val origMeta = java.nio.file.Files.readString(metaP)
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p, "._meta.crc"))
+        java.nio.file.Files.writeString(metaP,
+          origMeta.replace(s"buckets=$bk", "buckets=4"))
+        operators.Ann.clearCaches()
+        scala.util.Try(scored()) // registers the table; result not trusted
+        assert(numBuckets().contains("4"),
+          s"re-registration DDL did not come from _meta: ${numBuckets()}")
+        // restore, re-register clean, results intact
+        s.sql(s"DROP TABLE $table")
+        java.nio.file.Files.writeString(metaP, origMeta)
+        operators.Ann.clearCaches()
+        assert(scored() == base,
+          s"re-registered $bk-bucket table changed the relation")
+        assert(numBuckets().contains(bk),
+          s"re-registration drifted from the written bucket spec: ${numBuckets()} vs $bk")
+      }
+    } finally {
+      s.conf.unset("spark.graft.hybrid.postingBuckets")
+      s.conf.unset("spark.graft.index.dir")
+      operators.Ann.clearCaches()
+    }
+  }
+
   test("measured-df fanout gate: posting stats route a small-Q batch to the zero-exchange shape the pessimistic bound mis-routes") {
     // VERDICT r13 Missing #2: bigFanout used Q·m·(maxDfFrac·N) — per-term
     // df BOUNDED, not measured — so a small-Q batch over a large
