@@ -32,6 +32,7 @@ object Registry {
       operators.LanguageModel.queries ++
       operators.Hybrid.queries ++
       operators.TextAnalysis.queries ++
+      operators.QuantileSketch.queries ++
       operators.Multimodal.queries ++
       operators.Events.queries ++
       sources.Sources.queries ++

@@ -267,8 +267,51 @@ case class PosShingleArray(child: Expression, n: Int) extends SketchExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode NFC normalization kernel (static forwarder for generated
+  * code). Canonical composition is the step a multilingual pipeline runs
+  * BEFORE tokenization, hashing, and dedup — "e" + COMBINING ACUTE and
+  * precomposed "é" are the same text but different bytes, so every
+  * md5-keyed operator upstream (exact dedup, MinHash, fingerprints)
+  * silently treats them as distinct documents. Spark has no built-in
+  * normalizer (SPARK-td: users reach for a Python UDF); this is the
+  * native codegen form, java.text.Normalizer under the hood. The
+  * isNormalized fast path makes the common case (ASCII / already-NFC
+  * corpora) a scan with zero allocation. */
+object TextKernels {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode NFC canonical composition, STRING -> STRING (oracle twin:
+  * DuckDB's nfc_normalize). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_nfc"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfc(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfc($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API wrappers. */
 object SketchFunctions {
+  def nfcNormalize(s: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(s)))
+
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(Simhash64(GraftColumnBridge.expression(tokens)))
 

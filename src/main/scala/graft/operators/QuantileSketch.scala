@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** Mergeable QUANTILE sketch — the fourth leg of the engine's
+  * mergeable-summary tier (q132 Misra-Gries heavy hitters, q151
+  * Count-Min counts, q167 HyperLogLog distincts, and now quantiles),
+  * completing the summaries a 100 TB profiling pass maintains
+  * incrementally. Public pattern: HdrHistogram / DDSketch-style
+  * log-bucketed histograms (Dunning & Ertl's t-digest solves the same
+  * problem with data-dependent centroids; the log-bucket form is chosen
+  * here because its state is a PURE function of each value — exact
+  * integer bit math — so the sketch is deterministic, additive, and
+  * fully DuckDB-replayable like the engine's other sketches, not just
+  * error-gated).
+  *
+  * Bucketing (base-2, 4 sub-bucket bits): for an integer value v ≥ 1
+  * with m = ⌊log₂v⌋ (= length(bin(v)) − 1),
+  *   shift = max(0, m − 4); key = v >> shift; bucket_id = 32·m + key.
+  * key ∈ [16, 31] for m ≥ 4, so each power-of-two decade splits into 16
+  * sub-buckets and the bucket's lower bound lo = key << shift is within
+  * a factor (1 + 1/16) of every member: worst-case relative error
+  * 6.25%, total buckets ≤ 32·⌈log₂(max)⌉ (~350 for 64-bit cents) —
+  * corpus-size-independent state, like the CMS's d×w cells.
+  *
+  * The probe answers two things from ONE relation:
+  *  - the sketch estimate: rank k = ⌈p·n⌉ located by a prefix-sum walk
+  *    over the ≤350-row histogram (a bounded window, the q145 bin-count
+  *    shape — never a corpus-wide sort), answer = located bucket's lo;
+  *  - the EXACT value, by histogram-assisted selection: the located
+  *    bucket and its residual rank ARE pass 1 of q145's two-pass
+  *    selection, so pass 2 ranks only the located buckets' members
+  *    (windows ~n/350 rows wide). The sketch doubles as the selection
+  *    index — the production pattern where the maintained histogram
+  *    makes exact ad-hoc quantiles cheap.
+  * rel_err = (exact − lo)/exact is reported per rank and property-gated
+  * ≤ 1/16 in SketchKernelSpec; every arithmetic step is integer-exact
+  * (bit ops both engines) or a rounded double of identical integer
+  * inputs, so the DuckDB oracle replays the sketch AND the estimates
+  * bit-for-bit.
+  *
+  * Scale/streaming story: the histogram relation is ADDITIVE — summing
+  * two frames' bucket counts is the sketch of their union — so the
+  * streamed twin (q231) folds batches through the applyAggBatch
+  * versioned-state contract (state ≤ ~350 rows whatever the corpus) and
+  * must reproduce the one-shot sketch bit-for-bit; it carries the batch
+  * twin's full oracle, the q151/q154 pairing applied to quantiles.
+  * Reference analogue: the profiling summaries next to the reference's
+  * pandas `describe`-style stats (app/main.py's qualitative report);
+  * at 100 TB the sketch is the only way those stay one small relation.
+  */
+object QuantileSketch {
+
+  private[graft] val Qs = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+  /** lineitem prices as exact integer cents ≥ 1 (round(*100) is the
+    * q144/q145 cross-engine-stable cents form; the sketch domain is
+    * positive integers — zero/negative values are the caller's to shift). */
+  private def cents(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .filter(col("v") >= 1)
+
+  /** (v) → (v, bucket_id): the pure integer bucket function. */
+  private[graft] def withBucket(vals: DataFrame): DataFrame =
+    vals
+      .withColumn("m", (length(bin(col("v"))) - 1).cast("long"))
+      .withColumn("bucket_id",
+        col("m") * 32 + expr("shiftright(v, CAST(greatest(0L, m - 4) AS INT))"))
+      .drop("m")
+
+  /** The sketch AS DATA: (bucket_id, c) — additive across frames. */
+  private[graft] def sketchOf(vals: DataFrame): DataFrame =
+    withBucket(vals).groupBy(col("bucket_id")).agg(count(lit(1)).as("c"))
+
+  /** Probe: (p, k, exact_cents, est_lo_cents, rel_err) per requested
+    * quantile, from the value relation + its (possibly independently
+    * maintained) histogram. */
+  private[graft] def probe(s: SparkSession, vals: DataFrame,
+      sketch: DataFrame): DataFrame = {
+    import s.implicits._
+    val n = sketch.agg(sum(col("c")).as("n"))
+    // lo is a pure function of bucket_id (recovered here, never stored),
+    // and bucket_id order == lo order, so the prefix-sum walk is the
+    // value-order walk; the window spans the ≤350-row histogram only
+    val cum = sketch
+      .withColumn("cum_prev", coalesce(
+        sum(col("c")).over(Window.orderBy(col("bucket_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lo", expr(
+        "shiftleft(CAST(bucket_id % 32 AS BIGINT), CAST(greatest(0L, bucket_id div 32 - 4) AS INT))"))
+    val ranks = Qs.toDF("p")
+      .crossJoin(broadcast(n))
+      .withColumn("k", ceil(col("p") * col("n")).cast("long"))
+    val located = ranks.join(broadcast(cum),
+        col("cum_prev") < col("k") && col("k") <= col("cum_prev") + col("c"))
+      .select(col("p"), col("k"), col("bucket_id"), col("lo").as("est_lo"),
+        (col("k") - col("cum_prev")).as("residual"))
+    // pass 2 of the selection: rank members of the LOCATED buckets only
+    val withinBucket = Window.partitionBy(col("bucket_id")).orderBy(col("v"))
+    withBucket(vals)
+      .join(broadcast(located.select(col("bucket_id")).distinct()), Seq("bucket_id"))
+      .withColumn("rn", row_number().over(withinBucket))
+      .join(broadcast(located), Seq("bucket_id"))
+      .filter(col("rn") === col("residual"))
+      .select(col("p"), col("k"), col("v").as("exact_cents"),
+        col("est_lo").as("est_lo_cents"),
+        round((col("v") - col("est_lo")).cast("double") / col("v"), 6)
+          .as("rel_err"))
+      .orderBy(col("p"))
+  }
+
+  private val oracleSql = """WITH r AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+      WHERE CAST(round(l_extendedprice * 100) AS BIGINT) >= 1),
+    bk AS (
+      SELECT v, (length(bin(v)) - 1) * 32
+        + (v >> greatest(0, length(bin(v)) - 1 - 4)) AS bucket_id
+      FROM r),
+    sk AS (SELECT bucket_id, count(*) AS c FROM bk GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sk),
+    cum AS (
+      SELECT bucket_id, c,
+        coalesce(sum(c) OVER (ORDER BY bucket_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+        (bucket_id % 32) << greatest(0, bucket_id // 32 - 4) AS lo
+      FROM sk),
+    ranks AS (
+      SELECT CAST(p AS DOUBLE) AS p,
+        CAST(ceil(CAST(p AS DOUBLE) * (SELECT n FROM n)) AS BIGINT) AS k
+      FROM (VALUES (0.01), (0.05), (0.25), (0.5), (0.75), (0.95), (0.99)) t(p)),
+    loc AS (
+      SELECT p, k, bucket_id, lo AS est_lo, k - cum_prev AS residual
+      FROM ranks JOIN cum ON cum_prev < k AND k <= cum_prev + c),
+    wb AS (
+      SELECT bk.v, bk.bucket_id,
+        row_number() OVER (PARTITION BY bk.bucket_id ORDER BY bk.v) AS rn
+      FROM bk JOIN (SELECT DISTINCT bucket_id FROM loc) lb USING (bucket_id))
+    SELECT p, k, wb.v AS exact_cents, est_lo AS est_lo_cents,
+      round(CAST(wb.v - est_lo AS DOUBLE) / wb.v, 6) AS rel_err
+    FROM loc JOIN wb ON wb.bucket_id = loc.bucket_id AND wb.rn = loc.residual
+    ORDER BY p"""
+
+  val q230HdrQuantiles = GraftQuery(
+    "q230_hdr_quantiles",
+    "A ext: mergeable log-bucket quantile sketch + histogram-assisted exact selection, fully oracle-replayable",
+    (s, d) => probe(s, cents(s, d), sketchOf(cents(s, d))),
+    Some(oracleSql))
+
+  /** q231: the q230 histogram maintained INCREMENTALLY — lineitem split
+    * into batches and folded through the applyAggBatch versioned-state
+    * contract (≤ ~350-row additive state, batchId-idempotent commits),
+    * then probed identically. Carries q230's full oracle: the drained
+    * stream's sketch must be bit-identical to the one-shot batch sketch. */
+  def streamedHdrQuantiles(s: SparkSession, d: String, nBatches: Int): DataFrame = {
+    require(nBatches >= 1)
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_hdr_state").toString
+    // try/finally: a failing batch/drain must not leak the temp state dir
+    val sketch = try {
+      val vals = withBucket(cents(s, d))
+        .withColumn("part", pmod(col("v"), lit(nBatches)))
+      (0 until nBatches).foreach { i =>
+        graft.streaming.StreamingJobs.applyAggBatch(s,
+          vals.filter(col("part") === i), i.toLong,
+          key = "bucket_id", valueCol = "v", stateDir)
+      }
+      graft.streaming.StreamingJobs.latestAggState(s, stateDir).get._2
+        .select(col("bucket_id"), col("cnt").as("c"))
+        .localCheckpoint(true)
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(stateDir)
+      sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    }
+    probe(s, cents(s, d), sketch)
+  }
+
+  val q231StreamedHdrQuantiles = GraftQuery(
+    "q231_streamed_hdr_quantiles",
+    "A ext + streaming: incremental quantile histogram (additive state)",
+    (s, d) => streamedHdrQuantiles(s, d, nBatches = 3),
+    q230HdrQuantiles.oracle)
+
+  def queries: Seq[GraftQuery] = Seq(q230HdrQuantiles, q231StreamedHdrQuantiles)
+}

@@ -3944,7 +3944,45 @@ object TextAnalysis {
         (t2 <= 0.20 AND d5 <= 0.15) AS keep
       FROM f ORDER BY doc_id"""))
 
+  /** q232: Unicode NFC canonical composition — the normalization step a
+    * multilingual pipeline runs BEFORE tokenization/hashing/dedup
+    * ("e"+COMBINING ACUTE vs precomposed "é" are the same text but
+    * different bytes, so every md5-keyed operator upstream treats them
+    * as distinct documents). The engine's native codegen
+    * [[graft.functions.NfcNormalize]] (Spark ships no normalizer; the
+    * usual workaround is a Python UDF) vs DuckDB's nfc_normalize as the
+    * oracle. The test corpus is ASCII, so each doc's text is prefixed
+    * in-query with a DECOMPOSED "é" (e + U+0301) and suffixed with the
+    * precomposed form — len_raw/len_norm pin that composition actually
+    * happened (2 chars → 1), and the md5 of the normalized text is the
+    * cross-engine equality: after NFC both spellings hash identically. */
+  val q232NfcNormalize = GraftQuery(
+    "q232_nfc_normalize",
+    "F ext: Unicode NFC normalization (native codegen expression)",
+    (s, d) => {
+      val raw = concat(lit("e\u0301 "), substring(col("text"), 1, 24),
+        lit(" \u00e9"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).as("len_raw"),
+          length(graft.functions.SketchFunctions.nfcNormalize(col("raw")))
+            .as("len_norm"),
+          md5(graft.functions.SketchFunctions.nfcNormalize(col("raw"))
+            .cast("binary")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH r AS (
+        SELECT doc_id,
+          'e' || chr(769) || ' ' || substr(text, 1, 24) || ' ' || chr(233) AS raw
+        FROM documents)
+      SELECT doc_id, length(raw) AS len_raw,
+        length(nfc_normalize(raw)) AS len_norm,
+        md5(nfc_normalize(raw)) AS norm_md5
+      FROM r ORDER BY doc_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
+    q232NfcNormalize,
     q151CountMinSketch, q154StreamedCms, q155StreamedSample, q159StreamedIndex,
     q167HllRegisters, q168StreamedHll, q172ClassTfidf,
     q173WindowedHll, q174StreamedWindowedHll, q175SplitOverlap,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{AdcDistance, CosineSimilarity, DotProduct, L2DistanceSq, L2NormalizeArray, MinhashSignature, PqDistTable, PqEncode, ShingleArray, Simhash64}
+import graft.functions.{AdcDistance, CosineSimilarity, DotProduct, L2DistanceSq, L2NormalizeArray, MinhashSignature, NfcNormalize, PqDistTable, PqEncode, ShingleArray, Simhash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst kernels as SQL functions, so `spark.sql("SELECT
@@ -47,6 +47,9 @@ object GraftExtensions {
       info("graft_minhash", "minhash signature (md5) of a string array; arg2 = #hashes"),
       (args: Seq[Expression]) => MinhashSignature(args(0),
         args(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "Unicode NFC canonical composition of a string"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))),
     (FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "distinct n-word shingles of a string array; arg2 = n"),
       (args: Seq[Expression]) => ShingleArray(args(0),

@@ -419,7 +419,12 @@ class PlanSpec extends SparkSpec {
       // q218 embeds the q216 allocation (same three 1-row builds); its
       // own joins are broadcast catalog-sized (source × shard offsets,
       // per-source allocation)
-      "q218_epoch_manifest")
+      "q218_epoch_manifest",
+      // q230/q231 crossJoin the broadcast 1-row histogram total onto
+      // the 7-row quantile frame (the q145 ranks pattern); the rank
+      // locator itself is a theta-join of 7 ranks × the ≤350-row
+      // histogram — bounded by construction on both sides
+      "q230_hdr_quantiles", "q231_streamed_hdr_quantiles")
     val whitelist = exactBaselines ++ recallGates ++ scalarBroadcasts
     val offenders = Registry.all
       .filterNot(q => whitelist(q.name))

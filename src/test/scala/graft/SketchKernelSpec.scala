@@ -79,4 +79,38 @@ class SketchKernelSpec extends SparkSpec {
       }
     }
   }
+
+  test("hdr quantile sketch: error bound, under-estimate, additivity, streamed == batch") {
+    val s = spark
+    import s.implicits._
+    // the registered probe on real data: every estimate is a LOWER
+    // bound within the 1/16 design error (lo = key<<shift with
+    // key >= 16 for v >= 16 — the whole point of the 4 sub-bucket bits)
+    for (d <- Seq(sfTiny, sfSmall)) {
+      val rows = Registry.byName("q230_hdr_quantiles").run(s, d).collect()
+      assert(rows.length == operators.QuantileSketch.Qs.length)
+      rows.foreach { r =>
+        val (exact, lo, err) = (r.getAs[Long]("exact_cents"),
+          r.getAs[Long]("est_lo_cents"), r.getAs[Double]("rel_err"))
+        assert(lo <= exact, s"estimate above the true value: $r")
+        assert(err >= 0.0 && err <= 1.0 / 16 + 1e-9,
+          s"relative error past the 1/16 design bound: $r")
+      }
+      // streamed fold == one-shot batch, bit-for-bit (additive state)
+      val streamed = Registry.byName("q231_streamed_hdr_quantiles")
+        .run(s, d).collect().map(_.toSeq).toSeq
+      assert(streamed == rows.map(_.toSeq).toSeq, "streamed sketch diverged")
+    }
+    // additivity on the sketch relation itself: sketch(A ∪ B) ==
+    // key-summed sketch(A) + sketch(B), for an arbitrary value split
+    val vals = (1L to 5000L).map(i => Tuple1(i * i % 99991 + 1)).toDF("v")
+    val (a, b) = (vals.filter(col("v") % 3 === 0), vals.filter(col("v") % 3 =!= 0))
+    val whole = operators.QuantileSketch.sketchOf(vals)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = operators.QuantileSketch.sketchOf(a)
+      .unionByName(operators.QuantileSketch.sketchOf(b))
+      .groupBy(col("bucket_id")).agg(sum(col("c")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == whole, "bucket counts are not additive")
+  }
 }
