@@ -203,6 +203,26 @@ object GraftConf {
   def hybridAggShuffleCutoff(s: SparkSession): Long =
     s.conf.get("spark.graft.hybrid.aggShuffleCutoff", "64000000").toLong
 
+  /** How the hybrid gate obtains the fanout-row count it compares to
+    * [[hybridAggShuffleCutoff]] (round 15, VERDICT r14 Missing #1):
+    *  - "exact" (default): MEASURE the batch — one broadcast join of
+    *    the actual Q·m query terms against the V-row per-term df
+    *    relation, Σdf over the batch's terms. Routing is a fact, not a
+    *    bound, so neither the head-term-only adversary (mean df
+    *    under-routes → 21 GB-spill in-place aggregate) nor the skewed
+    *    small-Q case (pessimistic bound over-routes → needless
+    *    scatter-gather) can mis-route.
+    *  - "estimate": the r14 estimator — Q·m·(Σdf/V) from the posting
+    *    artifact's `_stats` sidecar, or Q·m·(maxDfFrac·N) with no
+    *    artifact. Kept for A/B and for spec-forging the historical
+    *    mis-routes. */
+  def hybridFanoutGate(s: SparkSession): String =
+    s.conf.get("spark.graft.hybrid.fanoutGate", "exact") match {
+      case m @ ("exact" | "estimate") => m
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.hybrid.fanoutGate must be exact|estimate, got $other")
+    }
+
   /** Staging root for streamed-state harness runs that accumulate
     * micro-batch output between triggers (the q225/q227 index-add
     * monitors). Unset = a driver-local temp dir, which is correct on

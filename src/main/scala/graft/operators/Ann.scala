@@ -143,12 +143,12 @@ object Ann {
     val cells = GraftConf.ivfCells(s, rows)
     val maxIter = GraftConf.ivfMaxIter(s)
     val init = GraftConf.ivfInitMode(s)
-    ivfCache.getOrElseUpdate(
-      (sessionKey(s), s"$d@cells=$cells,it=$maxIter,init=$init"), {
+    graft.FitTiming.cachedOrFit(ivfCache,
+      (sessionKey(s), s"$d@cells=$cells,it=$maxIter,init=$init")) {
         println(s"[graft] ivfIndex: rows=$rows, " +
           s"conf=${s.conf.get("spark.graft.ivf.cells", "auto")} -> cells=$cells")
         fitIvfIndex(s, d, cells, maxIter, init)
-      })
+      }
   }
 
   /** M3 "add" for an arbitrary (vec_id, embedding) frame: assign each
@@ -377,8 +377,8 @@ object Ann {
     * re-fit instead of silently reusing the old model. */
   def lshIndex(s: SparkSession, d: String, bucketLength: Double, numTables: Int)
       : (BucketedRandomProjectionLSHModel, DataFrame) =
-    lshCache.getOrElseUpdate(
-      (sessionKey(s), s"$d@bl=$bucketLength,nt=$numTables"), {
+    graft.FitTiming.cachedOrFit(lshCache,
+      (sessionKey(s), s"$d@bl=$bucketLength,nt=$numTables")) {
         val normed = normalizeFrame(
           Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
           .persist()
@@ -388,7 +388,7 @@ object Ann {
           fitLsh(normed, bucketLength, numTables)
         }
         (model, normed)
-      })
+      }
 
   /** Conf-default variant (spark.graft.lsh.*). */
   def lshIndex(s: SparkSession, d: String)
