@@ -92,6 +92,7 @@ object Ann {
     }
     standingLoopCache.clear()
     Hybrid.clearCache()
+    TextAnalysis.clearEncCache()
     // the one cache the "new JVM" hook used to miss: memoized dataset
     // fingerprints would keep a mid-session regeneration serving
     // artifacts keyed to the previous generation's content
@@ -566,7 +567,7 @@ object Ann {
   def pqIndex(s: SparkSession, d: String): PqIndex = {
     val m = GraftConf.pqSubspaces(s)
     val k = GraftConf.pqCodes(s)
-    pqCache.getOrElseUpdate((sessionKey(s), s"$d@m=$m,k=$k"), {
+    graft.FitTiming.cachedOrFit(pqCache, (sessionKey(s), s"$d@m=$m,k=$k")) {
       indexArtifactPath(s, "pq_codebook", d, s"m=$m,k=$k") match {
         case Some(p) if pqArtifactExists(s, p) =>
           val row = s.read.parquet(p).head()
@@ -580,7 +581,7 @@ object Ann {
           idx
         case None => fitPq(s, d, m, k)
       }
-    })
+    }
   }
 
   private def pqArtifactExists(s: SparkSession, p: String): Boolean = {

@@ -69,7 +69,7 @@ object Embedding {
     val s = docs.sparkSession
     key match {
       case Some(k) =>
-        modelCache.getOrElseUpdate((sessionKey(s), s"$k@dim=$dim"),
+        graft.FitTiming.cachedOrFit(modelCache, (sessionKey(s), s"$k@dim=$dim"))(
           ModelStore.loadOrFit(s,
             ModelStore.artifactPath(s, "embed_pipeline", k, s"dim=$dim"),
             PipelineModel.load)(fitModel(docs, dim)))
@@ -108,8 +108,8 @@ object Embedding {
       split(lower(trim(col("text"))), "\\s+").as("toks"))
     // same lifecycle as the main pipeline: session cache + persisted
     // artifact keyed by every fit parameter
-    val model = w2vCache.getOrElseUpdate(
-      (sessionKey(s), s"$d@dim=$dim,np=$parts"),
+    val model = graft.FitTiming.cachedOrFit(w2vCache,
+      (sessionKey(s), s"$d@dim=$dim,np=$parts"))(
       ModelStore.loadOrFit(s,
         ModelStore.artifactPath(s, "w2v", d, s"dim=$dim,np=$parts"),
         org.apache.spark.ml.feature.Word2VecModel.load) {
@@ -263,11 +263,11 @@ object Embedding {
 
   private[graft] def pcaState(s: SparkSession, d: String,
       iters: Int): (Array[(Int, Int, Long)], Array[Long]) =
-    pcaCache.getOrElseUpdate((sessionKey(s), d, iters), {
+    graft.FitTiming.cachedOrFit(pcaCache, (sessionKey(s), d, iters)) {
       val entries = embeddingCovariance(s, d).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
       (entries, pcaPowerLocal(entries, iters))
-    })
+    }
 
   def embeddingPca(s: SparkSession, d: String, iters: Int): DataFrame = {
     import s.implicits._

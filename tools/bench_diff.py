@@ -58,7 +58,8 @@ def load_driver(path: str):
         data = json.load(f)
     if "spread" in data:  # a graft.Bench artifact directly
         return ({q: tuple(v) for q, v in data["spread"].items()},
-                data["value"], False, None, data.get("stream") or {})
+                data["value"], False, None, data.get("stream") or {},
+                data.get("caches") or {})
     tail = data.get("tail", "")
     spreads = {q: (float(a), float(b), float(c))
                for q, a, b, c in SPREAD_RE.findall(tail)}
@@ -69,7 +70,7 @@ def load_driver(path: str):
     if m:
         oob = {q: (float(c), float(v)) for q, c, v in re.findall(
             r'"(q\d+[a-zA-Z0-9_]*)":\[([0-9.]+),([0-9.]+)\]', m.group(1))}
-    return spreads, total, True, oob, {}
+    return spreads, total, True, oob, {}, {}
 
 
 def main():
@@ -80,12 +81,13 @@ def main():
     ap.add_argument("-o", "--out", help="write the markdown report here (default stdout)")
     args = ap.parse_args()
 
-    drv, drv_total, truncated, drv_oob, drv_stream = load_driver(args.driver)
+    drv, drv_total, truncated, drv_oob, drv_stream, drv_cache = load_driver(args.driver)
     with open(args.committed) as f:
         com = json.load(f)
     com_spread = {q: tuple(v) for q, v in com["spread"].items()}
     com_total = com["value"]
     com_stream = com.get("stream") or {}
+    com_cache = com.get("caches") or {}
 
     weather = drv_total / com_total if drv_total and com_total else 1.0
     lines = []
@@ -140,6 +142,16 @@ def main():
             wc, wd = com_stream[q].get("work"), drv_stream[q].get("work")
             if wc and wd and (1 / s) <= (wd / wc) <= s:
                 verdict = "stream-wait?"
+        # batch cold-fit rule (round 15): when both artifacts carry cache
+        # attribution for q and the driver's summed fit wall exceeds the
+        # committed one by at least half the median delta, the swing is a
+        # cold model-fit / relation-materialization (fresh store, first
+        # touch), not a plan change
+        if verdict == "REGRESSION?" and q in drv_cache and q in com_cache:
+            fc = com_cache[q].get("fit_sec", 0.0)
+            fd = drv_cache[q].get("fit_sec", 0.0)
+            if fd - fc >= 0.5 * (dmed - cmed) > 0:
+                verdict = "cold-fit?"
         rows.append((q, cmed, (cmin, cmax), dmed, factor, norm, verdict))
 
     lines.append(f"## Out-of-band queries ({len(rows)} of {n_in + len(rows)} compared)")
