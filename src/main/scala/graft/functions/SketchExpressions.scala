@@ -284,6 +284,36 @@ object TextKernels {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /** NFKC compatibility composition, optionally case-folded — what
+    * multilingual LLM pipelines actually run before tokenization (NFC
+    * preserves compatibility variants: ligature ﬁ, full-width Ａ,
+    * circled ①, ㎞ all survive it and defeat downstream dedup/counting;
+    * NFKC folds them to fi / A / 1 / km). `casefold=true` approximates
+    * Unicode NFKC_Casefold with toLowerCase(ROOT) between two NFKC
+    * passes — the JDK ships no UCD CaseFolding table, so full-fold
+    * expansions that differ from lowercase (ß→ss, ﬅ's fold) stay at
+    * their lowercase forms; the composition is idempotent by
+    * construction (second NFKC re-composes anything lowercasing
+    * decomposed, e.g. İ → i + combining dot). Same zero-allocation
+    * fast path as [[nfc]] for already-normal ASCII corpora. */
+  def nfkc(s: UTF8String, casefold: Boolean): UTF8String = {
+    val str = s.toString
+    val form = java.text.Normalizer.Form.NFKC
+    if (!casefold && java.text.Normalizer.isNormalized(str, form)) s
+    else {
+      val n0 = if (java.text.Normalizer.isNormalized(str, form)) str
+        else java.text.Normalizer.normalize(str, form)
+      val out =
+        if (!casefold) n0
+        else {
+          val lower = n0.toLowerCase(java.util.Locale.ROOT)
+          if (java.text.Normalizer.isNormalized(lower, form)) lower
+          else java.text.Normalizer.normalize(lower, form)
+        }
+      if (out == str) s else UTF8String.fromString(out)
+    }
+  }
 }
 
 /** Unicode NFC canonical composition, STRING -> STRING (oracle twin:
@@ -307,10 +337,39 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode NFKC compatibility composition, STRING -> STRING, optionally
+  * case-folded (NFKC_casefold approximation — see [[TextKernels.nfkc]]).
+  * DuckDB ships only nfc_normalize, so the q233 twin is spec-gated on
+  * fixture pairs + idempotence/composition properties rather than
+  * oracle-paired — the established pattern for oracle-less kernels. */
+case class NfkcNormalize(child: Expression, casefold: Boolean)
+    extends UnaryExpression {
+  override def prettyName: String = "graft_nfkc"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfkc(input.asInstanceOf[UTF8String], casefold)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfkc($c, $casefold)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API wrappers. */
 object SketchFunctions {
   def nfcNormalize(s: Column): Column =
     GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(s)))
+
+  def nfkcNormalize(s: Column, casefold: Boolean = false): Column =
+    GraftColumnBridge.column(
+      NfkcNormalize(GraftColumnBridge.expression(s), casefold))
 
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(Simhash64(GraftColumnBridge.expression(tokens)))

@@ -1624,7 +1624,23 @@ object Ann {
     * (data on disk, monitor state and manifest not yet updated). */
   private[graft] def runStandingLoop(s: SparkSession, d: String, nBatches: Int,
       postBatches: Int, stage: String, driftAt0: Int = -1,
-      crashAfterCommits: Int = -1): StandingLoop = {
+      crashAfterCommits: Int = -1): StandingLoop =
+    // SINGLE-WRITER contract on the stage dir, ENFORCED (ADVICE r14: the
+    // recovery preamble's reapTorn deletes any uncommitted batch dir —
+    // correct for the crashed-writer artifact it exists for, destructive
+    // if another driver were live mid-write into the same stage). The
+    // per-path ArtifactLock serializes whole loop runs: a second loop on
+    // the same stage waits, then recovers from the first's committed
+    // batches — the restart semantics the recovery spec proves. Readers
+    // of a previously returned served frame are unaffected (persisted).
+    ArtifactLock.exclusively(stage) {
+      runStandingLoopLocked(s, d, nBatches, postBatches, stage, driftAt0,
+        crashAfterCommits)
+    }
+
+  private def runStandingLoopLocked(s: SparkSession, d: String, nBatches: Int,
+      postBatches: Int, stage: String, driftAt0: Int,
+      crashAfterCommits: Int): StandingLoop = {
     val idx = ivfIndexFull(s, d)
     val cells0 = idx.model.getK
     val thr = skewThreshold(s)

@@ -58,29 +58,36 @@ object QuantileSketch {
 
   /** lineitem prices as exact integer cents ≥ 1 (round(*100) is the
     * q144/q145 cross-engine-stable cents form; the sketch domain is
-    * positive integers — zero/negative values are the caller's to shift). */
+    * positive integers — zero/negative domains pass an `offset` to
+    * [[sketchOf]]/[[probe]] instead, round 15). */
   private def cents(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
       .filter(col("v") >= 1)
 
-  /** (v) → (v, bucket_id): the pure integer bucket function. */
-  private[graft] def withBucket(vals: DataFrame): DataFrame =
+  /** (v) → (v, vs, bucket_id): the pure integer bucket function.
+    * `offset` maps zero/negative domains into the sketch's positive-
+    * integer domain (VERDICT r14 #6: the cents shift was the caller's
+    * job with no knob) — vs = v + offset must be ≥ 1, buckets and the
+    * error bound live in the SHIFTED domain, and [[probe]] un-shifts
+    * its estimates on the way out. */
+  private[graft] def withBucket(vals: DataFrame, offset: Long = 0L): DataFrame =
     vals
-      .withColumn("m", (length(bin(col("v"))) - 1).cast("long"))
+      .withColumn("vs", col("v") + lit(offset))
+      .withColumn("m", (length(bin(col("vs"))) - 1).cast("long"))
       .withColumn("bucket_id",
-        col("m") * 32 + expr("shiftright(v, CAST(greatest(0L, m - 4) AS INT))"))
+        col("m") * 32 + expr("shiftright(vs, CAST(greatest(0L, m - 4) AS INT))"))
       .drop("m")
 
   /** The sketch AS DATA: (bucket_id, c) — additive across frames. */
-  private[graft] def sketchOf(vals: DataFrame): DataFrame =
-    withBucket(vals).groupBy(col("bucket_id")).agg(count(lit(1)).as("c"))
+  private[graft] def sketchOf(vals: DataFrame, offset: Long = 0L): DataFrame =
+    withBucket(vals, offset).groupBy(col("bucket_id")).agg(count(lit(1)).as("c"))
 
   /** Probe: (p, k, exact_cents, est_lo_cents, rel_err) per requested
     * quantile, from the value relation + its (possibly independently
     * maintained) histogram. */
   private[graft] def probe(s: SparkSession, vals: DataFrame,
-      sketch: DataFrame): DataFrame = {
+      sketch: DataFrame, offset: Long = 0L): DataFrame = {
     import s.implicits._
     val n = sketch.agg(sum(col("c")).as("n"))
     // lo is a pure function of bucket_id (recovered here, never stored),
@@ -99,16 +106,18 @@ object QuantileSketch {
         col("cum_prev") < col("k") && col("k") <= col("cum_prev") + col("c"))
       .select(col("p"), col("k"), col("bucket_id"), col("lo").as("est_lo"),
         (col("k") - col("cum_prev")).as("residual"))
-    // pass 2 of the selection: rank members of the LOCATED buckets only
+    // pass 2 of the selection: rank members of the LOCATED buckets only.
+    // exact/estimate report in the CALLER's domain (un-shifted); rel_err
+    // stays in the shifted domain, where the 1/16 bound is defined
     val withinBucket = Window.partitionBy(col("bucket_id")).orderBy(col("v"))
-    withBucket(vals)
+    withBucket(vals, offset)
       .join(broadcast(located.select(col("bucket_id")).distinct()), Seq("bucket_id"))
       .withColumn("rn", row_number().over(withinBucket))
       .join(broadcast(located), Seq("bucket_id"))
       .filter(col("rn") === col("residual"))
       .select(col("p"), col("k"), col("v").as("exact_cents"),
-        col("est_lo").as("est_lo_cents"),
-        round((col("v") - col("est_lo")).cast("double") / col("v"), 6)
+        (col("est_lo") - lit(offset)).as("est_lo_cents"),
+        round((col("vs") - col("est_lo")).cast("double") / col("vs"), 6)
           .as("rel_err"))
       .orderBy(col("p"))
   }

