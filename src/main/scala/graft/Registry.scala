@@ -31,6 +31,7 @@ object Registry {
       operators.QualityFilter.queries ++
       operators.LanguageModel.queries ++
       operators.Hybrid.queries ++
+      operators.LateInteraction.queries ++
       operators.TextAnalysis.queries ++
       operators.QuantileSketch.queries ++
       operators.Multimodal.queries ++

@@ -1672,11 +1672,71 @@ object Dedup {
         col("lang"), col("source"))
   }
 
+  // ---------------------------------------------------------------------
+  // q237: NFC-normalized-key exact dedup (D1 × F ext — q232's kernel
+  // doing the job it exists for)
+  // ---------------------------------------------------------------------
+
+  /** Exact keyed dedup where the key is md5 over the NFC-NORMALIZED
+    * text — the integration q232's kernel exists for: precomposed "é"
+    * (U+00E9) and decomposed "e" + COMBINING ACUTE (U+0301) are the same
+    * text in different bytes, and a raw-md5 key (q50's family) treats
+    * them as distinct documents. The test corpus is ASCII, so the dup
+    * structure is CONSTRUCTED deterministically on both sides (the
+    * established dup-injection pattern): each document contributes a
+    * precomposed variant (e→é, doc_id+1_000_000) and a decomposed one
+    * (e→e+U+0301, doc_id+2_000_000). Documents containing 'e' dedup
+    * their two variants into one group of 2 (keeper: the precomposed
+    * id); documents without 'e' collapse all three copies into one
+    * group of 3 (keeper: the original id). A raw-key dedup would report
+    * every variant pair as distinct — the silent-corpus-inflation
+    * failure NFC closes.
+    *
+    * Scale shape: identical to q50 — one shuffle on the 128-bit key;
+    * the normalization is a codegen'd map with a zero-allocation
+    * already-NFC fast path, so an ASCII corpus pays a scan, not an
+    * allocation. */
+  val q237NfcDedup = GraftQuery(
+    "q237_nfc_dedup",
+    "D1,D2,F ext: exact dedup keyed on md5(NFC(text))",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pre = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "e", "\u00e9").as("text"))
+      val dec = docs.select((col("doc_id") + 2000000L).as("doc_id"),
+        regexp_replace(col("text"), "e", "e\u0301").as("text"))
+      val corpus = docs.unionByName(pre).unionByName(dec)
+      val keyed = corpus.select(col("doc_id"),
+        md5(nfcNormalize(col("text"))).as("nfc_key"))
+      val w = Window.partitionBy(col("nfc_key"))
+      keyed
+        .select(col("doc_id"), col("nfc_key"),
+          row_number().over(w.orderBy(col("doc_id"))).as("rn"),
+          count(lit(1)).over(w).as("group_size"))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("nfc_key"), col("group_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, replace(text, 'e', chr(233)) FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, replace(text, 'e', 'e' || chr(769)) FROM documents),
+      keyed AS (
+        SELECT doc_id, md5(nfc_normalize(text)) AS nfc_key FROM corpus)
+      SELECT doc_id, nfc_key, group_size FROM (
+        SELECT doc_id, nfc_key,
+          row_number() OVER (PARTITION BY nfc_key ORDER BY doc_id) AS rn,
+          count(*) OVER (PARTITION BY nfc_key) AS group_size
+        FROM keyed)
+      WHERE rn = 1 ORDER BY doc_id"""))
+
   def queries: Seq[GraftQuery] = Seq(
     q50ExactDedup, q51MinhashLsh, q52SimhashPairs, q53NgramJaccard,
     q54NeardupSurvivors, q55LshSurvivors, q58JaccardDfCut, q59SketchDedup,
     q64DupClusters, q68DupSpans, q69IncrementalDedup, q92FuzzyDedup,
     q109Decontaminate, q129SemDedup, q133DecontaminateBloom, q153StreamedCc,
     q161SharedSpans, q162SubstrDedup, q170PrefixJaccard, q183LeakSafeSplit,
-    q217ClusterReps, q219SourceContainment)
+    q217ClusterReps, q219SourceContainment, q237NfcDedup)
 }
