@@ -154,7 +154,10 @@ object LateInteraction {
     }
     val wc = Window.partitionBy(col("qgid"), col("qvid"))
       .orderBy(col("csim").desc, col("tid"))
-    q.join(broadcast(targets), col("qgid") =!= col("dgid"))
+    // no broadcast hint: like knnExact's Q·N kernel join, the planner
+    // broadcasts the SMALLER side (the sampled query vectors — at scale
+    // the corpus-sized target relation streams, queries broadcast)
+    q.join(targets, col("qgid") =!= col("dgid"))
       .select(col("qgid"), col("qvid"), col("dgid"), col("tid"),
         cosineFast(col("qvec"), col("tvec")).as("csim"))
       .withColumn("crank", row_number().over(wc))
