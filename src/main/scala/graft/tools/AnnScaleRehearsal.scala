@@ -95,6 +95,16 @@ object AnnScaleRehearsal {
         // output-size bound, not a plan bound, so 100× runs skip it
         // (the linear-candidate tiers are the 100 TB search path)
         "lsh_neardup" -> ((d: String) => graft.operators.Ann.lshNearDup(spark, d, threshold = 0.35)),
+        // late-interaction MaxSim (q234/q235, r15): the exact tier is
+        // Q·N·g like exact_knn; the retrieve tier's candidate scan is
+        // the exact stand-in for the ANN token lookup (at cluster scale
+        // it routes through IVF/NSW), so both are admissible only where
+        // the exact baseline is — the measured claim is the rescore
+        // staying candidate-bounded while the corpus grows
+        "maxsim_exact" -> ((d: String) => graft.operators.LateInteraction
+          .maxSimExact(spark, d, g = 4, k = 3, queryMod = 10)),
+        "maxsim_retrieve" -> ((d: String) => graft.operators.LateInteraction
+          .maxSimRetrieve(spark, d, g = 4, k = 3, queryMod = 10, cands = 16)),
         "sq8_knn" -> ((d: String) => graft.Registry.byName("q177_sq8_knn").run(spark, d)),
         // the full q226 gate (serve recall vs the exact Q·N ground truth
         // on the drifted corpus) — admissible below the exact cutoff only
