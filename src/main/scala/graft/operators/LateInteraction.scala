@@ -197,6 +197,37 @@ object LateInteraction {
     topkByMaxSim(tokenMax(pairs), k)
   }
 
+  /** IVF-routed MaxSim — the claim "at scale the per-token lookup is
+    * the primitive the ANN tiers already serve" as CODE: each query
+    * vector retrieves its top candidates through the engine's fitted
+    * IVF index ([[Ann.searchWithCentroids]] — codegen centroid ranking,
+    * nprobe-cell equi-join probe, bounded top-k heap; nothing
+    * corpus-sized is scanned or sorted), hits map to their groups, and
+    * the nominated groups rescore with EXACT MaxSim as in every other
+    * tier. The per-token ask is padded by g so the post-hoc self-group
+    * exclusion cannot starve the candidate budget. Index fit/load rides
+    * the ivfIndex fit-once-query-many cache and the ModelStore
+    * artifact, like q34/q156. */
+  def maxSimIvf(s: SparkSession, d: String, g: Int, k: Int,
+      queryMod: Int, cands: Int): DataFrame = {
+    val base = grouped(s, d, g)
+    val q = queryVecs(base, queryMod)
+    val tokens = q.select(col("qvid").as("qid"),
+      transform(col("qvec"), x => x.cast("double")).as("qvec"))
+    val (assigned, centroidDf) = Ann.ivfIndex(s, d)
+    val cents = centroidDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val hits = Ann.searchWithCentroids(tokens, assigned, cents,
+      k = cands + g, nprobe = graft.GraftConf.ivfNprobe(s))
+    val cand = hits
+      .select(expr(s"qid div $g").as("qgid"), expr(s"nid div $g").as("dgid"))
+      .filter(col("qgid") =!= col("dgid"))
+      .distinct()
+    val dv = base.select(col("gid").as("dgid"), col("embedding").as("dvec"))
+    val pairs = cand.join(q, Seq("qgid")).join(dv, Seq("dgid"))
+    topkByMaxSim(tokenMax(pairs), k)
+  }
+
   /** Recall@k of the centroid tier vs the exact tier, shipped as data
     * (the q35/q37/q150 convention). */
   def maxSimRecall(s: SparkSession, d: String, g: Int, k: Int,
@@ -256,6 +287,23 @@ object LateInteraction {
     (s, d) => maxSimRecall(s, d, G, K, QMOD, CANDS),
     None)
 
+  val q238MaxSimIvf = GraftQuery(
+    "q238_maxsim_ivf",
+    "J1c × J1 ext: MaxSim with IVF-routed token retrieval (the scale tier)",
+    (s, d) => maxSimIvf(s, d, G, K, QMOD, CANDS),
+    None)
+
+  val q239MaxSimIvfRecall = GraftQuery(
+    "q239_maxsim_ivf_recall",
+    "J1 ext: IVF-routed MaxSim recall@k vs exact, as data",
+    (s, d) => Ann.recallVsExact(
+      maxSimIvf(s, d, G, K, QMOD, CANDS)
+        .select(col("qgid").as("qid"), col("dgid").as("nid")),
+      maxSimExact(s, d, G, K, QMOD)
+        .select(col("qgid").as("qid"), col("dgid").as("nid"))),
+    None)
+
   def queries: Seq[GraftQuery] =
-    Seq(q234MaxSimExact, q235MaxSimRetrieve, q236MaxSimRecall)
+    Seq(q234MaxSimExact, q235MaxSimRetrieve, q236MaxSimRecall,
+      q238MaxSimIvf, q239MaxSimIvfRecall)
 }

@@ -113,6 +113,11 @@ object AnnScaleRehearsal {
       // ivf_knn is the 4×-payload claim, measured
       "sq8_ivf_knn" -> (d => graft.operators.Ann.sq8IvfKnn(spark, d, k = 2,
         nprobe = graft.GraftConf.ivfNprobe(spark), queryMod = 10)),
+      // MaxSim over the fitted IVF index (q238, r15): the sublinear
+      // serving tier — per-token nprobe-cell probes + bounded heaps +
+      // candidate-bounded exact rescore, admissible at any factor
+      "maxsim_ivf" -> (d => graft.operators.LateInteraction
+        .maxSimIvf(spark, d, g = 4, k = 3, queryMod = 10, cands = 16)),
       // full-corpus ANN k-NN-graph build + degree scores (q188): every
       // node queries, so this is the N·nprobe·(N/cells) edge substrate —
       // the exact twin (q163) is N² and inadmissible at factor×, which
