@@ -369,10 +369,19 @@ class PlanSpec extends SparkSpec {
       // q211 routes to the labeled exact scorer at test sizes (the
       // q181 pattern — the IVF candidate scorer takes over past the
       // cutoff, branch agreement gated in TrainingDataOpsSpec)
-      "q211_hard_negatives")
+      "q211_hard_negatives",
+      // q234 is the labeled exact MaxSim audit tier (the q30 shape over
+      // vector groups; oracle replays it); q235's token-retrieval scan
+      // is the exact stand-in for the ANN lookup at test sizes —
+      // q238 is the IVF-routed twin and carries NO whitelist entry
+      // (its probe is the equi-join on centroid_id)
+      "q234_maxsim_exact", "q235_maxsim_retrieve")
     val recallGates = Set(
       "q35_ivf_recall", "q37_lsh_recall", "q57_ivf_pair_recall",
-      "q67_pq_recall", "q128_nsw_recall", "q150_multiprobe_recall")
+      "q67_pq_recall", "q128_nsw_recall", "q150_multiprobe_recall",
+      // both MaxSim recall gates join their tier against the labeled
+      // exact MaxSim ground truth (the BNLJ lives in the exact arm)
+      "q236_maxsim_recall", "q239_maxsim_ivf_recall")
     // each of these crossJoins a broadcast single-row aggregate (min/max
     // bounds, count totals, quantile cuts, scalar denominators) or a
     // bounded grid (q146's hours×types frame) — the BNLJ build side is
