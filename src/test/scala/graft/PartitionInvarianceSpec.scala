@@ -40,7 +40,17 @@ class PartitionInvarianceSpec extends SparkSpec {
     // covariance state (and the 8-round power iteration on it) must be
     // BIT-identical whatever the partitioning; any float or
     // merge-order leak in reduce/merge flips a loading
-    "q220_embedding_pca")
+    "q220_embedding_pca",
+    // r15: MaxSim — per-(query-vector, group) max over a kernel join,
+    // tenth-bp integer rounding, integer sums, rank ties on dgid; the
+    // retrieve tier adds the bounded candidate heap (double-sim
+    // tie-break on tid) in front. Any partition-order leak through
+    // max/heap merge order flips a rank.
+    "q234_maxsim_exact", "q235_maxsim_retrieve",
+    // r15: NFC-keyed keep-first dedup over a three-way union — the
+    // keeper must be the global min doc_id per key whatever the
+    // partitioning of the unioned corpus
+    "q237_nfc_dedup")
 
   private def canon(name: String): Seq[Seq[String]] =
     Registry.byName(name).run(spark, sfTiny)
