@@ -292,6 +292,23 @@ object GraftConf {
     * per function; bandRows must divide it. tools.SketchTune sweep on
     * the test corpus (BASELINE.md): 8 is the knee — recall 1.0 at half
     * the hashing of 16. */
+  /** Late-interaction MaxSim knobs (q234-q239, r15). Like the minhash
+    * shape knobs: the registered queries read these, so the DEFAULTS are
+    * the shape the q234 oracle replays — change them for ad-hoc use of
+    * LateInteraction.*, not under Verify. `group` is vectors per
+    * multi-vector document (gid = vec_id div group); `topk` the served
+    * results per query group; `cands` the per-query-vector candidate ask
+    * in the retrieval tiers (recall lever: measured 0.97/1.00 at 16/32
+    * on the sf0.01 corpus). */
+  def maxsimGroup(s: SparkSession): Int =
+    s.conf.get("spark.graft.maxsim.group", "4").toInt
+
+  def maxsimTopK(s: SparkSession): Int =
+    s.conf.get("spark.graft.maxsim.topk", "3").toInt
+
+  def maxsimCands(s: SparkSession): Int =
+    s.conf.get("spark.graft.maxsim.cands", "16").toInt
+
   def minhashFuncs(s: SparkSession): Int =
     s.conf.get("spark.graft.minhash.funcs", "8").toInt
 

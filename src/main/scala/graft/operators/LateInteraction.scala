@@ -112,13 +112,6 @@ object LateInteraction {
   private[graft] def centroids(s: SparkSession, d: String, g: Int): DataFrame =
     centroidsOf(grouped(s, d, g))
 
-  /** Centroid-prefiltered MaxSim — the serving tier: top-`cands` groups
-    * by centroid cosine, then EXACT MaxSim rescoring over only those
-    * candidates. Same output shape and tie discipline as
-    * [[maxSimExact]]; returned scores are bit-identical to the exact
-    * tier's for the pairs it returns (the rescore IS the exact kernel),
-    * recall is the approximation and ships as data via
-    * [[maxSimRecall]]. */
   /** Candidate (qgid, dgid) pairs by TOKEN-LEVEL retrieval — each query
     * vector retrieves its own top-`cands` by cosine, a group is a
     * candidate if ANY query vector nominated it (≤ g·cands groups per
@@ -242,15 +235,19 @@ object LateInteraction {
   // registry
   // ---------------------------------------------------------------------
 
-  private val G = 4; private val K = 3; private val QMOD = 10
-  private val CANDS = 16
+  // The registered shapes read GraftConf (spark.graft.maxsim.{group,
+  // topk,cands}) — the minhash-knob convention: the DEFAULTS are what
+  // the q234 oracle replays, ad-hoc sessions may retune. queryMod stays
+  // fixed: it is the test-corpus query sampling, not an engine knob.
+  private val QMOD = 10
 
   val q234MaxSimExact = GraftQuery(
     "q234_maxsim_exact",
     "J1 ext: late-interaction multi-vector retrieval (exact MaxSim top-k)",
-    (s, d) => maxSimExact(s, d, G, K, QMOD),
+    (s, d) => maxSimExact(s, d, graft.GraftConf.maxsimGroup(s),
+      graft.GraftConf.maxsimTopK(s), QMOD),
     Some(s"""WITH base AS (
-        SELECT vec_id // $G AS gid, vec_id,
+        SELECT vec_id // 4 AS gid, vec_id,
           CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings),
       q AS (SELECT gid AS qgid, vec_id AS qvid, emb AS qvec
@@ -269,7 +266,7 @@ object LateInteraction {
             AS rank
         FROM scored)
       SELECT qgid, rank, dgid, CAST(ssum AS DOUBLE) / 10000.0 AS score
-      FROM ranked WHERE rank <= $K ORDER BY qgid, rank"""))
+      FROM ranked WHERE rank <= 3 ORDER BY qgid, rank"""))
 
   /** No oracle: the candidate cut is approximate BY DESIGN (recall is
     * the trade) — gated in LateInteractionSpec (returned scores
@@ -278,28 +275,33 @@ object LateInteraction {
   val q235MaxSimRetrieve = GraftQuery(
     "q235_maxsim_retrieve",
     "J1 ext: token-retrieval MaxSim (late-interaction serving tier)",
-    (s, d) => maxSimRetrieve(s, d, G, K, QMOD, CANDS),
+    (s, d) => maxSimRetrieve(s, d, graft.GraftConf.maxsimGroup(s),
+      graft.GraftConf.maxsimTopK(s), QMOD, graft.GraftConf.maxsimCands(s)),
     None)
 
   val q236MaxSimRecall = GraftQuery(
     "q236_maxsim_recall",
     "J1 ext: retrieval-tier recall@k vs exact MaxSim, as data",
-    (s, d) => maxSimRecall(s, d, G, K, QMOD, CANDS),
+    (s, d) => maxSimRecall(s, d, graft.GraftConf.maxsimGroup(s),
+      graft.GraftConf.maxsimTopK(s), QMOD, graft.GraftConf.maxsimCands(s)),
     None)
 
   val q238MaxSimIvf = GraftQuery(
     "q238_maxsim_ivf",
     "J1c × J1 ext: MaxSim with IVF-routed token retrieval (the scale tier)",
-    (s, d) => maxSimIvf(s, d, G, K, QMOD, CANDS),
+    (s, d) => maxSimIvf(s, d, graft.GraftConf.maxsimGroup(s),
+      graft.GraftConf.maxsimTopK(s), QMOD, graft.GraftConf.maxsimCands(s)),
     None)
 
   val q239MaxSimIvfRecall = GraftQuery(
     "q239_maxsim_ivf_recall",
     "J1 ext: IVF-routed MaxSim recall@k vs exact, as data",
     (s, d) => Ann.recallVsExact(
-      maxSimIvf(s, d, G, K, QMOD, CANDS)
+      maxSimIvf(s, d, graft.GraftConf.maxsimGroup(s),
+        graft.GraftConf.maxsimTopK(s), QMOD, graft.GraftConf.maxsimCands(s))
         .select(col("qgid").as("qid"), col("dgid").as("nid")),
-      maxSimExact(s, d, G, K, QMOD)
+      maxSimExact(s, d, graft.GraftConf.maxsimGroup(s),
+        graft.GraftConf.maxsimTopK(s), QMOD)
         .select(col("qgid").as("qid"), col("dgid").as("nid"))),
     None)
 

@@ -84,6 +84,28 @@ class LateInteractionSpec extends SparkSpec {
     }
   }
 
+  test("maxsim conf knobs reach the registered queries (defaults = oracle shape)") {
+    // defaults replay the oracle shape
+    assert(GraftConf.maxsimGroup(spark) == 4 && GraftConf.maxsimTopK(spark) == 3
+      && GraftConf.maxsimCands(spark) == 16)
+    val defRows = operators.LateInteraction.q234MaxSimExact.run(spark, sfTiny)
+      .collect()
+    assert(defRows.map(_.getInt(1)).max == 3)
+    try {
+      spark.conf.set("spark.graft.maxsim.topk", "1")
+      spark.conf.set("spark.graft.maxsim.group", "2")
+      val r = operators.LateInteraction.q234MaxSimExact.run(spark, sfTiny)
+        .collect()
+      assert(r.map(_.getInt(1)).max == 1, "topk knob did not reach the query")
+      // g=2 doubles the group count: 500 vecs -> 250 groups, gid%10==0 -> 25
+      assert(r.map(_.getLong(0)).distinct.length == 25,
+        s"group knob did not reach the query: ${r.map(_.getLong(0)).distinct.length} queries")
+    } finally {
+      spark.conf.unset("spark.graft.maxsim.topk")
+      spark.conf.unset("spark.graft.maxsim.group")
+    }
+  }
+
   test("q237: NFC-keyed dedup unifies precomposed/decomposed variants") {
     val r = operators.Dedup.q237NfcDedup.run(spark, sfTiny)
       .select(col("doc_id"), col("group_size")).collect()
