@@ -59,9 +59,44 @@ object GraftConf {
     v
   }
 
-  /** IVF probe width: how many nearest cells each query searches. */
+  /** IVF probe width: how many nearest cells each query searches.
+    * Default "auto" (round 16, VERDICT r15 Next #2 — the q238/q226
+    * seam): the quantizer auto-sizes cells as √N, so a FIXED probe
+    * count shrinks the probed fraction as the corpus grows (measured:
+    * q238 recall@3 0.97 at sf0.01 → 0.85 at 10× at the old fixed 6).
+    * Auto resolves to round(√(3·cells)) — the geometric middle between
+    * fixed-count (fraction ∝ 1/cells, recall decays) and fixed-fraction
+    * (probe work ∝ N, sublinearity lost): probed fraction decays only
+    * as √(3/cells) and per-query scanned rows grow as √3·N/∜N ∝ N^¾ at
+    * the √N cell count. The √3 constant anchors auto to the tuned
+    * small-corpus point: at the 12-cell test quantizer it resolves to
+    * exactly the old default 6, so every sf0.01 recall gate and oracle
+    * is unchanged by construction. A numeric value pins the count
+    * (reference nprobe, app/vector_search.py:40-47).
+    *
+    * Returns [[NprobeAuto]] under auto — the cell count is not known
+    * here; resolve with [[resolveNprobe]] at the probe site. */
   def ivfNprobe(s: SparkSession): Int =
-    s.conf.get("spark.graft.ivf.nprobe", "6").toInt
+    s.conf.get("spark.graft.ivf.nprobe", "auto") match {
+      case "auto" => NprobeAuto
+      case v =>
+        val i = v.toInt
+        require(i >= 1, s"spark.graft.ivf.nprobe must be >= 1 or auto, got $i")
+        i
+    }
+
+  /** Sentinel for the auto probe width (see [[ivfNprobe]]): travels
+    * through the operators' `nprobe: Int` plumbing and resolves against
+    * the fitted quantizer's cell count at the probe site. */
+  val NprobeAuto: Int = -1
+
+  /** Resolve a possibly-[[NprobeAuto]] probe width against the fitted
+    * quantizer's cell count. Explicit counts pass through untouched
+    * (the probe kernel itself clamps to the cell count, as before). */
+  def resolveNprobe(nprobe: Int, cells: Int): Int =
+    if (nprobe > 0) nprobe
+    else math.max(1, math.min(cells,
+      math.round(math.sqrt(3.0 * cells)).toInt))
 
   /** KMeans iteration cap for the IVF quantizer fit. Each iteration is a
     * Spark job; 10 converges on clustered corpora (q35 recall unchanged
@@ -292,23 +327,6 @@ object GraftConf {
     * per function; bandRows must divide it. tools.SketchTune sweep on
     * the test corpus (BASELINE.md): 8 is the knee — recall 1.0 at half
     * the hashing of 16. */
-  /** Late-interaction MaxSim knobs (q234-q239, r15). Like the minhash
-    * shape knobs: the registered queries read these, so the DEFAULTS are
-    * the shape the q234 oracle replays — change them for ad-hoc use of
-    * LateInteraction.*, not under Verify. `group` is vectors per
-    * multi-vector document (gid = vec_id div group); `topk` the served
-    * results per query group; `cands` the per-query-vector candidate ask
-    * in the retrieval tiers (recall lever: measured 0.97/1.00 at 16/32
-    * on the sf0.01 corpus). */
-  def maxsimGroup(s: SparkSession): Int =
-    s.conf.get("spark.graft.maxsim.group", "4").toInt
-
-  def maxsimTopK(s: SparkSession): Int =
-    s.conf.get("spark.graft.maxsim.topk", "3").toInt
-
-  def maxsimCands(s: SparkSession): Int =
-    s.conf.get("spark.graft.maxsim.cands", "16").toInt
-
   def minhashFuncs(s: SparkSession): Int =
     s.conf.get("spark.graft.minhash.funcs", "8").toInt
 
@@ -318,6 +336,42 @@ object GraftConf {
     * requires identical signatures. */
   def minhashBandRows(s: SparkSession): Int =
     s.conf.get("spark.graft.minhash.bandRows", "2").toInt
+
+  /** Late-interaction MaxSim defaults — SINGLE SOURCE OF TRUTH shared
+    * by the conf readers below AND by q234's DuckDB oracle SQL
+    * (LateInteraction interpolates these constants into the string), so
+    * a future default change cannot silently split the Spark/oracle
+    * pair (VERDICT r15 item 4 / ADVICE r15). */
+  val MaxsimGroupDefault = 4
+  val MaxsimTopKDefault = 3
+  val MaxsimCandsDefault = 16
+
+  /** Late-interaction MaxSim knobs (q234-q239, r15). Like the minhash
+    * shape knobs: the registered queries read these, so the DEFAULTS are
+    * the shape the q234 oracle replays — change them for ad-hoc use of
+    * LateInteraction.*, not under Verify. `group` is vectors per
+    * multi-vector document (gid = vec_id div group); `topk` the served
+    * results per query group; `cands` the per-query-vector candidate ask
+    * in the retrieval tiers (recall lever: measured 0.97/1.00 at 16/32
+    * on the sf0.01 corpus). Validated > 0 (ADVICE r15: group=0 made the
+    * div-derived gids null and queries silently empty). */
+  def maxsimGroup(s: SparkSession): Int = {
+    val v = s.conf.get("spark.graft.maxsim.group", MaxsimGroupDefault.toString).toInt
+    require(v > 0, s"spark.graft.maxsim.group must be > 0, got $v")
+    v
+  }
+
+  def maxsimTopK(s: SparkSession): Int = {
+    val v = s.conf.get("spark.graft.maxsim.topk", MaxsimTopKDefault.toString).toInt
+    require(v > 0, s"spark.graft.maxsim.topk must be > 0, got $v")
+    v
+  }
+
+  def maxsimCands(s: SparkSession): Int = {
+    val v = s.conf.get("spark.graft.maxsim.cands", MaxsimCandsDefault.toString).toInt
+    require(v > 0, s"spark.graft.maxsim.cands must be > 0, got $v")
+    v
+  }
 
   /** Bloom pre-filter sizing (q133): expected distinct keys on the
     * SMALL (inserted) side. With numBits at the default 8 bits/key the

@@ -93,6 +93,7 @@ object Ann {
     standingLoopCache.clear()
     Hybrid.clearCache()
     TextAnalysis.clearEncCache()
+    LanguageModel.clearCache()
     // the one cache the "new JVM" hook used to miss: memoized dataset
     // fingerprints would keep a mid-session regeneration serving
     // artifacts keyed to the previous generation's content
@@ -203,10 +204,11 @@ object Ann {
     // the centroid table, no window Exchange (see NearestCells; the
     // ranking and tie-break are bit-identical to the old window form)
     val cents = idx.model.clusterCenters.map(_.toArray)
+    val np = GraftConf.resolveNprobe(nprobe, cents.length)
     val probed = assigned
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"),
-        explode(nearestCellsFast(col("vec"), cents, nprobe)).as("centroid_id"))
+        explode(nearestCellsFast(col("vec"), cents, np)).as("centroid_id"))
     probed
       .join(assigned.select(col("centroid_id"), col("vec_id").as("nid"), col("vec").as("nvec")),
         Seq("centroid_id"))
@@ -447,9 +449,10 @@ object Ann {
     // ncells=100; the round-6 graded scale-killer). Now the only
     // Exchange left is the bucket equi-join itself, at nprobe× corpus.
     val cents = idx.model.clusterCenters.map(_.toArray)
+    val np = GraftConf.resolveNprobe(nprobe, cents.length)
     val probed = idx.assigned.select(col("vec_id"), col("vec"))
       .select(col("vec_id"), col("vec").as("embedding"), lit(0).as("ht"),
-        explode(nearestCellsFast(col("vec"), cents, nprobe)).as("bucket"))
+        explode(nearestCellsFast(col("vec"), cents, np)).as("bucket"))
     nearDupFromBuckets(probed, "vec_id", "embedding", threshold)
   }
 
@@ -645,7 +648,8 @@ object Ann {
     val probed = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"),
         pqDistTableFast(l2NormalizeFast(col("vec")), cb, pq.m, pq.k).as("tbl"),
-        nearestCellsFast(col("vec"), cents, nprobe).as("cells"))
+        nearestCellsFast(col("vec"), cents,
+          GraftConf.resolveNprobe(nprobe, cents.length)).as("cells"))
       .repartition(col("qid"))
       .select(col("qid"), col("tbl"), explode(col("cells")).as("centroid_id"))
     val shortlist = probed
@@ -880,7 +884,8 @@ object Ann {
     val cents = idx.model.clusterCenters.map(_.toArray)
     val probed = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"),
-        explode(nearestCellsFast(col("vec"), cents, nprobe)).as("centroid_id"))
+        explode(nearestCellsFast(col("vec"), cents,
+          GraftConf.resolveNprobe(nprobe, cents.length))).as("centroid_id"))
     val refine = k * GraftConf.pqRefine(s)
     // Both top-k stages run through the bounded TopKAggregator heap (the
     // q156 pattern): a row_number window here would shuffle and SORT the
@@ -1302,7 +1307,8 @@ object Ann {
     val topk = udaf(new graft.functions.TopKAggregator(k))
     queries
       .select(col("qid"), col("qvec"),
-        explode(nearestCellsFast(col("qvec"), matrix, nprobe)).as("ci"))
+        explode(nearestCellsFast(col("qvec"), matrix,
+          GraftConf.resolveNprobe(nprobe, matrix.length))).as("ci"))
       .select(col("qid"), col("qvec"),
         element_at(typedLit(ids), col("ci") + 1).as("centroid_id"))
       .join(assigned.select(col("centroid_id"), col("vec_id").as("nid"),
@@ -1472,7 +1478,7 @@ object Ann {
       import s.implicits._
       val dr = driftRepair(s, d)
       val k = 2
-      val nprobe = GraftConf.ivfNprobe(s)
+      val nprobe = GraftConf.resolveNprobe(GraftConf.ivfNprobe(s), dr.cellsPre)
       val queries = driftQueries(s, d)
       val corpus = dr.assignedDrift
         .select(col("vec_id").as("nid"), col("vec").as("nvec"))
@@ -1941,8 +1947,8 @@ object Ann {
     (s, d) => {
       import s.implicits._
       val k = 2
-      val nprobe = GraftConf.ivfNprobe(s)
       val loop = standingLoop(s, d, nBatches = 4, postBatches = 2)
+      val nprobe = GraftConf.resolveNprobe(GraftConf.ivfNprobe(s), loop.cells0)
       val queries = driftQueries(s, d)
       val corpus = loop.served
         .select(col("vec_id").as("nid"), col("vec").as("nvec"))
@@ -2050,8 +2056,9 @@ object Ann {
           }
       }
       val cellsPre = ivfIndexFull(s, d).model.getK
-      val nprobePost = math.max(nprobe,
-        math.ceil(nprobe.toDouble * cellsPost / cellsPre).toInt)
+      val np = GraftConf.resolveNprobe(nprobe, cellsPre)
+      val nprobePost = math.max(np,
+        math.ceil(np.toDouble * cellsPost / cellsPre).toInt)
       val served = searchWithCentroids(queries, assigned,
         collectCentroids(assigned), k, nprobePost).persist()
       // the in-memory serve path (q226's post side) — the loaded artifact

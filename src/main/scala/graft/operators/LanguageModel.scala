@@ -60,12 +60,6 @@ object LanguageModel {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
-  /** Reference-slice counts: bigram C(w1,w2), context marginal C(w1·),
-    * unigram C(w2), and the (T, V) totals — all exact BIGINT. */
-  private def lmCounts(train: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    modelFromCounts(bigramCounts(train))
-
   /** The additive model state: (w1, w2, c2) bigram counts. This ONE
     * relation determines the whole model — the context marginal, the
     * unigram counts (every train token occurs exactly once as w2 of the
@@ -75,6 +69,88 @@ object LanguageModel {
   private[graft] def bigramCounts(docs: DataFrame): DataFrame =
     bigramStream(docs).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
+
+  // The bigram-count MODEL as a maintained relation — two layers, the
+  // tokenized-corpus treatment (round 16, VERDICT r15 Next #1:
+  // docSurprisal re-derived the model per invocation, which made
+  // q206/q207 the r15 driver bench's top oob rows at 5.9×/7.7× under
+  // load, with no caches: entry to classify them):
+  //  - ACROSS JVMs: with the model store on, a w1-bucketed catalog
+  //    table per (dataset, trainPred) via
+  //    [[StoredTables.storedBucketedTable]] — a fresh session
+  //    re-registers the committed files with one DDL instead of
+  //    re-running tokenize → zip_with → count over the train slice.
+  //    The relation is vocabulary-bounded (Heaps-law growth, like the
+  //    BPE merge table), so a small fixed bucket count suffices; w1
+  //    bucketing lets the c1ctx context-marginal aggregate and the w1
+  //    side of the smb join plan off the stored partitioning.
+  //  - IN-SESSION: cached + persisted per (session, dataset, pred,
+  //    store) through [[graft.FitTiming.cachedOrFit]], so Bench emits
+  //    `caches:{q206…,q209…}` and a cross-round swing classifies from
+  //    the artifacts alone (tools/bench_diff.py's cold-fit rule).
+  // The streamed q209 model does NOT route here: its state is trained
+  // incrementally through StreamingJobs.applyLmCountBatch and must
+  // reflect exactly the folded batches — only its corpus-side scoring
+  // tf rides [[corpusTf]].
+  private val LmModelBuckets = 8
+  private val lmModelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val lmTfCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def sessionKey(s: SparkSession): String =
+    System.identityHashCode(s).toString
+
+  private[graft] def storedBigramCounts(s: SparkSession, d: String,
+      trainPred: Column): DataFrame = {
+    // textual identity of the train predicate (deterministic across
+    // JVMs for the column expressions the registered queries use).
+    // Column.toString renders the column NODE's sql — NOT
+    // GraftColumnBridge.expression(...).sql, which under Spark 4's lazy
+    // ColumnNodeExpression wrapper collapses every predicate to the
+    // same generic string (two different preds would share one cache
+    // slot and the artifact path — the raw model silently serving the
+    // target model's counts)
+    val predSql = trainPred.toString
+    // readable sanitized prefix + 32-bit hash: the prefix keeps distinct
+    // predicates from ever sharing an artifact path on a hash collision
+    // (a silent wrong-model serve the LOCATION check cannot catch)
+    val predTag = predSql.replaceAll("[^A-Za-z0-9]", "").take(24) + "_" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(predSql).toLong & 0xffffffffL)
+    val store = graft.GraftConf.indexDir(s).getOrElse("off")
+    val key = (sessionKey(s), s"$d|pred=$predTag|store=$store")
+    graft.FitTiming.cachedOrFit(lmModelCache, key) {
+      StoredTables.storedBucketedTable(s, "lm_bigrams", "lmbg", d,
+        s"pred=$predTag,bk=$LmModelBuckets",
+        "w1 STRING, w2 STRING, c2 BIGINT", "w1", LmModelBuckets)(
+        bigramCounts(Tables.documents(s, d).filter(trainPred))).persist()
+    }
+  }
+
+  /** The corpus-side scoring relation (doc_id, w1, w2, tf), cached
+    * in-session per (session, dataset): all four LM queries (and
+    * q208's two model arms) score the SAME corpus, so the linear
+    * tokenize → bigram → count pass runs once per session, not once
+    * per invocation. In-session only (no stored table): it is one
+    * linear derivable pass, and the cross-JVM cost that made q206/q207
+    * oob rows was the per-query model re-derivation, which the stored
+    * model above retires. */
+  private def corpusTf(s: SparkSession, d: String): DataFrame = {
+    val key = (sessionKey(s), d)
+    graft.FitTiming.cachedOrFit(lmTfCache, key) {
+      bigramStream(Tables.documents(s, d))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("tf")).persist()
+    }
+  }
+
+  private[graft] def clearCache(): Unit = {
+    lmModelCache.values.foreach(_.unpersist())
+    lmModelCache.clear()
+    lmTfCache.values.foreach(_.unpersist())
+    lmTfCache.clear()
+  }
 
   /** Derive (c1ctx, c1, tot) from a committed bigram-count relation. */
   private def modelFromCounts(c2: DataFrame)
@@ -90,19 +166,16 @@ object LanguageModel {
     * defaults to the English documents (the "trusted corpus" stand-in —
     * CCNet trains on Wikipedia). */
   def docSurprisal(s: SparkSession, d: String,
-      trainPred: Column = col("lang") === "en"): DataFrame = {
-    val docs = Tables.documents(s, d)
-    scoreWith(docs, lmCounts(docs.filter(trainPred)))
-  }
+      trainPred: Column = col("lang") === "en"): DataFrame =
+    scoreWith(corpusTf(s, d),
+      modelFromCounts(storedBigramCounts(s, d, trainPred)))
 
   /** The scoring tail against explicit model relations — shared by the
-    * batch path and the drained q209 streamed state. */
-  private def scoreWith(docs: DataFrame,
+    * batch path and the drained q209 streamed state. `tf` is the
+    * corpus-side (doc_id, w1, w2, tf) relation ([[corpusTf]]). */
+  private def scoreWith(tf: DataFrame,
       model: (DataFrame, DataFrame, DataFrame, DataFrame)): DataFrame = {
     val (c2, c1ctx, c1, tot) = model
-    val tf = bigramStream(docs)
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("tf"))
     val dist = tf.select(col("w1"), col("w2")).distinct()
     // identical IEEE op order to the oracle SQL: (0.75·cond) + (0.25·uni)
     val p = lit(0.75) * when(coalesce(col("c1ctx"), lit(0L)) > 0,
@@ -131,7 +204,14 @@ object LanguageModel {
     * passes — no global sort), label by VALUE comparison (deterministic
     * under ties), profile per (tercile, source). */
   def perplexityTerciles(s: SparkSession, d: String): DataFrame = {
-    val doc = docSurprisal(s, d)
+    // materialize the scored relation ONCE (one row per doc — corpus-
+    // bounded, executor-resident): the tercile locator's broadcast
+    // subtrees (bounds, bin counts, located ranks, the cuts crossJoin)
+    // otherwise re-evaluate the whole scoring chain ~7× — measured
+    // 10.8 s vs 1.9 s warm at sf0.1 (r16, after the model/tf caches
+    // landed; the pre-r16 inline chain paid the same 7× on a cheaper
+    // per-evaluation cost, 4.2 s)
+    val doc = docSurprisal(s, d).localCheckpoint(true)
     val r = doc.select(lit("all").as("g"), col("mean_millibits").as("v"))
     val cuts = graft.plans.Scale.groupExactRank(s, r, "g", Seq(1.0 / 3, 2.0 / 3))
       .agg(min(when(col("p") < 0.5, col("value"))).as("cut1"),
@@ -314,7 +394,7 @@ object LanguageModel {
       val sp = new org.apache.hadoop.fs.Path(stateDir)
       sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     }
-    scoreWith(Tables.documents(s, d), modelFromCounts(c2))
+    scoreWith(corpusTf(s, d), modelFromCounts(c2))
   }
 
   val q209StreamedLm = GraftQuery(

@@ -16,8 +16,9 @@ object LoopServeProbe {
     val maxExtra = if (args.length > 1) args(1).toInt else 6
     val spark = graft.GraftSession.local()
     val k = 2
-    val nprobe = graft.GraftConf.ivfNprobe(spark)
     val loop = Ann.standingLoop(spark, sfDir, nBatches = 4, postBatches = 2)
+    val nprobe = graft.GraftConf.resolveNprobe(
+      graft.GraftConf.ivfNprobe(spark), loop.cells0)
     println(s"[loopprobe] cells0=${loop.cells0} servedCells=${loop.servedCells} " +
       s"nTotal=${loop.nTotal} finalSkew=${loop.finalSkew}")
     val queries = graft.Tables.embeddings(spark, sfDir)

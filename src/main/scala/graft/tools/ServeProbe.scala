@@ -15,7 +15,8 @@ object ServeProbe {
     val dr = Ann.driftRepair(spark, sfDir)
     println(s"[probe] cellsPre=${dr.cellsPre} cellsPost=${dr.cellsPost} skews=${dr.skews}")
     val k = 2
-    val nprobe = graft.GraftConf.ivfNprobe(spark)
+    val nprobe = graft.GraftConf.resolveNprobe(
+      graft.GraftConf.ivfNprobe(spark), dr.cellsPre)
     val queries = graft.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("qid"),

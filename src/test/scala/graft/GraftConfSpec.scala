@@ -339,6 +339,60 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("spark.graft.ivf.nprobe: auto tracks the quantizer size, numeric pins") {
+    // auto resolves to round(√(3·cells)): the probed fraction decays
+    // only as √(3/cells) while a fixed count decays as 1/cells — the
+    // q238/q226 seam (VERDICT r15 Next #2). Anchored so the 12-cell
+    // test quantizer resolves to the pre-r16 default 6 exactly.
+    assert(GraftConf.ivfNprobe(spark) == GraftConf.NprobeAuto)
+    assert(GraftConf.resolveNprobe(GraftConf.NprobeAuto, 12) == 6)
+    assert(GraftConf.resolveNprobe(GraftConf.NprobeAuto, 71) == 15)
+    assert(GraftConf.resolveNprobe(GraftConf.NprobeAuto, 2) == 2,
+      "auto must clamp to the cell count")
+    assert(GraftConf.resolveNprobe(4, 1000) == 4,
+      "an explicit count must pass through unresolved")
+    withConf("spark.graft.ivf.nprobe", "9") {
+      assert(GraftConf.ivfNprobe(spark) == 9)
+    }
+    withConf("spark.graft.ivf.nprobe", "0") {
+      intercept[IllegalArgumentException] { GraftConf.ivfNprobe(spark) }
+    }
+    // end-to-end: at the 12-cell sfTiny quantizer the auto default is
+    // bit-identical to the old pinned 6 (every sf0.01 recall gate and
+    // carried oracle unchanged by construction)
+    Ann.clearCaches()
+    def pairs(np: Int) = Ann.ivfKnn(spark, sfTiny, k = 2, nprobe = np,
+      queryMod = 10).collect().map(_.toSeq).toSeq
+    assert(pairs(GraftConf.ivfNprobe(spark)) == pairs(6),
+      "auto default diverged from the tuned fixed count at the anchor point")
+    Ann.clearCaches()
+  }
+
+  test("maxsim knobs validate > 0 and the q234 oracle replays the conf defaults") {
+    // single source of truth (VERDICT r15 item 4): the oracle SQL is
+    // interpolated from the same GraftConf constants the conf readers
+    // default to, so a default change moves both sides of the pair
+    assert(GraftConf.maxsimGroup(spark) == GraftConf.MaxsimGroupDefault)
+    assert(GraftConf.maxsimTopK(spark) == GraftConf.MaxsimTopKDefault)
+    assert(GraftConf.maxsimCands(spark) == GraftConf.MaxsimCandsDefault)
+    val sql = operators.LateInteraction.q234MaxSimExact.oracle.get
+    assert(sql.contains(s"vec_id // ${GraftConf.MaxsimGroupDefault} AS gid"),
+      "oracle group divisor not derived from the shared default")
+    assert(sql.contains(s"rank <= ${GraftConf.MaxsimTopKDefault}"),
+      "oracle top-k cut not derived from the shared default")
+    // ADVICE r15: group=0 used to yield null div-gids and silently
+    // empty results — the knobs now fail fast
+    withConf("spark.graft.maxsim.group", "0") {
+      intercept[IllegalArgumentException] { GraftConf.maxsimGroup(spark) }
+    }
+    withConf("spark.graft.maxsim.topk", "-1") {
+      intercept[IllegalArgumentException] { GraftConf.maxsimTopK(spark) }
+    }
+    withConf("spark.graft.maxsim.cands", "0") {
+      intercept[IllegalArgumentException] { GraftConf.maxsimCands(spark) }
+    }
+  }
+
   test("spark.graft.stream.stageDir roots the streamed staging dirs (shared-FS cluster contract)") {
     // q225/q227 accumulate micro-batch state between triggers; on a real
     // cluster that staging root must be a shared-FS path every executor

@@ -350,6 +350,39 @@ class IndexPersistenceSpec extends SparkSpec {
     }
   }
 
+  test("LM bigram model persists: a fresh catalog re-registers the bucketed files, never re-derives") {
+    withIndexDir { dir =>
+      // the q206-q209 shared model state (round 16, VERDICT r15 Next
+      // #1's structural fix: docSurprisal re-derived the bigram model
+      // per invocation — the r15 driver bench's top oob rows)
+      def scored() = operators.LanguageModel.docSurprisal(spark, sfTiny)
+      val base = scored().collect().map(_.toSeq).toSet
+      assert(base.nonEmpty)
+      val predSql = (col("lang") === "en").toString
+      val predTag = predSql.replaceAll("[^A-Za-z0-9]", "").take(24) + "_" +
+        java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(predSql).toLong & 0xffffffffL)
+      val p = operators.ModelStore.artifactPath(spark, "lm_bigrams",
+        sfTiny, s"pred=$predTag,bk=8").get
+      assert(new java.io.File(p, "_SUCCESS").exists(), s"artifact missing at $p")
+      assert(new java.io.File(p, "_meta").exists(), s"_meta sidecar missing at $p")
+      def mtimes() = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified).toMap
+      val before = mtimes()
+      assert(before.nonEmpty)
+      val t = "graft_lmbg_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(p).toLong & 0xffffffffL)
+      assert(spark.catalog.tableExists(t), s"catalog table $t missing")
+      spark.sql(s"DROP TABLE $t")
+      Ann.clearCaches()
+      assert(scored().collect().map(_.toSeq).toSet == base,
+        "re-registered LM bigram table changed the scored relation")
+      assert(mtimes() == before,
+        "lm_bigrams files rewritten — expected a DDL re-registration of the existing bucketed files")
+    }
+  }
+
   test("posting catalog-name COLLISION at a different location: re-register the true artifact, never serve the collider") {
     withIndexDir { dir =>
       def scored() = operators.Hybrid.lexScoredCandidates(spark, sfTiny,

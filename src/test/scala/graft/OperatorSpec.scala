@@ -520,7 +520,7 @@ class OperatorSpec extends SparkSpec {
     val dr = Ann.driftRepair(s, sfTiny)
     assert(dr.skews.last <= dr.skews.head, "repair+refinement did not improve skew")
     val k = 2
-    val nprobe = GraftConf.ivfNprobe(s)
+    val nprobe = GraftConf.resolveNprobe(GraftConf.ivfNprobe(s), dr.cellsPre)
     val queries = Tables.embeddings(s, sfTiny)
       .filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("qid"),
@@ -634,7 +634,7 @@ class OperatorSpec extends SparkSpec {
     val loop = Ann.standingLoop(s, sfTiny, nBatches = 4, postBatches = 2)
     assert(loop.triggered && loop.servedCells > loop.cells0)
     val k = 2
-    val nprobe = GraftConf.ivfNprobe(s)
+    val nprobe = GraftConf.resolveNprobe(GraftConf.ivfNprobe(s), loop.cells0)
     val queries = Tables.embeddings(s, sfTiny)
       .filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("qid"),

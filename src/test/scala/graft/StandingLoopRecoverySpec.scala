@@ -32,7 +32,7 @@ class StandingLoopRecoverySpec extends SparkSpec {
 
   private def serveThrough(loop: Ann.StandingLoop): DataFrame = {
     val s = spark
-    val nprobe = GraftConf.ivfNprobe(s)
+    val nprobe = GraftConf.resolveNprobe(GraftConf.ivfNprobe(s), loop.cells0)
     val nprobePost = math.max(nprobe,
       math.ceil(nprobe.toDouble * loop.servedCells / loop.cells0).toInt)
     val queries = Tables.embeddings(s, sfTiny)
