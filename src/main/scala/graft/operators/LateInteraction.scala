@@ -184,10 +184,17 @@ object LateInteraction {
       queryMod: Int, cands: Int, mode: String = "vector"): DataFrame = {
     val base = grouped(s, d, g)
     val q = queryVecs(base, queryMod)
-    val cand = tokenCandidates(base, q, g, cands, mode)
+    rescoreTopK(base, q, tokenCandidates(base, q, g, cands, mode), k)
+  }
+
+  /** The shared rescore tail of every retrieval tier: EXACT MaxSim over
+    * the nominated (qgid, dgid) candidate set, top-k. Work is bounded
+    * by the nomination set whatever tier produced it — the structural
+    * reason the routing arms are interchangeable. */
+  private def rescoreTopK(base: DataFrame, q: DataFrame, cand: DataFrame,
+      k: Int): DataFrame = {
     val dv = base.select(col("gid").as("dgid"), col("embedding").as("dvec"))
-    val pairs = cand.join(q, Seq("qgid")).join(dv, Seq("dgid"))
-    topkByMaxSim(tokenMax(pairs), k)
+    topkByMaxSim(tokenMax(cand.join(q, Seq("qgid")).join(dv, Seq("dgid"))), k)
   }
 
   /** IVF-routed MaxSim — the claim "at scale the per-token lookup is
@@ -212,13 +219,35 @@ object LateInteraction {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     val hits = Ann.searchWithCentroids(tokens, assigned, cents,
       k = cands + g, nprobe = graft.GraftConf.ivfNprobe(s))
-    val cand = hits
+    rescoreTopK(base, q, groupsOfHits(hits, g), k)
+  }
+
+  /** Map per-token ANN hits (qid, nid) to their nominated (qgid, dgid)
+    * candidate groups, self-group excluded. */
+  private def groupsOfHits(hits: DataFrame, g: Int): DataFrame =
+    hits
       .select(expr(s"qid div $g").as("qgid"), expr(s"nid div $g").as("dgid"))
       .filter(col("qgid") =!= col("dgid"))
       .distinct()
-    val dv = base.select(col("gid").as("dgid"), col("embedding").as("dvec"))
-    val pairs = cand.join(q, Seq("qgid")).join(dv, Seq("dgid"))
-    topkByMaxSim(tokenMax(pairs), k)
+
+  /** NSW-routed MaxSim — the SECOND ANN arm (round 16, VERDICT r15
+    * Next #6): the same per-token top-C lookup routed through the
+    * sharded NSW graph tier ([[Nsw.searchFrame]] — the graph artifact,
+    * broadcast query scatter, per-shard beam search, bounded merge)
+    * instead of IVF cells. Everything after the lookup is the shared
+    * [[rescoreTopK]]/[[groupsOfHits]] tail, which is the point: the
+    * "ANN tiers serve the per-token lookup" claim is structural —
+    * tier-agnostic — not an IVF-specific integration. Recall ships as
+    * data (q241); scores are bit-equal to exact for returned pairs by
+    * construction (the rescore IS the exact kernel). */
+  def maxSimNsw(s: SparkSession, d: String, g: Int, k: Int,
+      queryMod: Int, cands: Int): DataFrame = {
+    val base = grouped(s, d, g)
+    val q = queryVecs(base, queryMod)
+    val tokens = q.select(col("qvid").as("qid"),
+      transform(col("qvec"), x => x.cast("double")).as("qvec"))
+    val hits = Nsw.searchFrame(s, d, tokens, k = cands + g)
+    rescoreTopK(base, q, groupsOfHits(hits, g), k)
   }
 
   /** Recall@k of the centroid tier vs the exact tier, shipped as data
@@ -241,13 +270,27 @@ object LateInteraction {
   // fixed: it is the test-corpus query sampling, not an engine knob.
   private val QMOD = 10
 
+  // The oracle replays the conf DEFAULTS, interpolated from the same
+  // GraftConf constants the readers above resolve (single source of
+  // truth — a default change moves both sides of the pair at once;
+  // GraftConfSpec asserts the SQL and the conf defaults agree).
+  //
+  // Known hash-compare boundary (ADVICE r15, accepted as the q30
+  // convention): round(max(sim)·10⁴) assumes cosineFast and DuckDB's
+  // list_cosine_similarity round the same double to the same integer.
+  // A cosine within ~1 ulp of a 0.5e-4 boundary (different sqrt/
+  // accumulation order across engines) could flip one mxi and with it a
+  // rank. Never observed on the test corpus; if a future q234 oracle
+  // mismatch appears with rows/schema matching and a near-tie in the
+  // diff, classify here first (diagnostic: |frac − 0.5| of sim·10⁴ for
+  // the disputed pair) before suspecting the kernel.
   val q234MaxSimExact = GraftQuery(
     "q234_maxsim_exact",
     "J1 ext: late-interaction multi-vector retrieval (exact MaxSim top-k)",
     (s, d) => maxSimExact(s, d, graft.GraftConf.maxsimGroup(s),
       graft.GraftConf.maxsimTopK(s), QMOD),
     Some(s"""WITH base AS (
-        SELECT vec_id // 4 AS gid, vec_id,
+        SELECT vec_id // ${graft.GraftConf.MaxsimGroupDefault} AS gid, vec_id,
           CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings),
       q AS (SELECT gid AS qgid, vec_id AS qvid, emb AS qvec
@@ -266,7 +309,8 @@ object LateInteraction {
             AS rank
         FROM scored)
       SELECT qgid, rank, dgid, CAST(ssum AS DOUBLE) / 10000.0 AS score
-      FROM ranked WHERE rank <= 3 ORDER BY qgid, rank"""))
+      FROM ranked WHERE rank <= ${graft.GraftConf.MaxsimTopKDefault}
+      ORDER BY qgid, rank"""))
 
   /** No oracle: the candidate cut is approximate BY DESIGN (recall is
     * the trade) — gated in LateInteractionSpec (returned scores
@@ -305,7 +349,26 @@ object LateInteraction {
         .select(col("qgid").as("qid"), col("dgid").as("nid"))),
     None)
 
+  val q240MaxSimNsw = GraftQuery(
+    "q240_maxsim_nsw",
+    "J1 ext × graph tier: MaxSim with NSW-routed token retrieval (second ANN arm)",
+    (s, d) => maxSimNsw(s, d, graft.GraftConf.maxsimGroup(s),
+      graft.GraftConf.maxsimTopK(s), QMOD, graft.GraftConf.maxsimCands(s)),
+    None)
+
+  val q241MaxSimNswRecall = GraftQuery(
+    "q241_maxsim_nsw_recall",
+    "J1 ext: NSW-routed MaxSim recall@k vs exact, as data",
+    (s, d) => Ann.recallVsExact(
+      maxSimNsw(s, d, graft.GraftConf.maxsimGroup(s),
+        graft.GraftConf.maxsimTopK(s), QMOD, graft.GraftConf.maxsimCands(s))
+        .select(col("qgid").as("qid"), col("dgid").as("nid")),
+      maxSimExact(s, d, graft.GraftConf.maxsimGroup(s),
+        graft.GraftConf.maxsimTopK(s), QMOD)
+        .select(col("qgid").as("qid"), col("dgid").as("nid"))),
+    None)
+
   def queries: Seq[GraftQuery] =
     Seq(q234MaxSimExact, q235MaxSimRetrieve, q236MaxSimRecall,
-      q238MaxSimIvf, q239MaxSimIvfRecall)
+      q238MaxSimIvf, q239MaxSimIvfRecall, q240MaxSimNsw, q241MaxSimNswRecall)
 }

@@ -235,16 +235,28 @@ object Nsw {
   /** k-NN via sharded NSW: hash-shard the corpus, NSW graph per shard,
     * every query searches every shard, global per-query top-k merge.
     * Output shape identical to q30/q34 (qid, rank, nid, sim). */
-  def nswKnn(s: SparkSession, d: String, k: Int, queryMod: Int): DataFrame = {
+  def nswKnn(s: SparkSession, d: String, k: Int, queryMod: Int): DataFrame =
+    searchFrame(s, d,
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), x => x.cast("double")).as("qvec")),
+      k)
+
+  /** k-NN of an ARBITRARY bounded (qid, qvec ARRAY&lt;DOUBLE&gt;) query
+    * frame through the sharded NSW graphs — the frame-generic serving
+    * entry (round 16, the [[Ann.searchWithCentroids]] counterpart for
+    * the graph tier), so other operators can use NSW as their per-token
+    * lookup primitive (the MaxSim NSW routing arm, q240). The query
+    * batch must be broadcast-bounded: its collect plays exactly the
+    * role of a broadcast join's build side, scattered to every shard's
+    * graph. A query id equal to a corpus id is treated as the self
+    * point and excluded, as in the sampled form. */
+  private[graft] def searchFrame(s: SparkSession, d: String,
+      queries: DataFrame, k: Int): DataFrame = {
     val shards = GraftConf.nswShards(s)
     val efS = GraftConf.nswEfSearch(s)
-    val base = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("vec"))
-    // scatter side: the query batch is the broadcast-sized side (vec_id %
-    // queryMod sample here; a production batch is equally bounded) — this
-    // collect plays exactly the role of a broadcast join's build side
-    val queryArr = base.filter(col("vec_id") % queryMod === 0)
+    val queryArr = queries.select(col("qid"), col("qvec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)

@@ -55,17 +55,37 @@ object AnnScaleRehearsal {
       println(f"[ann-rehearsal] upsample x$factor written in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
+    // Per-leg stage metrics. run/cpu/gc added round 16 (VERDICT r15
+    // Next #5): the lsh_neardup leg's 46-234 s wall swing across five
+    // rounds sat on identical plans, and wall alone cannot attribute a
+    // swing to host state. With executor run/cpu/gc in the artifact the
+    // split is mechanical: wall >> run ⇒ scheduling/trigger wait;
+    // run >> cpu ⇒ I/O or page-cache misses (the cold-file-cache
+    // signature); gc large ⇒ memory pressure; cpu itself moving on an
+    // identical plan ⇒ frequency scaling / contention.
     object m extends SparkListener {
       val sw = new java.util.concurrent.atomic.AtomicLong
       val sr = new java.util.concurrent.atomic.AtomicLong
       val spill = new java.util.concurrent.atomic.AtomicLong
-      def reset(): Unit = { sw.set(0); sr.set(0); spill.set(0) }
+      val run = new java.util.concurrent.atomic.AtomicLong // ms
+      val cpu = new java.util.concurrent.atomic.AtomicLong // ns
+      val gc = new java.util.concurrent.atomic.AtomicLong // ms
+      def reset(): Unit = {
+        sw.set(0); sr.set(0); spill.set(0); run.set(0); cpu.set(0); gc.set(0)
+      }
+      def metricsJson: String =
+        f""""shuffle_read_mb":${sr.get / 1e6}%.1f,"spill_mb":${spill.get / 1e6}%.1f,""" +
+          f""""run_sec":${run.get / 1e3}%.1f,"cpu_sec":${cpu.get / 1e9}%.1f,""" +
+          f""""gc_sec":${gc.get / 1e3}%.1f"""
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val tm = sc.stageInfo.taskMetrics
         if (tm != null) {
           sw.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
           sr.addAndGet(tm.shuffleReadMetrics.totalBytesRead)
           spill.addAndGet(tm.diskBytesSpilled)
+          run.addAndGet(tm.executorRunTime)
+          cpu.addAndGet(tm.executorCpuTime)
+          gc.addAndGet(tm.jvmGCTime)
         }
       }
     }
@@ -118,6 +138,11 @@ object AnnScaleRehearsal {
       // candidate-bounded exact rescore, admissible at any factor
       "maxsim_ivf" -> (d => graft.operators.LateInteraction
         .maxSimIvf(spark, d, g = 4, k = 3, queryMod = 10, cands = 16)),
+      // the NSW routing arm (q240, r16): same rescore tail, per-token
+      // lookup through the shard graphs — admissible at any factor like
+      // nsw_knn (graph build is per-shard in-memory, search is beamed)
+      "maxsim_nsw" -> (d => graft.operators.LateInteraction
+        .maxSimNsw(spark, d, g = 4, k = 3, queryMod = 10, cands = 16)),
       // full-corpus ANN k-NN-graph build + degree scores (q188): every
       // node queries, so this is the N·nprobe·(N/cells) edge substrate —
       // the exact twin (q163) is N² and inadmissible at factor×, which
@@ -143,7 +168,8 @@ object AnnScaleRehearsal {
       // the registered query at 1×/10× only.
       "serve_post_repair" -> (d => {
         val dr = graft.operators.Ann.driftRepair(spark, d)
-        val np = graft.GraftConf.ivfNprobe(spark)
+        val np = graft.GraftConf.resolveNprobe(
+          graft.GraftConf.ivfNprobe(spark), dr.cellsPre)
         val npPost = math.max(np,
           math.ceil(np.toDouble * dr.cellsPost / dr.cellsPre).toInt)
         graft.operators.Ann.searchWithCentroids(
@@ -187,7 +213,7 @@ object AnnScaleRehearsal {
           val rows = fn(dir).count()
           val sec = (System.nanoTime() - t0) / 1e9
           val line = f"""\"$tag/$name/$phase\":{\"sec\":$sec%.2f,\"rows\":$rows,""" +
-            f"""\"shuffle_read_mb\":${m.sr.get / 1e6}%.1f,\"spill_mb\":${m.spill.get / 1e6}%.1f}"""
+            m.metricsJson + "}"
           println(s"[ann-rehearsal] $line")
           out.append(line).append(",")
         }
@@ -207,7 +233,7 @@ object AnnScaleRehearsal {
           nprobe = graft.GraftConf.ivfNprobe(spark), queryMod = 10).count()
         val sec = (System.nanoTime() - t0) / 1e9
         val line = f"""\"x$factor/ivf_static_c12/$phase\":{\"sec\":$sec%.2f,\"rows\":$rows,""" +
-          f"""\"shuffle_read_mb\":${m.sr.get / 1e6}%.1f,\"spill_mb\":${m.spill.get / 1e6}%.1f}"""
+          m.metricsJson + "}"
         println(s"[ann-rehearsal] $line")
         out.append(line).append(",")
       }
@@ -276,7 +302,7 @@ object AnnScaleRehearsal {
         val resumeSec = (System.nanoTime() - t1) / 1e9
         val line = f""""$tag/loop_recovery":{"crash_sec":$crashSec%.2f,""" +
           f""""resume_sec":$resumeSec%.2f,"n_total":${loop.nTotal},""" +
-          f""""shuffle_read_mb":${m.sr.get / 1e6}%.1f,"spill_mb":${m.spill.get / 1e6}%.1f}"""
+          m.metricsJson + "}"
         println(s"[ann-rehearsal] $line")
         out.append(line).append(",")
         loop.served.unpersist()

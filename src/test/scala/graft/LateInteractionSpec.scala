@@ -65,6 +65,23 @@ class LateInteractionSpec extends SparkSpec {
     }
   }
 
+  test("NSW-routed tier: recall floor holds and rescored scores are bit-equal to exact") {
+    // the second ANN arm (round 16): same gates as the IVF arm, through
+    // the graph tier's frame-generic lookup — the tier-agnostic claim
+    val r = operators.LateInteraction.q241MaxSimNswRecall.run(spark, sfSmall)
+      .collect()(0)
+    info(s"nsw-routed recall: n=${r.getLong(0)} hits=${r.getLong(1)} recall=${r.getDouble(2)}")
+    assert(r.getDouble(2) >= 0.9, s"NSW-routed MaxSim recall ${r.getDouble(2)} < 0.9")
+    val exact = LateInteraction.maxSimExact(spark, sfSmall, g, k = 1000000, qmod)
+      .select(col("qgid"), col("dgid"), col("score").as("exact_score"))
+    val served = LateInteraction.maxSimNsw(spark, sfSmall, g, k, qmod, cands)
+      .select(col("qgid"), col("dgid"), col("score"))
+    served.join(exact, Seq("qgid", "dgid"), "left").collect().foreach { row =>
+      assert(!row.isNullAt(3) && row.getDouble(2) == row.getDouble(3),
+        s"NSW-routed rescore diverged from exact at $row")
+    }
+  }
+
   test("g=1 MaxSim top-k == exact kNN ranking (tenth-bp rounded)") {
     // with one vector per group, score = round(cos·10⁴)/10⁴ and the
     // ranking matches q30's exact kNN up to rounding-equal ties; spot

@@ -379,9 +379,10 @@ class PlanSpec extends SparkSpec {
     val recallGates = Set(
       "q35_ivf_recall", "q37_lsh_recall", "q57_ivf_pair_recall",
       "q67_pq_recall", "q128_nsw_recall", "q150_multiprobe_recall",
-      // both MaxSim recall gates join their tier against the labeled
+      // the MaxSim recall gates join their tier against the labeled
       // exact MaxSim ground truth (the BNLJ lives in the exact arm)
-      "q236_maxsim_recall", "q239_maxsim_ivf_recall")
+      "q236_maxsim_recall", "q239_maxsim_ivf_recall",
+      "q241_maxsim_nsw_recall")
     // each of these crossJoins a broadcast single-row aggregate (min/max
     // bounds, count totals, quantile cuts, scalar denominators) or a
     // bounded grid (q146's hours×types frame) — the BNLJ build side is
