@@ -39,6 +39,14 @@ def slack(median_sec: float) -> float:
     return 2.6
 
 
+def _triple(v):
+    """Normalize a spread list to (min, med, max) — a budget-cut repeat
+    loop can leave a single-element spread (seen: the driver's diverted
+    r15 hot run, q207 at one 32 s repeat)."""
+    v = list(v)
+    return (v[0], v[len(v) // 2], v[-1])
+
+
 SPREAD_RE = re.compile(r'"(q\d+[a-zA-Z0-9_]*)":\[([0-9.]+),([0-9.]+),([0-9.]+)\]')
 TOTAL_RE = re.compile(r'\{"metric":"total","value":([0-9.]+)')
 OOB_RE = re.compile(r'\{"metric":"oob_vs_committed".*?"rows":(\{[^}]*\})')
@@ -57,7 +65,7 @@ def load_driver(path: str):
     with open(path) as f:
         data = json.load(f)
     if "spread" in data:  # a graft.Bench artifact directly
-        return ({q: tuple(v) for q, v in data["spread"].items()},
+        return ({q: _triple(v) for q, v in data["spread"].items()},
                 data["value"], False, None, data.get("stream") or {},
                 data.get("caches") or {})
     tail = data.get("tail", "")
@@ -84,7 +92,7 @@ def main():
     drv, drv_total, truncated, drv_oob, drv_stream, drv_cache = load_driver(args.driver)
     with open(args.committed) as f:
         com = json.load(f)
-    com_spread = {q: tuple(v) for q, v in com["spread"].items()}
+    com_spread = {q: _triple(v) for q, v in com["spread"].items()}
     com_total = com["value"]
     com_stream = com.get("stream") or {}
     com_cache = com.get("caches") or {}
