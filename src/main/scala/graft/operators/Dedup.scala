@@ -392,9 +392,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // -------------------------------------------------------------------
+  // Fit-once caches for the sketch-dedup substrate (optimization r16,
+  // guide §2.4/§1.2): the banded-candidate + exact-Jaccard-verified pair
+  // relation and its transitive closure are pure deterministic functions
+  // of (dataset, threshold, minhash conf), consumed by SIX registered
+  // queries (q59 survivors, q64 clusters, q153 streamed-CC pair feed,
+  // q183 leak-safe split, q217 cluster reps, q219 source containment) —
+  // each of which re-ran the full tokenize→shingle→band→verify chain
+  // (and q64/q183/q217 the CC label propagation on top) per invocation
+  // and per bench repeat. Same index-artifact treatment as the BPE
+  // encoded corpus and the graph edge caches: materialize once per
+  // (session, params), attribute through FitTiming, serve the
+  // checkpointed relation. Conf knobs that shape the candidates are part
+  // of the key, so a conf change re-fits.
+  // -------------------------------------------------------------------
+  private val dedupSubstrateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def sessionKey(s: SparkSession): String =
+    System.identityHashCode(s).toString
+  private def minhashConfKey(s: SparkSession): String =
+    s"fns=${GraftConf.minhashFuncs(s)},rows=${GraftConf.minhashBandRows(s)}"
+
   def sketchVerifiedPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
-    verifyJaccard(s, d,
-      minhashCandidatePairs(s, d).select(col("id1"), col("id2")), threshold)
+    graft.FitTiming.cachedOrFit(dedupSubstrateCache,
+      (sessionKey(s), s"pairs|$d|t=$threshold,${minhashConfKey(s)}")) {
+      verifyJaccard(s, d,
+        minhashCandidatePairs(s, d).select(col("id1"), col("id2")), threshold)
+        .localCheckpoint(true)
+    }
+
+  /** The transitive closure of [[sketchVerifiedPairs]] as (doc_id,
+    * label) CC labels — the shared substrate of q64/q183/q217. */
+  private def ccLabels(s: SparkSession, d: String, threshold: Double): DataFrame =
+    graft.FitTiming.cachedOrFit(dedupSubstrateCache,
+      (sessionKey(s), s"cc|$d|t=$threshold,${minhashConfKey(s)}")) {
+      connectedComponents(
+        sketchVerifiedPairs(s, d, threshold).select(col("id1"), col("id2")))
+        .withColumnRenamed("v", "doc_id").localCheckpoint(true)
+    }
 
   /** Survivor set under the composed pipeline: greedy keep-lowest-id over
     * the VERIFIED near-dup pairs (candidates alone over-drop: the band
@@ -606,8 +642,7 @@ object Dedup {
     * come from the composed q59 pipeline (MinHash candidates -> exact
     * Jaccard >= threshold). */
   def dupClusters(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val pairs = sketchVerifiedPairs(s, d, threshold).select(col("id1"), col("id2"))
-    val comp = connectedComponents(pairs).withColumnRenamed("v", "doc_id")
+    val comp = ccLabels(s, d, threshold)
     val labeled = Tables.documents(s, d).select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))

@@ -32,6 +32,36 @@ import graft.functions.VectorKernels._
   */
 object Graph {
 
+  // -------------------------------------------------------------------
+  // Fit-once edge-relation caches (optimization r16, guide §2.4/§1.2).
+  // Every graph query consumes an (src, dst[, sim]) edge relation that
+  // is a pure deterministic function of (dataset, builder params, ANN
+  // conf) — the same index-artifact role the IVF/LSH fitted models and
+  // the BPE encoded corpus play — but each query rebuilt it from
+  // scratch: q188 and q189 each paid a full NN-Descent build, and every
+  // bench repeat paid it again (measured: q188+q189+q190 = 39.5 s of
+  // the 260 s baseline, dominated by repeated edge builds). Cache the
+  // MATERIALIZED relation per (session, builder, params) through
+  // FitTiming.cachedOrFit so Bench attributes the one build
+  // (`caches:{q…:{fits,fit_sec}}`) and every later consumer plans over
+  // a checkpointed N·k-row relation. Every conf knob that shapes the
+  // edge set is part of the key (the Ann.lshIndex convention), so a
+  // conf change re-fits instead of silently serving stale edges.
+  // -------------------------------------------------------------------
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def sessionKey(s: SparkSession): String =
+    System.identityHashCode(s).toString
+  private def cachedEdges(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame =
+    graft.FitTiming.cachedOrFit(edgeCache, (sessionKey(s), key))(
+      build.localCheckpoint(true))
+  /** The ANN-conf fingerprint that shapes IVF-seeded edge sets. */
+  private def ivfConfKey(s: SparkSession): String =
+    s"cells=${s.conf.get("spark.graft.ivf.cells", "auto")}," +
+      s"np=${s.conf.get("spark.graft.ivf.nprobe", "auto")}," +
+      s"it=${GraftConf.ivfMaxIter(s)},init=${GraftConf.ivfInitMode(s)}"
+
   /** Exact directed k-NN graph: node -> its k nearest neighbors by
     * cosine (self excluded, ties by nid), uniform out-weight 1/k.
     * Every node has out-degree exactly k, so the PageRank below has no
@@ -41,7 +71,12 @@ object Graph {
     * sort all N·(N−1) scored pairs behind one exchange; this ships ≤ k
     * rows per node per map task and sorts nothing (PlanSpec pins the
     * window-free plan). */
-  def knnEdges(s: SparkSession, d: String, k: Int): DataFrame = {
+  def knnEdges(s: SparkSession, d: String, k: Int): DataFrame =
+    cachedEdges(s, s"exact|$d|k=$k")(knnEdgesBuild(s, d, k))
+
+  /** The raw (uncached) exact builder — plan-shape specs assert on this
+    * form; [[knnEdges]] serves its checkpointed result. */
+  private[graft] def knnEdgesBuild(s: SparkSession, d: String, k: Int): DataFrame = {
     val base = Tables.embeddings(s, d)
     val q = base.select(col("vec_id").as("src"), col("embedding").as("qvec"))
     val c = base.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
@@ -66,8 +101,12 @@ object Graph {
     * tie discipline as [[knnEdges]]; out-degree can fall short of k only
     * if a node's probed cells hold < k candidates (GraphSpec gates
     * k-regularity at the test corpora). */
-  def annKnnEdges(s: SparkSession, d: String, k: Int): DataFrame =
-    nnDescentEdges(s, d, k, GraftConf.nnDescentRounds(s))
+  def annKnnEdges(s: SparkSession, d: String, k: Int): DataFrame = {
+    val rounds = GraftConf.nnDescentRounds(s)
+    val width = GraftConf.nnDescentWidth(s)
+    cachedEdges(s, s"nndescent|$d|k=$k,r=$rounds,w=$width,${ivfConfKey(s)}")(
+      nnDescentEdges(s, d, k, rounds))
+  }
 
   /** IVF seed for the ANN k-NN graph: every node's IVF-probed top-k,
     * ids only (sims are recomputed exactly by the descent rounds). */
@@ -139,12 +178,18 @@ object Graph {
     * sharing a probed cell, symmetrized into the undirected-relation
     * encoding [[kCorePeel]] consumes — the scale twin of
     * [[similarityEdges]]. */
-  def annSimilarityEdges(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val pairs = Ann.ivfNearDup(s, d, threshold, GraftConf.ivfNprobe(s))
-      .select(col("id1"), col("id2"))
-    pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-  }
+  def annSimilarityEdges(s: SparkSession, d: String, threshold: Double): DataFrame =
+    cachedEdges(s, s"simivf|$d|t=$threshold,${ivfConfKey(s)}," +
+        s"salts=${GraftConf.lshBucketSalts(s)}") {
+      // checkpoint the pair relation BEFORE the symmetrizing union: its
+      // two branches are the same IVF candidate join + verify, and an
+      // unmaterialized subtree is evaluated once per branch (measured:
+      // the two 32-task verify stages each ran the full bucket join)
+      val pairs = Ann.ivfNearDup(s, d, threshold, GraftConf.ivfNprobe(s))
+        .select(col("id1"), col("id2")).localCheckpoint(true)
+      pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    }
 
   /** Stats-routed k-NN edge builder — the [[Similarity.knnAuto]]
     * discipline applied to the graph substrate: the exact N² builder
@@ -462,16 +507,17 @@ object Graph {
     * skewed by cluster density, which is what coreness measures.) At
     * 100 TB the edge relation comes from the candidate tiers (q31's LSH/
     * IVF feeders), same shape. */
-  def similarityEdges(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val base = Tables.embeddings(s, d)
-    val a = base.select(col("vec_id").as("src"), col("embedding").as("avec"))
-    val b = base.select(col("vec_id").as("dst"), col("embedding").as("bvec"))
-    a.join(b, col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        cosineFast(col("avec"), col("bvec")).as("sim"))
-      .filter(col("sim") >= threshold)
-      .select(col("src"), col("dst"))
-  }
+  def similarityEdges(s: SparkSession, d: String, threshold: Double): DataFrame =
+    cachedEdges(s, s"simexact|$d|t=$threshold") {
+      val base = Tables.embeddings(s, d)
+      val a = base.select(col("vec_id").as("src"), col("embedding").as("avec"))
+      val b = base.select(col("vec_id").as("dst"), col("embedding").as("bvec"))
+      a.join(b, col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          cosineFast(col("avec"), col("bvec")).as("sim"))
+        .filter(col("sim") >= threshold)
+        .select(col("src"), col("dst"))
+    }
 
   /** Fixed-round k-core peeling [Seidman 1983; Batagelj-Zaveršnik 2003
     * gives the sequential O(m) peel; the relational form below is the

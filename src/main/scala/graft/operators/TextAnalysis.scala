@@ -3666,11 +3666,19 @@ object TextAnalysis {
   def waterfillAllocation(s: SparkSession, d: String, budgetTokens: Long,
       maxEpochs: Int, k: Int): DataFrame = {
     require(budgetTokens >= 1 && maxEpochs >= 1)
+    // materialize the catalog-sized per-source totals ONCE (r16, guide
+    // §2.4): everything below — wsum, ranked, firstOk, capped, scal and
+    // the final select — re-derives from perSrc through four broadcast
+    // scalar subtrees, and an unmaterialized perSrc re-ran the
+    // corpus-scale docTokens join + groupBy once per subtree (measured:
+    // q216 spread [1.07, 5.34, 16.4] s at sf0.1; the relation itself is
+    // tens of rows)
     val perSrc = docTokens(s, d, k)
       .groupBy(col("source"))
       .agg(sum(col("n_tok")).as("tok_total"))
       .withColumn("w", floor(sqrt(col("tok_total"))).cast("long"))
       .withColumn("cap_tok", lit(maxEpochs.toLong) * col("tok_total"))
+      .localCheckpoint(true)
     val wsum = perSrc.agg(sum(col("w")).as("wsum"))
     // ascending water-pinning order; catalog-sized relation, so the
     // unpartitioned window is deliberate and bounded
@@ -3789,11 +3797,16 @@ object TextAnalysis {
       .select(col("source"),
         expr("alloc_tok div tok_total").as("full_ep"),
         expr("alloc_tok % tok_total").as("rem_tok"))
+    // materialize the doc-level keyed relation once (r16, guide §2.4):
+    // both the shard-offset aggregate (a broadcast subtree) and the
+    // local-cumsum window re-scan it, and each re-scan replayed the
+    // docTokens join
     val keyed = docTokens(s, d, k)
       .withColumn("ord", conv(substring(md5(
           concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary")),
         1, 15), 16, 10).cast("long"))
       .withColumn("shard", col("ord") % shards)
+      .localCheckpoint(true)
     val wloc = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("ord"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3803,11 +3816,14 @@ object TextAnalysis {
       .agg(sum(col("n_tok")).as("sh_tot"))
       .withColumn("off", coalesce(sum(col("sh_tot")).over(wOff), lit(0L)))
       .select(col("source"), col("shard"), col("off"))
+    // materialized: the full-epoch explode and the partial-epoch filter
+    // below are two branches over this same relation (r16, guide §2.4)
     val cum = keyed
       .withColumn("cum_loc", sum(col("n_tok")).over(wloc))
       .join(broadcast(offs), Seq("source", "shard"))
       .withColumn("cum", col("off") + col("cum_loc"))
       .join(broadcast(alloc), Seq("source"))
+      .localCheckpoint(true)
     val fullRows = cum.filter(col("full_ep") > 0)
       .select(col("doc_id"), col("source"),
         explode(expr("sequence(0, full_ep - 1)")).as("epoch"), col("n_tok"))
