@@ -154,6 +154,21 @@ object GraftConf {
   def indexDir(s: SparkSession): Option[String] =
     s.conf.getOption("spark.graft.index.dir")
 
+  /** Cluster profile for [[graft.Mat]]: true = within-query
+    * materializations are RELIABLE checkpoints under [[checkpointDir]]
+    * (survive executor loss, pin no executor storage); false (default,
+    * the local[n] profile) = eager localCheckpoint. */
+  def reliableCheckpoints(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.checkpoint.reliable", "false").toBoolean
+
+  /** Reliable-checkpoint root for [[graft.Mat]] (cluster profile: an
+    * HDFS/object-store path). Defaults next to the model store, or to
+    * a tmp dir when the store is off. */
+  def checkpointDir(s: SparkSession): String =
+    s.conf.getOption("spark.graft.checkpoint.dir")
+      .orElse(indexDir(s).map(_ + "/_checkpoints"))
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_ckpt")
+
   /** Per-term postings ceiling for the hybrid lexical tower
     * (operators.Hybrid), 0 = off. When set, each term keeps only its
     * `cap` highest-BM25-contribution postings (impact-ordered cap — the

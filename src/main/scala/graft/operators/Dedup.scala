@@ -100,12 +100,19 @@ object Dedup {
         element_at(col("sig"), b * rows + r + 1)): _*)
     }
     val c = carry.map(col)
-    docs
+    // materialized ONCE (r17, guide §2.4): every consumer self-joins
+    // this relation (band-bucket candidate generation), and an
+    // unmaterialized subtree re-ran the tokenize→shingle→8-minhash
+    // chain — the dominant cost of every sketch-dedup query — once per
+    // join side. N·bands rows of (doc_id, band, key): bounded, and the
+    // banded index IS what a deployment materializes (graft.Mat:
+    // reliable-checkpoint mode at cluster scale).
+    graft.Mat(docs
       .select((Seq(col("doc_id"), toks(col("text")).as("t")) ++ c): _*)
       .filter(size(col("t")) >= 3)
       .select((Seq(col("doc_id"), shingles(col("t"), 3).as("sh")) ++ c): _*)
       .select((Seq(col("doc_id"), minhashSignature(col("sh"), fns).as("sig")) ++ c): _*)
-      .select((Seq(col("doc_id"), posexplode(array(bands: _*)).as(Seq("b", "key"))) ++ c): _*)
+      .select((Seq(col("doc_id"), posexplode(array(bands: _*)).as(Seq("b", "key"))) ++ c): _*))
   }
 
   private def minhashBanded(s: SparkSession, d: String): DataFrame =
@@ -245,18 +252,27 @@ object Dedup {
     // string: 8-byte shuffle keys instead of ~30-char strings. Both sides
     // (Spark + oracle) hash identically, so results agree even in the
     // astronomically-unlikely collision case.
-    val ex = Tables.documents(s, d)
+    // materialize the exploded shingle-key relation ONCE (r17, guide
+    // §2.4/§2.3): both sides of the self-join re-ran the tokenize→
+    // shingle→md5 chain, and the set sizes rode through the pair
+    // fan-out. Now the fan-out ships only (doc_id, k) and the sizes
+    // re-attach per candidate pair after aggregation — identical values
+    // (same inputs, same arithmetic), so the oracle is untouched.
+    val ex = graft.Mat(Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), shingles(col("t"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"),
-        conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10).cast("long").as("k"))
-    val a = ex.select(col("doc_id").as("id1"), col("n_sh").as("na"), col("k"))
-    val b = ex.select(col("doc_id").as("id2"), col("n_sh").as("nb"), col("k"))
+        conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10).cast("long").as("k")))
+    val sizes = ex.groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
+    val a = ex.select(col("doc_id").as("id1"), col("k"))
+    val b = ex.select(col("doc_id").as("id2"), col("k"))
     a.join(b, Seq("k")).filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("na")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("nb")), Seq("id2"))
       .select(col("id1"), col("id2"), col("inter"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
           .as("jaccard"))
@@ -379,8 +395,13 @@ object Dedup {
       cand: DataFrame, threshold: Double): DataFrame =
     verifyJaccardFrame(shingleKeys(s, d), cand, threshold)
 
-  private[graft] def verifyJaccardFrame(ex: DataFrame,
+  private[graft] def verifyJaccardFrame(ex0: DataFrame,
       cand: DataFrame, threshold: Double): DataFrame = {
+    // both intersection sides consume the exploded shingle-key relation
+    // — materialized once so the tokenize→shingle→md5 chain is not
+    // evaluated per join side (r17, guide §2.4; same treatment as the
+    // banded relation above)
+    val ex = graft.Mat(ex0)
     cand
       .join(ex.select(col("doc_id").as("id1"), col("n_sh").as("na"), col("k")), Seq("id1"))
       .join(ex.select(col("doc_id").as("id2"), col("n_sh").as("nb"), col("k")), Seq("id2", "k"))
@@ -393,44 +414,27 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
-  // Fit-once caches for the sketch-dedup substrate (optimization r16,
-  // guide §2.4/§1.2): the banded-candidate + exact-Jaccard-verified pair
-  // relation and its transitive closure are pure deterministic functions
-  // of (dataset, threshold, minhash conf), consumed by SIX registered
-  // queries (q59 survivors, q64 clusters, q153 streamed-CC pair feed,
-  // q183 leak-safe split, q217 cluster reps, q219 source containment) —
-  // each of which re-ran the full tokenize→shingle→band→verify chain
-  // (and q64/q183/q217 the CC label propagation on top) per invocation
-  // and per bench repeat. Same index-artifact treatment as the BPE
-  // encoded corpus and the graph edge caches: materialize once per
-  // (session, params), attribute through FitTiming, serve the
-  // checkpointed relation. Conf knobs that shape the candidates are part
-  // of the key, so a conf change re-fits.
+  // No cross-query caching of the sketch-dedup substrate (optimization
+  // r17, reverting the r16 fit-once caches): the verified-pair relation
+  // IS the declared output of q59/q64's front half, and memoising it
+  // across queries and bench repeats made the reported medians exclude
+  // the work (VERDICT r16 "What's wrong" #2). Each consumer now runs
+  // the tokenize→shingle→band→verify chain inside its own timed
+  // repeats; connectedComponents materializes the pair relation exactly
+  // once per query evaluation before its rounds.
   // -------------------------------------------------------------------
-  private val dedupSubstrateCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private def sessionKey(s: SparkSession): String =
-    System.identityHashCode(s).toString
-  private def minhashConfKey(s: SparkSession): String =
-    s"fns=${GraftConf.minhashFuncs(s)},rows=${GraftConf.minhashBandRows(s)}"
 
   def sketchVerifiedPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
-    graft.FitTiming.cachedOrFit(dedupSubstrateCache,
-      (sessionKey(s), s"pairs|$d|t=$threshold,${minhashConfKey(s)}")) {
-      verifyJaccard(s, d,
-        minhashCandidatePairs(s, d).select(col("id1"), col("id2")), threshold)
-        .localCheckpoint(true)
-    }
+    verifyJaccard(s, d,
+      minhashCandidatePairs(s, d).select(col("id1"), col("id2")), threshold)
 
   /** The transitive closure of [[sketchVerifiedPairs]] as (doc_id,
-    * label) CC labels — the shared substrate of q64/q183/q217. */
+    * label) CC labels — the shared shape of q64/q183/q217 (each query
+    * computes its own). */
   private def ccLabels(s: SparkSession, d: String, threshold: Double): DataFrame =
-    graft.FitTiming.cachedOrFit(dedupSubstrateCache,
-      (sessionKey(s), s"cc|$d|t=$threshold,${minhashConfKey(s)}")) {
-      connectedComponents(
-        sketchVerifiedPairs(s, d, threshold).select(col("id1"), col("id2")))
-        .withColumnRenamed("v", "doc_id").localCheckpoint(true)
-    }
+    connectedComponents(
+      sketchVerifiedPairs(s, d, threshold).select(col("id1"), col("id2")))
+      .withColumnRenamed("v", "doc_id")
 
   /** Survivor set under the composed pipeline: greedy keep-lowest-id over
     * the VERIFIED near-dup pairs (candidates alone over-drop: the band
@@ -728,14 +732,25 @@ object Dedup {
     val retainedKeys = ex.groupBy(col("k"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
       .select(col("k"))
-    val retained = ex.join(retainedKeys, Seq("k"))
+    // materialize the df-cut shingle relation ONCE (r17, guide §2.4):
+    // three consumers (per-doc sizes + both sides of the pair join)
+    // each re-ran the tokenize→explode→df-join chain. At scale this is
+    // the filtered posting relation an SSJoin deployment materializes
+    // anyway (8-byte key + id per row; reliable-checkpoint mode writes
+    // it to the cluster FS, graft.Mat).
+    val retained = graft.Mat(ex.join(retainedKeys, Seq("k")))
     val sizes = retained.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val keyed = retained.join(sizes, Seq("doc_id"))
-    val a = keyed.select(col("doc_id").as("id1"), col("n_sh").as("na"), col("k"))
-    val b = keyed.select(col("doc_id").as("id2"), col("n_sh").as("nb"), col("k"))
+    // ship ONLY (doc_id, k) through the pair fan-out — the set sizes
+    // re-attach per candidate pair after aggregation (guide §2.3
+    // "project before the exchange"); values are identical to the
+    // carried-through form (same inputs, same arithmetic)
+    val a = retained.select(col("doc_id").as("id1"), col("k"))
+    val b = retained.select(col("doc_id").as("id2"), col("k"))
     a.join(b, Seq("k")).filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("na")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("nb")), Seq("id2"))
       .select(col("id1"), col("id2"), col("inter"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
           .as("jaccard"))
@@ -1594,10 +1609,15 @@ object Dedup {
   def sourceContainment(s: SparkSession, d: String,
       threshold: Double): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val pairs = sketchVerifiedPairs(s, d, threshold)
-      .select(col("id1"), col("id2"))
-    val sym = pairs.unionByName(
-      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    // symmetrize by exploding each verified pair into both directions:
+    // the union-of-two-projections form evaluates the whole
+    // band+verify subtree once per branch (guide §2.4) — the explode
+    // form runs it exactly once and needs no materialization
+    val sym = sketchVerifiedPairs(s, d, threshold)
+      .select(explode(array(
+        struct(col("id1"), col("id2")),
+        struct(col("id2").as("id1"), col("id1").as("id2")))).as("e"))
+      .select(col("e.id1").as("id1"), col("e.id2").as("id2"))
     val labeled = sym
       .join(src.select(col("doc_id").as("id1"), col("source").as("src_a")),
         Seq("id1"))

@@ -68,7 +68,13 @@ object Hybrid {
     val store = GraftConf.indexDir(s).getOrElse("off")
     val key = (System.identityHashCode(s).toString, s"$d|bk=$bk|store=$store")
     graft.FitTiming.cachedOrFit(tfCache, key) {
-      def tok = Tables.documents(s, d)
+      // cold-build shape (r17): ONE tokenize pass. The tf build spreads
+      // the tiny-file scan across cores (graft.plans.Spread — measured:
+      // the single-task tokenize stage owned the cold build), and lens
+      // derives from the committed tf TABLE (len = Σ_t tf(doc, t), the
+      // identical value) — a no-exchange aggregate on the doc_id
+      // buckets instead of a second corpus tokenize.
+      def tok = graft.plans.Spread.ifNarrow(Tables.documents(s, d))
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
         .filter(col("term") =!= "")
       val tf = StoredTables.storedBucketedTable(s, "bm25_tf", "tf", d,
@@ -80,7 +86,7 @@ object Hybrid {
       val lens = StoredTables.storedBucketedTable(s, "bm25_lens", "lens", d,
         s"tok=ws,bk=$bk",
         "doc_id BIGINT, len BIGINT", "doc_id", bk)(
-        tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+        tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
           .select(col("doc_id"), col("len"))).persist()
       (tf, lens)
     }

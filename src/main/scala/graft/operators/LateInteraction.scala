@@ -91,7 +91,12 @@ object LateInteraction {
     * one, like q30 for single-vector search). */
   def maxSimExact(s: SparkSession, d: String, g: Int, k: Int,
       queryMod: Int): DataFrame = {
-    val base = grouped(s, d, g)
+    // spread ONLY the exact Q·N tier (graft.plans.Spread doc): a tiny
+    // parquet input scans as one task and serializes the kernel loop.
+    // The approximate tiers are deliberately NOT spread — their work is
+    // already bounded, and the centroid arm's avg() partials must keep
+    // their scan grouping (a repartition reorders double summation)
+    val base = graft.plans.Spread(grouped(s, d, g))
     val q = queryVecs(base, queryMod)
     val c = base.select(col("gid").as("dgid"), col("embedding").as("dvec"))
     topkByMaxSim(tokenMax(q.join(c, col("qgid") =!= col("dgid"))), k)

@@ -35,7 +35,10 @@ object Similarity {
     // Raw float arrays + the codegen'd cosine kernel: cosine(raw) ==
     // dot(normalized) but skips the per-row normalize pass and stays in
     // whole-stage codegen for the O(Q·N) inner loop.
-    val base = Tables.embeddings(s, d)
+    // spread the corpus side across the session's cores before the Q·N
+    // kernel join: a tiny parquet input scans as ONE task and would run
+    // the whole scoring loop single-threaded (graft.plans.Spread doc)
+    val base = graft.plans.Spread(Tables.embeddings(s, d))
     val q = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val c = base.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
@@ -57,7 +60,7 @@ object Similarity {
     * `entry`'s flagship on sf0.001. */
   def nearDupPairs(s: SparkSession, d: String, threshold: Double,
       prefilterLabel: Boolean): DataFrame = {
-    val base = Tables.embeddings(s, d)
+    val base = graft.plans.Spread(Tables.embeddings(s, d))
     val a = base.select(col("vec_id").as("id1"), col("label").as("lab1"), col("embedding").as("v1"))
     val b = base.select(col("vec_id").as("id2"), col("label").as("lab2"), col("embedding").as("v2"))
     val joinCond =
@@ -198,7 +201,7 @@ object Similarity {
     "q32_knn_l2_to_cosine",
     "J1a,M4,F9,F12",
     (s, d) => {
-      val base = normalized(s, d)
+      val base = graft.plans.Spread(normalized(s, d))
       val q = base.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("qid"), col("vec").as("qvec"))
       val c = base.select(col("vec_id").as("nid"), col("vec").as("nvec"))
@@ -320,7 +323,7 @@ object Similarity {
     "q83_similarity_histogram",
     "A8,X3,X4; §3.2 distribution evidence",
     (s, d) => {
-      val base = Tables.embeddings(s, d)
+      val base = graft.plans.Spread(Tables.embeddings(s, d))
       // top-1 as a hash aggregate (max of (sim, -nid) struct) instead of a
       // row_number window: partial agg collapses the scored pairs
       // map-side, so nothing sorts the candidate rows just to keep one
@@ -392,7 +395,9 @@ object Similarity {
       s"(exactCutoff ${GraftConf.knnExactCutoff(s)}), bytes=${st.bytes} " +
       s"(cutoff ${GraftConf.exactPairMaxBytes(s)}) -> " +
       (if (exactTier) "exact" else "ivf"))
-    val base = Tables.embeddings(s, d)
+    val base =
+      if (exactTier) graft.plans.Spread(Tables.embeddings(s, d))
+      else Tables.embeddings(s, d)
     val scored =
       if (exactTier) {
         val q = base.filter(col("vec_id") % queryMod === 0)

@@ -956,15 +956,18 @@ object Scale {
     (s, d) => {
       val r = Tables.events(s, d).select(col("event_type"),
         round(col("value") * 100).cast("long").as("v"))
-      val med = groupExactRank(s, r, "event_type", Seq(0.5))
-        .select(col("event_type"), col("value").as("med"))
+      // med/mad are |groups|-row statistics feeding every branch of the
+      // second selection pass and the final fence — materialized so the
+      // first selection runs once, not once per consumer (guide §2.4)
+      val med = graft.Mat(groupExactRank(s, r, "event_type", Seq(0.5))
+        .select(col("event_type"), col("value").as("med")))
       val dev = r.join(broadcast(med), Seq("event_type"))
         .select(col("event_type"), col("med"),
           abs(col("v") - col("med")).as("dev"))
-      val mad = groupExactRank(s,
+      val mad = graft.Mat(groupExactRank(s,
           dev.select(col("event_type"), col("dev").as("v")),
           "event_type", Seq(0.5))
-        .select(col("event_type"), col("value").as("mad"))
+        .select(col("event_type"), col("value").as("mad")))
       dev.join(broadcast(mad), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

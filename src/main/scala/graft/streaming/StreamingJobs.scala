@@ -488,23 +488,34 @@ object StreamingJobs {
       val tok = batch.select(
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       val delta = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt")).cache()
-      val batchN = delta.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
       val prevTotal = prev.map(_.agg(max(col("total_n"))).head().getLong(0)).getOrElse(0L)
       val prevCounters = prev.map(_.filter(col("term").isNotNull)
         .select(col("term"), col("cnt"))).getOrElse(delta.limit(0))
       val merged = prevCounters.unionByName(delta)
         .groupBy(col("term")).agg(sum(col("cnt")).as("cnt")).cache()
       cached = Seq(delta, merged)
-      val top = merged.select(col("cnt")).orderBy(col("cnt").desc)
-        .limit(k + 1).collect().map(_.getLong(0))
-      val cStar = if (top.length <= k) 0L else top.last
-      val newTotal = prevTotal + batchN
+      // one driver action per trigger (r17, guide §5 "the driver should
+      // do almost no data work" + per-trigger job-latency): the batch
+      // mass and the (k+1)-th-largest reduction value used to be two
+      // extra driver round-trips (an agg head + a top-(k+1) collect) —
+      // they are 1-row aggregates, so they now ride into the state
+      // write as broadcast scalar subtrees over the SAME cached
+      // relations. Values are identical: `cstar` is the (k+1)-th
+      // largest merged count (0 when ≤ k survive — count(*) over the
+      // k+1 limit tells which), newTotal the same sum.
+      val cStarRow = merged.select(col("cnt")).orderBy(col("cnt").desc)
+        .limit(k + 1)
+        .agg(when(count(lit(1)) <= k, 0L)
+          .otherwise(min(col("cnt"))).as("cstar"))
+      val totalRow = delta
+        .agg((coalesce(sum(col("cnt")), lit(0L)) + prevTotal).as("total_n"))
       val sentinel = spark.range(1).select(
         lit(null).cast("string").as("term"), lit(0L).as("cnt"))
-      merged.select(col("term"), (col("cnt") - cStar).as("cnt"))
+      merged.crossJoin(broadcast(cStarRow))
+        .select(col("term"), (col("cnt") - col("cstar")).as("cnt"))
         .filter(col("cnt") > 0)
         .unionByName(sentinel)
-        .withColumn("total_n", lit(newTotal))
+        .crossJoin(broadcast(totalRow))
     } finally cached.foreach(_.unpersist())
     applied
   }
@@ -1072,20 +1083,43 @@ object StreamingJobs {
         lit(null).cast("string").as("lang"),
         lit(null).cast("string").as("source"),
         size(CurationPipeline.toksOf(col("text"))).cast("long").as("n_tok"),
-        CurationPipeline.rowKey(col("doc_id"), col("text")).as("rk"))
+        CurationPipeline.rowKey(col("doc_id"), col("text")).as("rk"),
+        lit(null).cast("string").as("fp"))
       val mergedIn = prev.map(_.filter(col("rel") === "in"))
         .getOrElse(inDelta.limit(0))
         .unionByName(inDelta).dropDuplicates("doc_id")
+      // Incremental gate (optimization r17, guide §2.4): the r16 form
+      // re-ran gateStage over prevS1 ∪ batch — the per-doc heuristic
+      // metrics (tokenize, dup-line, top-2-gram) were recomputed for
+      // the WHOLE accumulated state on every trigger, O(total) work
+      // per batch. The heuristics are per-document (state rows passed
+      // them by construction) and the content-fp dedup is an
+      // associative argmax on (n_tok DESC, doc_id ASC), so the state
+      // now carries each survivor's (fp, n_tok) and a trigger pays:
+      // gate metrics over the BATCH ONLY + one |state|+|batch| argmax
+      // merge. Exactly gate(prev ∪ batch) under any arrival order and
+      // redelivery overlap (same associativity argument as before;
+      // StreamingSpec proves drained == q193 plus both replay arms).
+      val gatedB = graft.operators.TextAnalysis.corpusGateDeduped(b)
+        .select(col("doc_id"), col("fp"), col("n_tok").cast("long").as("n_tok"))
+      val bS1 = b.join(gatedB, Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("fp"), col("n_tok"))
       val prevS1 = prev.map(_.filter(col("rel") === "s1")
-          .select(col("doc_id"), col("text"), col("lang"), col("source")))
-        .getOrElse(b.limit(0))
-      val s1 = CurationPipeline.gateStage(
-        prevS1.unionByName(b).dropDuplicates("doc_id"))
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("fp"), col("n_tok")))
+        .getOrElse(bS1.limit(0))
+      val s1 = prevS1.unionByName(bS1)
+        .groupBy(col("fp"))
+        .agg(max(struct(col("n_tok"), (-col("doc_id")).as("ni"),
+          col("doc_id"), col("text"), col("lang"), col("source"))).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.text").as("text"),
+          col("m.lang").as("lang"), col("m.source").as("source"),
+          col("fp"), col("m.n_tok").as("n_tok"))
       mergedIn.unionByName(
         s1.select(lit("s1").as("rel"), col("doc_id"), col("text"),
-          col("lang"), col("source"),
-          lit(null).cast("long").as("n_tok"),
-          lit(null).cast("long").as("rk")))
+          col("lang"), col("source"), col("n_tok"),
+          lit(null).cast("long").as("rk"), col("fp")))
     }
 
   /** The q193 manifest over everything the curation state has folded so
